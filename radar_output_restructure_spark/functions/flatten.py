@@ -1,0 +1,148 @@
+"""Schema-walk flattener: nested record -> dot-joined flat columns.
+
+Reproduces the reference's CSV projection (format/CsvAvroDataConverter.kt:20-91,
+header derivation format/RecordConverterFactory.kt:120-164):
+
+* RECORD  -> recurse, names joined with '.' (a.b.c)
+* MAP     -> one column per key present in the data, `prefix.<key>`
+             (data-dependent: the reference derives keys from the first datum;
+             we derive the union of keys in the batch, sorted, which matches
+             the reference for homogeneous batches — divergence documented in
+             SURVEY §7.4.1)
+* ARRAY   -> one column per element index `prefix.<i>`, arity = max size in
+             the batch (first-datum arity in the reference)
+* UNION   -> spark-avro already resolves [null,T] to nullable T; multi-branch
+             unions surface as member structs and flatten recursively
+* BYTES   -> base64 without padding (rendered mode)
+* others  -> scalar column
+
+Two modes:
+  rendered=False (analytic): keep native Spark types — this is what every
+      downstream operator uses; stays fully inside Catalyst.
+  rendered=True (golden CSV parity): every leaf becomes a string with the
+      reference's Java renderings (Java double/float toString, base64-no-pad,
+      null -> "").
+
+`excluded` drops leaves by their dotted name, the engine's `excludeFields`
+(config/FormatConfig.kt:17, format/CsvAvroConverter.kt:43-61).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from radar_output_restructure_spark.functions.javafmt import (
+    base64_no_pad,
+    java_double_repr,
+    java_float_repr,
+)
+
+
+def _render_leaf(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, T.BinaryType):
+        return base64_no_pad(col)
+    if isinstance(dtype, T.DoubleType):
+        return java_double_repr(col)
+    if isinstance(dtype, T.FloatType):
+        return java_float_repr(col.cast("double"))
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, "true").when(~col, "false")
+    return col.cast("string")
+
+
+def _map_keys_for(df: DataFrame, path: str) -> list[str]:
+    """Union of keys present for a map column — one small aggregate job.
+
+    At 100 TB this is a map-side partial-agg of distinct keys per partition
+    (tiny cardinality), not a full shuffle of the data.
+    """
+    row = df.select(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_set(F.map_keys(F.col(path)))))).alias("ks")
+    ).first()
+    return list(row["ks"]) if row and row["ks"] else []
+
+
+def _max_arity_for(df: DataFrame, path: str) -> int:
+    row = df.select(F.max(F.size(F.col(path))).alias("n")).first()
+    n = row["n"] if row else 0
+    return max(int(n or 0), 0)
+
+
+def flatten_columns(
+    df: DataFrame,
+    rendered: bool = False,
+    excluded: set[str] | None = None,
+    sep: str = ".",
+) -> list[Column]:
+    """Build the flat projection list without applying it."""
+    excluded = excluded or set()
+    cols: list[Column] = []
+
+    def walk(path: str, name: str, dtype: T.DataType) -> None:
+        dotted = f"{path}{sep}{name}" if path else name
+        if dotted in excluded:
+            return
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(dotted, f.name, f.dataType)
+            return
+        if isinstance(dtype, T.MapType):
+            for key in _map_keys_for(df, dotted):
+                leaf_name = f"{dotted}{sep}{key}"
+                if leaf_name in excluded:
+                    continue
+                # try_element_at: null-safe under ANSI mode for absent keys
+                leaf = F.try_element_at(F.col(dotted), F.lit(key))
+                if rendered:
+                    leaf = _render_leaf(leaf, dtype.valueType)
+                cols.append(leaf.alias(leaf_name))
+            return
+        if isinstance(dtype, T.ArrayType):
+            for i in range(_max_arity_for(df, dotted)):
+                leaf_name = f"{dotted}{sep}{i}"
+                if leaf_name in excluded:
+                    continue
+                # F.get: 0-based, returns null past the end (ANSI-safe)
+                leaf = F.get(F.col(dotted), i)
+                if isinstance(dtype.elementType, T.StructType):
+                    # array<record>: flatten each element's fields
+                    for f in dtype.elementType.fields:
+                        sub = leaf.getField(f.name)
+                        sub_name = f"{leaf_name}{sep}{f.name}"
+                        if sub_name in excluded:
+                            continue
+                        cols.append(
+                            (_render_leaf(sub, f.dataType) if rendered else sub).alias(sub_name)
+                        )
+                else:
+                    if rendered:
+                        leaf = _render_leaf(leaf, dtype.elementType)
+                    cols.append(leaf.alias(leaf_name))
+            return
+        leaf = F.col(dotted)
+        if rendered:
+            leaf = _render_leaf(leaf, dtype)
+        cols.append(leaf.alias(dotted))
+
+    for f in df.schema.fields:
+        walk("", f.name, f.dataType)
+    return cols
+
+
+def flatten(
+    df: DataFrame,
+    rendered: bool = False,
+    excluded: set[str] | None = None,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Flatten `df` to dot-named leaf columns.
+
+    `keep`: extra (already flat) columns to carry through unchanged, e.g.
+    derived partition columns.
+    """
+    cols = flatten_columns(df, rendered=rendered, excluded=excluded)
+    if keep:
+        cols = [F.col(k) for k in keep] + cols
+    return df.select(*cols)

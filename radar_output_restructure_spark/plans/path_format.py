@@ -1,0 +1,173 @@
+"""Path-format mini-DSL: `${...}` strings compiled to Catalyst Columns.
+
+The reference routes every record to an output file via a format string,
+default `${projectId}/${userId}/${topic}/${filename}`
+(config/PathFormatterConfig.kt:30-33), resolved by plugins
+(path/PathFormatterPlugin.kt:8-106):
+
+* fixed:  projectId userId sourceId topic filename attempt extension
+          (path/FixedPathFormatterPlugin.kt) — ids sanitized with
+          `[^a-zA-Z0-9_-]+` removal and unknown-defaults
+* time:   `${time:yyyyMM}` arbitrary date patterns (TimePathFormatterPlugin.kt)
+* key:/value:  dotted struct lookup, e.g. `${value:serverStatus}`
+          (KeyPathFormatterPlugin.kt, ValuePathFormatterPlugin.kt)
+* mp:     ManagementPortal enrichment (`${mp:organization}` etc.) — a
+          dimension lookup keyed by (projectId, userId)
+          (MPPathFormatterPlugin.kt:30-157)
+
+Spark-first: each `${param}` compiles to ONE Column expression; the whole path
+is `concat_ws('/')`. The mp plugin becomes a broadcast hash join against a
+small dimension DataFrame supplied by the caller (the REST fetch is
+driver-side and out of scope of the plan itself). Everything stays inside
+whole-stage codegen; there is no per-record Python.
+
+A missing `${topic}` or `${filename}` in the format is a config error, like
+PathFormatter.kt:52-60.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.functions.sanitize import (
+    UNKNOWN_PROJECT,
+    UNKNOWN_SOURCE,
+    UNKNOWN_USER,
+    sanitize_id,
+)
+from radar_output_restructure_spark.functions.timeutil import _find_field
+from radar_output_restructure_spark.operators.timebin import (
+    DEFAULT_BIN_FORMAT,
+    time_bin,
+    time_segment,
+)
+
+DEFAULT_FORMAT = "${projectId}/${userId}/${topic}/${filename}"
+_PARAM_RE = re.compile(r"\$\{([^}]+)\}")
+
+
+@dataclass
+class PathFormat:
+    """Compiled path format.
+
+    Parameters
+    ----------
+    fmt: the `${...}` format string (segments joined by `/`).
+    time_bin_format: the `filename` time-bin pattern (`timeBinFormat` config).
+    extension: output extension including compression suffix (e.g `.csv.gz`).
+    mp_dim: optional dimension DataFrame with columns (projectId, userId, ...)
+        for `${mp:<attr>}` segments; broadcast-joined.
+    """
+
+    fmt: str = DEFAULT_FORMAT
+    time_bin_format: str = DEFAULT_BIN_FORMAT
+    extension: str = ".csv"
+    mp_dim: DataFrame | None = None
+    _params: list[str] = field(init=False)
+
+    def __post_init__(self) -> None:
+        self._params = _PARAM_RE.findall(self.fmt)
+        if "topic" not in self._params:
+            raise ValueError("path format must contain ${topic}")  # PathFormatter.kt:52-60
+        if "filename" not in self._params and not (
+            "attempt" in self._params and "extension" in self._params
+        ):
+            raise ValueError("path format must contain ${filename} or ${attempt}+${extension}")
+
+    def needs_mp_join(self) -> bool:
+        return any(p.startswith("mp:") for p in self._params)
+
+    def _segment(self, df: DataFrame, param: str, event_ts: Column, attempt: Column) -> Column:
+        if param == "projectId":
+            return sanitize_id(F.col("key.projectId"), UNKNOWN_PROJECT)
+        if param == "userId":
+            return sanitize_id(F.col("key.userId"), UNKNOWN_USER)
+        if param == "sourceId":
+            return sanitize_id(F.col("key.sourceId"), UNKNOWN_SOURCE)
+        if param == "topic":
+            return F.col("topic")
+        if param == "filename":
+            suffix = F.when(attempt > 0, F.concat(F.lit("_"), attempt.cast("string"))).otherwise(
+                F.lit("")
+            )
+            return F.concat(
+                time_bin(event_ts, self.time_bin_format), suffix, F.lit(self.extension)
+            )
+        if param == "attempt":
+            return F.when(attempt > 0, F.concat(F.lit("_"), attempt.cast("string"))).otherwise(
+                F.lit("")
+            )
+        if param == "extension":
+            return F.lit(self.extension)
+        if param.startswith("time:"):
+            return time_segment(event_ts, param[5:])
+        if param.startswith("key:") or param.startswith("value:"):
+            struct, dotted = param.split(":", 1)
+            path = _resolve_dotted(df, struct, dotted)
+            return sanitize_id(F.col(path), f"unknown-{dotted}")
+        if param.startswith("mp:"):
+            # resolved post-join: the broadcast join materializes mp_<attr>
+            return F.coalesce(F.col(f"mp_{param[3:]}").cast("string"), F.lit("unknown"))
+        raise ValueError(f"unknown path parameter ${{{param}}}")
+
+    def apply(
+        self,
+        df: DataFrame,
+        event_ts: Column,
+        attempt: Column | None = None,
+        out_col: str = "output_path",
+    ) -> DataFrame:
+        """Attach segment columns `_seg0.._segN` and the joined `out_col`."""
+        attempt = attempt if attempt is not None else F.lit(0)
+        if self.needs_mp_join():
+            if self.mp_dim is None:
+                raise ValueError("${mp:...} used but no mp_dim DataFrame supplied")
+            dim = self.mp_dim
+            renamed = dim.select(
+                F.col("projectId").alias("__mp_p"),
+                F.col("userId").alias("__mp_u"),
+                *[
+                    F.col(c).alias(f"mp_{c}")
+                    for c in dim.columns
+                    if c not in ("projectId", "userId")
+                ],
+            )
+            df = df.join(
+                F.broadcast(renamed),
+                (F.col("key.projectId") == F.col("__mp_p"))
+                & (F.col("key.userId") == F.col("__mp_u")),
+                "left",
+            ).drop("__mp_p", "__mp_u")
+        segs = [self._segment(df, p, event_ts, attempt) for p in self._params]
+        return df.withColumn(out_col, F.concat_ws("/", *segs))
+
+    def partition_columns(
+        self, df: DataFrame, event_ts: Column, prefix: str = "pf_"
+    ) -> tuple[DataFrame, list[str]]:
+        """Attach one named column per non-filename segment plus the time bin —
+        the groupBy/partitionBy key set for the partitioned writer."""
+        names: list[str] = []
+        attempt = F.lit(0)
+        for p in self._params:
+            if p in ("filename", "attempt", "extension"):
+                continue
+            name = prefix + re.sub(r"[^A-Za-z0-9_]", "_", p)
+            df = df.withColumn(name, self._segment(df, p, event_ts, attempt))
+            names.append(name)
+        df = df.withColumn(prefix + "bin", time_bin(event_ts, self.time_bin_format))
+        names.append(prefix + "bin")
+        return df, names
+
+
+def _resolve_dotted(df: DataFrame, struct: str, dotted: str) -> str:
+    """Case-insensitive resolution of `struct:dot.ted.path`."""
+    parts = dotted.split(".")
+    path = _find_field(df.schema, struct, parts[0])
+    if path is None:
+        raise ValueError(f"field {struct}.{dotted} not found")
+    # deeper levels: trust the schema (resolution errors surface at analysis)
+    return ".".join([path, *parts[1:]])

@@ -1,0 +1,206 @@
+"""The end-to-end restructure plan (SURVEY §3.1 re-expressed declaratively).
+
+Reference lifecycle (worker/RadarKafkaRestructure.kt, RestructureWorker.kt):
+list topic files -> prune seen offsets -> per record: event time, path,
+flatten, write, account. Here the same semantics compile to ONE DataFrame
+plan per topic batch:
+
+    read_topic_tree              (S1-S7: scan + filename metadata)
+    manifest.prune               (P4/P5/J1: anti-join vs processed ledger,
+                                  driver-side — prunes before any I/O)
+    event_time cascade           (§1.1: coalesce Column)
+    path partition columns       (G1-G7: sanitize/time-bin/plugin segments)
+    flatten                      (P1/P3: dot-named projection, excludeFields)
+    optional window dedup        (D1-D4)
+    write_output_tree            (S10-S13: exact names + sidecars)
+    manifest.commit              (T2: write-then-commit)
+
+Catalyst sees the whole pipeline, so column pruning reaches the scan and the
+only shuffle is the final repartition-by-output-file (plus the dedup window's
+hash exchange when enabled, which AQE coalesces into it when keys align).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.functions.flatten import flatten
+from radar_output_restructure_spark.functions.timeutil import event_time
+from radar_output_restructure_spark.operators.dedup import dedup_keep_first, dedup_keep_last
+from radar_output_restructure_spark.plans.path_format import DEFAULT_FORMAT, PathFormat
+from radar_output_restructure_spark.sinks.writers import write_output_tree
+from radar_output_restructure_spark.sources.kafka_tree import read_topic_tree
+from radar_output_restructure_spark.sources.manifest import FileEntry, ProcessedFileManifest
+
+
+@dataclass
+class DedupConfig:
+    """config/DeduplicationConfig.kt:5-28."""
+
+    enable: bool = False
+    distinct_fields: list[str] | None = None
+    ignore_fields: list[str] | None = None
+
+
+@dataclass
+class TopicConfig:
+    """config/TopicConfig.kt."""
+
+    exclude: bool = False
+    exclude_from_delete: bool = False
+    path_format: str | None = None
+    dedup: DedupConfig | None = None
+    exclude_fields: set[str] = field(default_factory=set)
+
+
+@dataclass
+class RestructureConfig:
+    """The engine 'plan config' (config/RestructureConfig.kt shape)."""
+
+    input_dir: str = ""
+    output_dir: str = ""
+    path_format: str = DEFAULT_FORMAT
+    time_bin_format: str = "yyyyMMdd_HH'00'"
+    output_format: str = "csv"  # csv | json
+    compression: str | None = None  # None | gzip
+    exclude_fields: set[str] = field(default_factory=set)
+    dedup: DedupConfig = field(default_factory=DedupConfig)
+    topics: dict[str, TopicConfig] = field(default_factory=dict)
+    max_files_per_topic: int | None = None
+    minimum_file_age_s: float = 0.0
+    source_format: str = "parquet"  # avro on a real cluster
+
+
+class RestructurePlan:
+    def __init__(self, spark: SparkSession, config: RestructureConfig):
+        self.spark = spark
+        self.config = config
+        # eager config validation (PathFormatter.kt:52-60 fails at startup,
+        # not mid-run) — covers the default and every per-topic override
+        for fmt in [config.path_format] + [
+            t.path_format for t in config.topics.values() if t.path_format
+        ]:
+            PathFormat(fmt=fmt, time_bin_format=config.time_bin_format)
+        self.manifest = ProcessedFileManifest(
+            os.path.join(config.output_dir, "offsets")
+        )
+
+    # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
+
+    def list_candidate_files(self, topic: str) -> list[FileEntry]:
+        import time as _time
+
+        root = os.path.join(self.config.input_dir, topic)
+        entries: list[FileEntry] = []
+        now = _time.time()
+        for dirpath, _dirs, files in os.walk(root):
+            if "+tmp" in dirpath:
+                continue
+            for name in sorted(files):
+                full = os.path.join(dirpath, name)
+                st = os.stat(full)
+                if st.st_size == 0:  # zero-length guard, P7
+                    continue
+                if now - st.st_mtime < self.config.minimum_file_age_s:  # P5
+                    continue
+                entries.append(FileEntry(full, int(st.st_mtime * 1000)))
+        entries = self.manifest.prune(entries)  # P4/J1 anti-join
+        if self.config.max_files_per_topic:  # O2
+            entries = entries[: self.config.max_files_per_topic]
+        return entries
+
+    def topics(self) -> list[str]:
+        """Topic discovery (S5): directories that contain partition dirs."""
+        root = self.config.input_dir
+        found = []
+        for name in sorted(os.listdir(root)):
+            full = os.path.join(root, name)
+            cfg = self.config.topics.get(name)
+            if cfg and cfg.exclude:  # P6
+                continue
+            if os.path.isdir(full) and any(
+                d.startswith("partition=") for d in os.listdir(full)
+            ):
+                found.append(name)
+        return found
+
+    # -- the declarative per-topic plan ------------------------------------
+
+    def transform(self, df: DataFrame, topic: str | None = None) -> tuple[DataFrame, list[str]]:
+        """Scan DataFrame -> flattened, partition-column-annotated DataFrame.
+
+        Returns (df, partition_cols). Pure plan construction — no actions.
+        """
+        cfg = self.config
+        tcfg = cfg.topics.get(topic or "", TopicConfig())
+        fmt = PathFormat(
+            fmt=tcfg.path_format or cfg.path_format,
+            time_bin_format=cfg.time_bin_format,
+            extension="",
+        )
+        ts = event_time(df)
+        df, part_cols = fmt.partition_columns(df, ts)
+        meta_cols = [
+            "source_file",
+            "file_modified",
+            "kafka_partition",
+            "offset_from",
+            "offset_to",
+            "topic",
+        ]
+        excluded = cfg.exclude_fields | tcfg.exclude_fields | set(meta_cols)
+        flat = flatten(
+            df.withColumn("__pos", F.monotonically_increasing_id()),
+            excluded=excluded | {"__pos", *part_cols},
+            keep=[*part_cols, "__pos"],
+        )
+        dedup_cfg = tcfg.dedup or cfg.dedup
+        if dedup_cfg.enable:
+            # Dedup scope is ONE OUTPUT FILE in the reference (FileCache close),
+            # so the partition columns always join the distinct key; __pos is
+            # the order column, never part of the key.
+            distinct = dedup_cfg.distinct_fields
+            ignore = None
+            if distinct:
+                distinct = [*part_cols, *distinct]
+            else:
+                ignore = list(dedup_cfg.ignore_fields or []) + ["__pos"]
+            dedup_fn = (
+                dedup_keep_last if cfg.output_format == "csv" else dedup_keep_first
+            )
+            flat = dedup_fn(flat, "__pos", distinct, ignore, restore_order=False)
+        return flat, part_cols
+
+    def run_topic(self, topic: str) -> list[str]:
+        cfg = self.config
+        files = self.list_candidate_files(topic)
+        if not files:
+            return []
+        df = read_topic_tree(
+            self.spark, cfg.input_dir, topic=topic, file_format=cfg.source_format
+        )
+        # restrict the scan to the pruned candidate list
+        df = df.filter(F.col("source_file").isin([f.path for f in files]))
+        flat, part_cols = self.transform(df, topic)
+        value_schema = df.drop(
+            "source_file", "file_modified", "kafka_partition", "offset_from", "offset_to"
+        ).schema
+        finals = write_output_tree(
+            flat,
+            cfg.output_dir,
+            part_cols,
+            fmt=cfg.output_format,
+            compression=cfg.compression,
+            topic_col="pf_topic",
+            value_schema=value_schema,
+            order_col="__pos",
+        )
+        self.manifest.commit(files)  # write-then-commit (T2)
+        return finals
+
+    def run(self) -> dict[str, list[str]]:
+        return {t: self.run_topic(t) for t in self.topics()}

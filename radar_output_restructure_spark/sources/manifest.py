@@ -1,0 +1,98 @@
+"""Processed-file manifest: the engine's exactly-once ledger (SURVEY §2.8).
+
+The reference tracks per-record offset intervals in Redis
+(accounting/OffsetIntervals.kt, OffsetRedisPersistence.kt) because it streams
+records one at a time. Spark reads whole immutable files, so file granularity
+is sufficient and *equivalent*: a file is the unit of reprocessing, and the
+reference's reprocess-on-modify rule (OffsetIntervals.kt:33-44 — a record is
+"seen" only when the file's lastModified <= lastProcessed) maps to comparing
+stored vs current modification time.
+
+The ledger is a set of JSON-lines files under `<dir>/manifest/` — the same
+shape as Structured Streaming's file-source commit log. Operations:
+
+* `prune(files)`       — anti-join candidate files against the ledger
+                         (seen && unmodified -> drop), reference P4/P5/J1.
+* `commit(files)`      — append after a successful write (write-then-commit,
+                         reference T2 Accountant.kt:33-46).
+* `revoke(files)`      — cleaner's offset revocation for incompletely
+                         extracted files (reference AccountantImpl.kt:55-59).
+
+All operations are driver-side: even at 100 TB the *file list* is millions of
+rows, not billions — a pandas frame, not a distributed dataset. The data
+itself never flows through here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    path: str
+    modified_ms: int  # storage mtime when processed
+
+
+class ProcessedFileManifest:
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _segments(self) -> list[str]:
+        return sorted(
+            os.path.join(self.directory, f)
+            for f in os.listdir(self.directory)
+            if f.endswith(".jsonl")
+        )
+
+    def load(self) -> dict[str, int]:
+        """path -> last committed mtime (latest entry wins, tombstones drop)."""
+        state: dict[str, int] = {}
+        for seg in self._segments():
+            with open(seg) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    if rec.get("op") == "revoke":
+                        state.pop(rec["path"], None)
+                    else:
+                        state[rec["path"]] = rec["modified_ms"]
+        return state
+
+    def prune(self, files: list[FileEntry]) -> list[FileEntry]:
+        """Files still needing processing: unseen, or modified since commit
+        (reference reprocess-on-modify, T7)."""
+        state = self.load()
+        return [
+            f
+            for f in files
+            if f.path not in state or f.modified_ms > state[f.path]
+        ]
+
+    def _append(self, op: str, files: list[FileEntry]) -> None:
+        if not files:
+            return
+        seg = os.path.join(self.directory, f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.jsonl")
+        tmp = seg + ".tmp"
+        with open(tmp, "w") as fh:
+            for f in files:
+                fh.write(json.dumps({"op": op, "path": f.path, "modified_ms": f.modified_ms}) + "\n")
+        os.replace(tmp, seg)  # atomic publish, like the reference's temp->move
+
+    def commit(self, files: list[FileEntry]) -> None:
+        self._append("commit", files)
+
+    def revoke(self, files: list[FileEntry]) -> None:
+        self._append("revoke", files)
+
+    def compact(self) -> None:
+        """Rewrite all segments into one (the reference's full-sync analog)."""
+        state = self.load()
+        segments = self._segments()
+        self._append("commit", [FileEntry(p, m) for p, m in sorted(state.items())])
+        for seg in segments:
+            os.remove(seg)

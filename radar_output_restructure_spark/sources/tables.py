@@ -1,0 +1,56 @@
+"""Loaders for the driver testdata tables (/root/testdata/sf*/*.parquet).
+
+The generator writes TIMESTAMP(NANOS) columns, which Spark's parquet reader
+rejects unless `spark.sql.legacy.parquet.nanosAsLong=true` — then they arrive
+as long nanos. `load_table` sets the flag (runtime-settable SQL conf),
+inspects the file footer with pyarrow, and converts every timestamp[ns]
+column back to a proper TimestampType via integer division (`DIV 1000`
+— float division would lose precision above 2^53). DuckDB reads the same
+columns natively as microsecond timestamps, so both engines see identical
+values.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str) -> set[str]:
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    out = set()
+    for field in schema:
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            out.add(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in sorted(_nanos_ts_columns(path)):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,158 @@
+"""End-to-end restructure test, modeled on the reference's integration golden
+(RestructureS3IntegrationTest.kt:105-182): fixture topic tree in, exact output
+file tree + flattened CSV with headers + schema sidecar out, incremental rerun
+is a no-op, appends for new files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from radar_output_restructure_spark.plans.restructure import (
+    DedupConfig,
+    RestructureConfig,
+    RestructurePlan,
+)
+
+
+SERVER_STATUS_SCHEMA = (
+    "key struct<projectId: string, userId: string, sourceId: string>, "
+    "value struct<time: double, serverStatus: string, ipAddress: string>"
+)
+
+
+def _write_fixture(
+    spark, input_dir: str, topic: str, rows, part: int, off_from: int, off_to: int, schema=None
+):
+    import glob as _glob
+    import shutil as _shutil
+
+    path = os.path.join(input_dir, topic, f"partition={part}")
+    os.makedirs(path, exist_ok=True)
+    df = spark.createDataFrame(rows, schema=schema)
+    tmp = os.path.join(input_dir, "+tmp", f"{topic}-{part}-{off_from}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part_file = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    fname = os.path.join(path, f"{topic}+{part}+{off_from}+{off_to}.parquet")
+    _shutil.move(part_file, fname)
+    _shutil.rmtree(tmp)
+    return fname
+
+
+ROWS_P0 = [
+    Row(
+        key=Row(projectId="STAGING_PROJECT", userId="user/1!", sourceId="s1"),
+        value=Row(time=1580219820.03, serverStatus="CONNECTED", ipAddress="10.0.0.1"),
+    ),
+    Row(
+        key=Row(projectId="STAGING_PROJECT", userId="user/1!", sourceId="s1"),
+        value=Row(time=1580223420.0, serverStatus="DISCONNECTED", ipAddress=None),
+    ),
+]
+ROWS_P1 = [
+    Row(
+        key=Row(projectId=None, userId="u2", sourceId="s2"),
+        value=Row(time=None, serverStatus="CONNECTED", ipAddress="10.0.0.2"),
+    ),
+]
+
+
+@pytest.fixture
+def pipeline_dirs(tmp_path, spark):
+    input_dir = str(tmp_path / "input")
+    output_dir = str(tmp_path / "output")
+    _write_fixture(
+        spark, input_dir, "application_server_status", ROWS_P0, 0, 0, 1, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "application_server_status", ROWS_P1, 1, 0, 0, SERVER_STATUS_SCHEMA
+    )
+    return input_dir, output_dir
+
+
+def test_restructure_end_to_end(spark, pipeline_dirs):
+    input_dir, output_dir = pipeline_dirs
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    plan = RestructurePlan(spark, cfg)
+    assert plan.topics() == ["application_server_status"]
+    finals = plan.run()["application_server_status"]
+
+    rel = sorted(os.path.relpath(f, output_dir) for f in finals)
+    # 1580219820.03 -> 2020-01-28T13:17Z bin 20200128_1300
+    # 1580223420.0  -> 2020-01-28T14:17Z bin 20200128_1400
+    assert rel == [
+        "STAGING_PROJECT/user1/application_server_status/20200128_1300.csv",
+        "STAGING_PROJECT/user1/application_server_status/20200128_1400.csv",
+        "unknown-project/u2/application_server_status/unknown-time.csv",
+    ]
+    first = open(finals[0]).read().splitlines()
+    assert first[0] == "key.projectId,key.userId,key.sourceId,value.time,value.serverStatus,value.ipAddress"
+    assert first[1].startswith("STAGING_PROJECT,user/1!,s1,1.58021982003") and first[1].endswith(
+        "CONNECTED,10.0.0.1"
+    )
+    # null ip -> empty cell; sanitized path but raw data
+    unknown = open(finals[2]).read().splitlines()
+    assert unknown[1] == ",u2,s2,,CONNECTED,10.0.0.2"
+    # schema sidecar
+    sidecar = os.path.join(
+        output_dir, "STAGING_PROJECT", "user1", "application_server_status",
+        "schema-application_server_status.json",
+    )
+    assert os.path.exists(sidecar)
+    assert '"name": "application_server_status"' in open(sidecar).read()
+
+
+def test_incremental_rerun_and_append(spark, pipeline_dirs):
+    input_dir, output_dir = pipeline_dirs
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    plan = RestructurePlan(spark, cfg)
+    plan.run()
+    # rerun: everything committed -> no work (P4/J1 + T2)
+    assert plan.list_candidate_files("application_server_status") == []
+    assert plan.run() == {"application_server_status": []}
+
+    # new file arrives for an existing bin -> rows append to the same target
+    target = os.path.join(
+        output_dir, "STAGING_PROJECT", "user1", "application_server_status", "20200128_1300.csv"
+    )
+    before = len(open(target).read().splitlines())
+    _write_fixture(
+        spark, input_dir, "application_server_status",
+        [Row(key=Row(projectId="STAGING_PROJECT", userId="user/1!", sourceId="s1"),
+             value=Row(time=1580219821.0, serverStatus="CONNECTED", ipAddress="10.9.9.9"))],
+        0, 2, 2, SERVER_STATUS_SCHEMA,
+    )
+    plan2 = RestructurePlan(spark, cfg)
+    plan2.run()
+    after = open(target).read().splitlines()
+    assert len(after) == before + 1
+    assert after[-1].endswith("CONNECTED,10.9.9.9")
+    assert sum(1 for line in after if line.startswith("key.projectId")) == 1
+
+
+def test_dedup_keep_last_in_pipeline(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    rows = [
+        Row(key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=3600.0 + i, status=s))
+        for i, s in enumerate(["A", "B", "A", "B"])
+    ]
+    # duplicate of row 1 (same time+status) arrives later
+    rows.append(Row(key=Row(projectId="p", userId="u", sourceId="s"),
+                    value=Row(time=3601.0, status="B")))
+    _write_fixture(spark, input_dir, "t", rows, 0, 0, 4)
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, dedup=DedupConfig(enable=True)
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    lines = open(finals[0]).read().splitlines()
+    # 5 rows, one exact dup removed (keep-last)
+    assert len(lines) == 1 + 4
+    assert lines[1:] == [
+        "p,u,s,3600.0,A",
+        "p,u,s,3602.0,A",
+        "p,u,s,3603.0,B",
+        "p,u,s,3601.0,B",
+    ]
