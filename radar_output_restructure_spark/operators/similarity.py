@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+* cosine_topk            — brute-force exact top-k: broadcast the (small)
+                           query set against the corpus, dot products via
+                           zip_with/aggregate (JVM-side fold, no UDF), rank
+                           with a window. At 100 TB the corpus side stays
+                           partitioned; only queries broadcast.
+* hyperplane_lsh_buckets — sign-random-projection LSH: b deterministic
+                           pseudo-random hyperplanes hash each vector to a
+                           b-bit bucket; near neighbors collide with high
+                           probability. The scale path: bucket-join then
+                           re-rank within buckets (candidate ~ corpus/2^b).
+* cosine_topk_lsh        — the two combined: exact re-ranking over LSH
+                           candidates (approximate global recall).
+
+Dot products fold left-to-right in DOUBLE, so an oracle that folds the same
+order (DuckDB list reduction) reproduces results bit-for-bit; ranking rounds
+to 6 decimals with vec_id tiebreak to stay deterministic anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    (query_id, neighbor_id, sim, rank); self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_weight(plane: int, dim: int) -> int:
+    """Deterministic pseudo-random hyperplane weight in [-3, 3].
+
+    Pure integer arithmetic => identical in any engine (and in the oracle).
+    """
+    return ((plane * 97 + dim * 31) % 7) - 3
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): b-bit sign hash of each embedding."""
+    vec = F.col(vec_col)
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        proj = sum(
+            (
+                F.get(vec, d).cast("double") * F.lit(float(w))
+                for d in range(dims)
+                if (w := _plane_weight(p, d)) != 0
+            ),
+            F.lit(0.0),
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = same LSH bucket, exact re-rank inside.
+
+    At 100 TB: corpus buckets are precomputed once (map-only) and bucketed on
+    disk; per-query work is one bucket's worth of exact scoring.
+    """
+    cb = hyperplane_lsh_buckets(corpus, num_planes, dims, id_col, vec_col)
+    qb = hyperplane_lsh_buckets(queries, num_planes, dims, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
+        cb.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
+        qb.select(F.col("vec_id").alias("query_id"), "bucket"), "query_id"
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,167 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting over a
+`documents(doc_id, text, ...)` table. Every operator is a pure Column
+expression (JVM-side, codegen'd) — at 100 TB these run as map-only stages
+with zero shuffle; aggregations on top are ordinary groupBys.
+
+Each operator has an exactly-equivalent ANSI-SQL rendering (see
+__spark_entry__.oracle_sql) so the DuckDB oracle validates results
+bit-for-bit; the shared-dialect helpers below emit the same SQL text for
+both engines where the dialects overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- token counting ---------------------------------------------------------
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/punct segmentation: letter-runs, digit-runs, single punct marks
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    col = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, TOKEN_SPLIT_RE)))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Regex-based sub-word-ish token count (letters / digits / punct runs)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+# --- quality scoring --------------------------------------------------------
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "on")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features.
+
+    All ratios are double divisions of exact integer counts, so any engine
+    computing the same counts produces bit-identical doubles.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^A-Za-z0-9\\s]", ""))
+    lower = F.lower(col)
+    n_stop = sum(
+        (
+            F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f"[^a-z]{w}[^a-z]"))
+            - 1
+            for w in STOPWORDS_EN
+        ),
+        F.lit(0),
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6),
+        "mean_token_len": F.round(
+            (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0,1]: long enough, not punct-heavy, has
+    stopwords (natural-language-ness)."""
+    f = quality_features(col)
+    len_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return F.round((len_term + punct_term + stop_term) / 3, 6)
+
+
+# --- language identification ------------------------------------------------
+
+# tiny per-language marker lexicons (n-gram/stopword heuristic)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "was", "with"),
+    "de": ("der", "die", "und", "ist", "nicht", "das"),
+    "fr": ("le", "la", "les", "est", "une", "dans"),
+    "es": ("el", "los", "es", "una", "que", "por"),
+}
+
+
+def _marker_hits(lower_padded: Column, word: str) -> Column:
+    return F.size(F.split(lower_padded, f"[^a-z]{word}[^a-z]")) - 1
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    col = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return {
+        lang: sum((_marker_hits(padded, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language: argmax of marker hits, ties -> lexicographically
+    first language, zero hits -> 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reverse-alphabetical fold so the earliest language wins ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+FP_PRIME = 9007199254740881  # largest prime < 2^53: Horner mod stays exact
+FP_BASE = 131
+
+
+def md5_horner_sql(expr: str, chars: int = 16) -> str:
+    """SQL (shared Spark/DuckDB dialect) for a deterministic 53-bit hash:
+    Horner fold of the first `chars` hex chars of md5(expr).
+
+    Both engines implement md5/substr/ascii/% identically, so the same SQL
+    text yields the same integers — the foundation for fingerprints, minhash,
+    and simhash oracles.
+    """
+    h = "0"
+    for j in range(1, chars + 1):
+        h = f"(({h}) * {FP_BASE} + ascii(substr(md5({expr}), {j}, 1))) % {FP_PRIME}"
+    return h
+
+
+def fingerprint(col: Column | str, normalize: bool = True) -> Column:
+    """53-bit content fingerprint; normalize=True collapses whitespace and
+    case first (rolling-hash document signature)."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("fingerprint requires a named column for SQL rendering")
+    expr = f"`{name}`"
+    if normalize:
+        expr = f"lower(regexp_replace(trim({expr}), '\\\\s+', ' '))"
+    return F.expr(md5_horner_sql(expr))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: tokens, quality, language, fingerprint."""
+    feats = quality_features(text_col)
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,652 @@
+"""Query registry: every operator from SURVEY §2 (plus the training-data
+extensions) as a (Spark DataFrame builder, DuckDB oracle SQL) pair.
+
+The driver runs each Spark query and its oracle side-by-side at sf=0.01 and
+compares row count + schema + order-insensitive value hash, so both sides
+must produce IDENTICAL values:
+
+* double sums use the "cents trick": per-row `round(x*100)` -> bigint sums
+  (per-row double arithmetic is deterministic and engine-identical; only
+  multi-row float accumulation is not).
+* ratios/products of per-row values are rounded to 6 decimals in BOTH.
+* every hash is the shared md5-Horner (operators/text.md5_horner_sql), which
+  renders to the same SQL text in both dialects.
+
+The `events` table doubles as the reference's record stream (FIXTURES.md F8):
+`key = struct(projectId, userId, sourceId)` synthesized from user_id,
+`value = struct(time, eventType, value, props)` from the payload columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.functions.flatten import flatten
+from radar_output_restructure_spark.functions.sanitize import sanitize_id
+from radar_output_restructure_spark.functions.timeutil import event_time
+from radar_output_restructure_spark.operators.dedup import dedup_keep_first, dedup_keep_last
+from radar_output_restructure_spark.operators.timebin import time_bin
+from radar_output_restructure_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def cents(col):
+    """Engine-identical exact money: per-row round to cents, bigint."""
+    return F.round(col * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# The synthesized Kafka-sink topic view over `events` (FIXTURES.md F8)
+# ---------------------------------------------------------------------------
+
+
+def events_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    time_s = F.unix_micros(ev.ts) / F.lit(1_000_000.0)
+    return ev.select(
+        F.struct(
+            F.when(ev.user_id % 10 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("proj "), (ev.user_id % 3).cast("string")))
+            .alias("projectId"),
+            F.concat(F.lit("user."), ev.user_id.cast("string")).alias("userId"),
+            F.concat(F.lit("src-"), (ev.user_id % 5).cast("string")).alias("sourceId"),
+        ).alias("key"),
+        F.struct(
+            time_s.alias("time"),
+            ev.event_type.alias("eventType"),
+            ev.value.alias("value"),
+            ev.props.alias("props"),
+        ).alias("value"),
+        ev.event_id,
+        ev.user_id,
+        ev.ts,
+    )
+
+
+# SQL fragments shared by the oracles (DuckDB dialect)
+_SQL_TIME_S = "(epoch_us(ts) / 1000000.0)"
+_SQL_PROJECT = (
+    "CASE WHEN user_id % 10 = 0 THEN 'unknown-project' "
+    "ELSE 'proj' || CAST(user_id % 3 AS VARCHAR) END"
+)
+_SQL_USER = "'user' || CAST(user_id AS VARCHAR)"
+_SQL_BIN = "strftime(ts, '%Y%m%d_%H') || '00'"
+
+
+# ---------------------------------------------------------------------------
+# G1/G2/P8: the flagship restructure routing query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "restructure_flagship",
+    f"""
+    SELECT {_SQL_PROJECT} AS project,
+           {_SQL_USER} AS "user",
+           'events_topic' AS topic,
+           {_SQL_BIN} AS bin,
+           count(*) AS n_records,
+           round(min({_SQL_TIME_S}), 6) AS min_time_s,
+           round(max({_SQL_TIME_S}), 6) AS max_time_s
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_restructure_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record->path routing: sanitized ids + hourly time bin + per-file stats.
+
+    Reference G1 (path/RecordPathFactory.kt:66-105) + G2 hourly bin
+    (path/FixedPathFormatterPlugin.kt:55-75) + P8 sanitize
+    (path/RecordPathFactory.kt:119-125), re-expressed as one groupBy.
+    """
+    df = events_topic(spark, sf_dir)
+    ts = event_time(df)
+    time_s = F.unix_micros(ts) / F.lit(1_000_000.0)
+    return (
+        df.withColumn("project", sanitize_id(F.col("key.projectId"), "unknown-project"))
+        .withColumn("user", sanitize_id(F.col("key.userId"), "unknown-user"))
+        .withColumn("topic", F.lit("events_topic"))
+        .withColumn("bin", time_bin(ts))
+        .withColumn("time_s", time_s)
+        .groupBy("project", "user", "topic", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.round(F.min("time_s"), 6).alias("min_time_s"),
+            F.round(F.max("time_s"), 6).alias("max_time_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §1.1: event-time coalesce cascade
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_time_cascade",
+    f"""
+    WITH c AS (
+      SELECT event_id,
+             CASE WHEN event_id % 4 = 0 THEN {_SQL_TIME_S} END AS v_time,
+             CASE WHEN event_id % 4 <= 1 THEN {_SQL_TIME_S} + 1.5 END AS k_timestart,
+             CASE WHEN event_id % 4 <= 2 THEN epoch_us(ts) // 1000 + 2000 END AS k_start_ms,
+             {_SQL_TIME_S} + 3.25 AS v_timereceived
+      FROM events
+    )
+    SELECT event_id,
+           round(coalesce(v_time, k_timestart, k_start_ms / 1000.0,
+                          v_timereceived), 6) AS event_time_s
+    FROM c
+    """,
+)
+def q_event_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimeUtil.kt:26-57 cascade: value.time > key.timeStart > key.start(ms)
+    > value.timeReceived, exercised via modulo-derived null patterns."""
+    ev = load_table(spark, sf_dir, "events")
+    time_s = F.unix_micros(ev.ts) / F.lit(1_000_000.0)
+    df = ev.select(
+        "event_id",
+        F.struct(
+            F.when(ev.event_id % 4 <= 1, time_s + 1.5).alias("timeStart"),
+            F.when(
+                ev.event_id % 4 <= 2, F.expr("unix_micros(ts) DIV 1000") + 2000
+            ).alias("start"),
+        ).alias("key"),
+        F.struct(
+            F.when(ev.event_id % 4 == 0, time_s).alias("time"),
+            (time_s + 3.25).alias("timeReceived"),
+        ).alias("value"),
+    )
+    ts = event_time(df)
+    return df.select(
+        "event_id",
+        F.round(F.unix_micros(ts) / F.lit(1_000_000.0), 6).alias("event_time_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2: hourly tumbling time-bin aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_bin_hourly",
+    f"""
+    SELECT user_id, {_SQL_BIN} AS bin,
+           count(*) AS n,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bin_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", time_bin(F.col("ts")))
+        .groupBy("user_id", "bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8: sanitize scalar
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sanitize_ids",
+    """
+    SELECT DISTINCT
+      regexp_replace('u ' || CAST(user_id AS VARCHAR) || '/' || event_type,
+                     '[^a-zA-Z0-9_-]+', '', 'g') AS sanitized
+    FROM events
+    """,
+)
+def q_sanitize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dirty = F.concat(F.lit("u "), ev.user_id.cast("string"), F.lit("/"), ev.event_type)
+    return ev.select(sanitize_id(dirty, "unknown").alias("sanitized")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# P1/P3: flatten projection + excludeFields
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flatten_projection",
+    f"""
+    SELECT event_id,
+           {_SQL_PROJECT.replace("'unknown-project'", "NULL").replace("'proj'", "'proj '")}
+             AS "key.projectId",
+           'user.' || CAST(user_id AS VARCHAR) AS "key.userId",
+           'src-' || CAST(user_id % 5 AS VARCHAR) AS "key.sourceId",
+           round({_SQL_TIME_S}, 6) AS "value.time",
+           event_type AS "value.eventType",
+           value AS "value.value"
+    FROM events
+    """,
+)
+def q_flatten_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CsvAvroDataConverter.kt:20-91 dot-joined flatten, analytic mode."""
+    df = events_topic(spark, sf_dir).drop("user_id", "ts")
+    flat = flatten(df, excluded={"value.props"})
+    return flat.select(
+        "event_id",
+        "`key.projectId`",
+        "`key.userId`",
+        "`key.sourceId`",
+        F.round(F.col("`value.time`"), 6).alias("value.time"),
+        "`value.eventType`",
+        "`value.value`",
+    )
+
+
+@register(
+    "exclude_fields",
+    f"""
+    SELECT event_id,
+           'user.' || CAST(user_id AS VARCHAR) AS "key.userId",
+           event_type AS "value.eventType"
+    FROM events
+    """,
+)
+def q_exclude_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 excludeFields: dotted-leaf removal inside the flattener."""
+    df = events_topic(spark, sf_dir).drop("user_id", "ts")
+    flat = flatten(
+        df,
+        excluded={
+            "key.projectId",
+            "key.sourceId",
+            "value.time",
+            "value.value",
+            "value.props",
+        },
+    )
+    return flat.select("event_id", "`key.userId`", "`value.eventType`")
+
+
+# ---------------------------------------------------------------------------
+# D1-D4: window dedup
+# ---------------------------------------------------------------------------
+
+_SQL_DEDUP = """
+    SELECT user_id, event_type, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts {dirn}, event_id {dirn}
+      ) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+@register("dedup_keep_last", _SQL_DEDUP.format(dirn="DESC"))
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2 keep-LAST semantics (CsvAvroConverterFactory.kt:30-86) with
+    distinct key (user_id, event_type), order = (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = dedup_keep_last(
+        ev,
+        F.struct("ts", "event_id"),
+        distinct_fields=["user_id", "event_type"],
+        restore_order=False,
+    )
+    return kept.select(
+        "user_id", "event_type", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+
+
+@register("dedup_keep_first", _SQL_DEDUP.format(dirn="ASC"))
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 keep-FIRST semantics (RecordConverterFactory.kt:166-193)."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = dedup_keep_first(
+        ev,
+        F.struct("ts", "event_id"),
+        distinct_fields=["user_id", "event_type"],
+        restore_order=False,
+    )
+    return kept.select(
+        "user_id", "event_type", "event_id", cents(F.col("value")).alias("value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/J1: seen-offset anti-join pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "offset_antijoin",
+    """
+    WITH ledger AS (
+      SELECT p, 1000 + p * 500 AS committed_to
+      FROM (SELECT unnest(range(4)) AS p)
+    )
+    SELECT e.user_id % 4 AS p, count(*) AS n_new,
+           min(e.event_id) AS min_id, max(e.event_id) AS max_id
+    FROM events e
+    LEFT JOIN ledger l ON e.user_id % 4 = l.p
+    WHERE e.event_id > l.committed_to
+    GROUP BY 1
+    """,
+)
+def q_offset_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: candidate records anti-joined against committed offset ledger
+    (accounting/OffsetIntervals.kt:23-44 at file granularity). The ledger is
+    a broadcast dimension; survivors aggregate per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    ledger = spark.range(4).select(
+        F.col("id").cast("long").alias("p"), (1000 + F.col("id") * 500).alias("committed_to")
+    )
+    return (
+        ev.withColumn("p", ev.user_id % 4)
+        .join(F.broadcast(ledger), "p")
+        .filter(F.col("event_id") > F.col("committed_to"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5/J4: dimension enrichment via broadcast join (the `mp` plugin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mp_enrichment",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n,
+           sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def q_mp_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPPathFormatterPlugin.kt:30-157 as a broadcast hash join against the
+    subject/project dimension (customer stands in for ManagementPortal)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), cust.c_custkey == ev.user_id + 1)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/S7: per-file record accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "file_accounting",
+    """
+    SELECT event_id // 500 AS file_id,
+           count(*) AS n_records,
+           min(event_id) AS offset_from,
+           max(event_id) AS offset_to,
+           (count(*) = max(event_id) - min(event_id) + 1) AS complete
+    FROM events GROUP BY 1
+    """,
+)
+def q_file_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 expected-vs-actual record counts per source file
+    (worker/RestructureWorker.kt:74-99); files simulated as id DIV 500."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("event_id") / 500).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("event_id").alias("offset_from"),
+            F.max("event_id").alias("offset_to"),
+        )
+        .withColumn(
+            "complete",
+            F.col("n_records") == F.col("offset_to") - F.col("offset_from") + 1,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/C2: extraction-verification anti-join (cleaner)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "extraction_check",
+    """
+    SELECT s.user_id, count(*) AS n_missing
+    FROM events s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events t
+      WHERE t.event_id % 97 != 0 AND t.user_id = s.user_id AND t.ts = s.ts
+    )
+    GROUP BY 1
+    """,
+)
+def q_extraction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimestampExtractionCheck.kt:23-106: every source record's event time
+    must exist in the extracted target; missing rows block source deletion.
+    Target simulated as events minus every 97th record."""
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.filter(ev.event_id % 97 != 0).select("user_id", "ts")
+    return (
+        ev.select("user_id", "ts")
+        .join(target, ["user_id", "ts"], "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_missing"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1: cleaner candidate selection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cleaner_candidates",
+    """
+    SELECT event_id // 500 AS file_id, count(*) AS n_records, max(ts) AS max_ts
+    FROM events
+    GROUP BY 1
+    HAVING max(ts) < TIMESTAMP '2024-01-20 00:00:00'
+       AND count(*) = max(event_id) - min(event_id) + 1
+    """,
+)
+def q_cleaner_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SourceDataCleaner.kt:99-113: deletable = old enough AND fully
+    accounted; age cutoff stands in for the 7-day rule."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("event_id") / 500).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.max("ts").alias("max_ts"),
+            F.min("event_id").alias("_min"),
+            F.max("event_id").alias("_max"),
+        )
+        .filter(
+            (F.col("max_ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+            & (F.col("n_records") == F.col("_max") - F.col("_min") + 1)
+        )
+        .drop("_min", "_max")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-class: window top-K
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS value_cents, rn
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id ASC
+      ) AS rn FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", cents(F.col("value")).alias("value_cents"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# General SQL surface: TPC-H-style analytics (free with Spark SQL, SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+             AS sum_disc_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+               AS BIGINT)) AS sum_charge_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).cast("long").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(disc)).alias("sum_disc_cents"),
+            F.sum(cents(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+             AS revenue_cents,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n.n_name AS nation,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+             AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(
+            F.broadcast(t["supplier"]),
+            (t["lineitem"].l_suppkey == t["supplier"].s_suppkey)
+            & (t["customer"].c_nationkey == t["supplier"].s_nationkey),
+        )
+        .join(F.broadcast(t["nation"]), t["supplier"].s_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )

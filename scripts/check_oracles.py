@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Mirror of the driver's CORRECTNESS gate: run every __spark_entry__ query
+and its DuckDB oracle at sf0.01, compare row count, schema (sorted column
+names), and order-insensitive values (exact; floats compared bitwise after a
+tolerant diagnostic pass).
+
+Usage: python scripts/check_oracles.py [query ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]").astype("int64")
+        if df[c].dtype == bool:
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
+    ok = True
+    if len(spark_df) != len(oracle_df):
+        print(f"  ROWS MISMATCH spark={len(spark_df)} oracle={len(oracle_df)}")
+        ok = False
+    s_cols, o_cols = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if s_cols != o_cols:
+        print(f"  SCHEMA MISMATCH spark={s_cols} oracle={o_cols}")
+        return False
+    if not ok:
+        return False
+    s, o = normalize(spark_df), normalize(oracle_df)
+    for c in s.columns:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            sv, ov = sv.astype(float), ov.astype(float)
+            both_nan = np.isnan(sv) & np.isnan(ov)
+            exact = (sv == ov) | both_nan
+            if not exact.all():
+                close = np.isclose(sv, ov, rtol=1e-9, atol=1e-9) | both_nan
+                n_bad = int((~exact).sum())
+                kind = "CLOSE-BUT-NOT-EXACT" if close.all() else "VALUE MISMATCH"
+                print(f"  {kind} col={c} n={n_bad}")
+                bad = np.where(~exact)[0][:3]
+                for i in bad:
+                    print(f"    row{i}: spark={sv[i]!r} oracle={ov[i]!r}")
+                ok = False
+        else:
+            if not (sv == ov).all():
+                n_bad = int((sv != ov).sum())
+                print(f"  VALUE MISMATCH col={c} n={n_bad}")
+                bad = np.where(sv != ov)[0][:3]
+                for i in bad:
+                    print(f"    row{i}: spark={sv[i]!r} oracle={ov[i]!r}")
+                ok = False
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from radar_output_restructure_spark import get_spark
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb_con(args.sf)
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.queries or list(queries)
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        if name not in queries:
+            print(f"{name}: NOT REGISTERED")
+            n_fail += 1
+            continue
+        sdf = queries[name](spark, args.sf).toPandas()
+        if name not in oracles:
+            print(f"{name}: no oracle (rows-only) -> {len(sdf)} rows")
+            n_noracle += 1
+            continue
+        odf = con.execute(oracles[name]).df()
+        print(f"{name}: spark={len(sdf)} oracle={len(odf)}")
+        if compare(name, sdf, odf):
+            print("  OK")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
