@@ -87,48 +87,81 @@ def hyperplane_lsh_buckets(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """(vec_id, bucket): b-bit sign hash of each embedding."""
-    vec = F.col(vec_col)
-    bucket = F.lit(0)
-    for p in range(num_planes):
-        proj = sum(
-            (
-                F.get(vec, d).cast("double") * F.lit(float(w))
-                for d in range(dims)
-                if (w := _plane_weight(p, d)) != 0
-            ),
-            F.lit(0.0),
+    """(vec_id, table, bucket): b-bit sign hash per hash table.
+
+    Multiple independent tables (plane sets) are the standard recall lever:
+    a ~0.4-cosine neighbor colliding with p per table is found with
+    1-(1-p)^L overall. Table t uses planes [t*b, (t+1)*b).
+
+    The planes live in a tiny broadcast dimension table (one row per plane,
+    weights as an array) rather than unrolled literal expressions — keeps
+    the generated code inside the JVM's 64 KB method limit and the whole
+    computation in whole-stage codegen. vectors x planes is a map-side
+    broadcast nested loop; the bucket assembly is one partially-aggregated
+    groupBy per (vec, table).
+    """
+    spark = df.sparkSession
+    plane_rows = [
+        (t, i, [float(_plane_weight(t * num_planes + i, d)) for d in range(dims)])
+        for t in range(num_tables)
+        for i in range(num_planes)
+    ]
+    planes = spark.createDataFrame(
+        plane_rows, schema="tbl int, plane int, w array<double>"
+    )
+    proj = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("w"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(planes))
+        .withColumn(
+            "bit",
+            F.when(proj > 0, F.expr("shiftleft(1, plane)")).otherwise(F.lit(0)),
         )
-        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return df.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+        .groupBy("vec_id", F.col("tbl").alias("table"))
+        .agg(F.sum("bit").cast("int").alias("bucket"))
+    )
 
 
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 6,
+    num_planes: int = 4,
+    num_tables: int = 10,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, exact re-rank inside.
+    """Approximate top-k: candidates = docs sharing any (table, bucket) with
+    the query, exact cosine re-rank over the candidate union.
 
-    At 100 TB: corpus buckets are precomputed once (map-only) and bucketed on
-    disk; per-query work is one bucket's worth of exact scoring.
+    At 100 TB: corpus buckets are precomputed once (map-only, L small ints
+    per vector) and bucket-partitioned on disk; per-query work is L buckets'
+    worth of exact scoring instead of the full corpus.
     """
-    cb = hyperplane_lsh_buckets(corpus, num_planes, dims, id_col, vec_col)
-    qb = hyperplane_lsh_buckets(queries, num_planes, dims, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).join(
-        cb.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        qb.select(F.col("vec_id").alias("query_id"), "bucket"), "query_id"
-    )
-    sims = (
-        c.join(F.broadcast(q), "bucket")
+    cb = hyperplane_lsh_buckets(corpus, num_planes, dims, id_col, vec_col, num_tables)
+    qb = hyperplane_lsh_buckets(queries, num_planes, dims, id_col, vec_col, num_tables)
+    cand = (
+        cb.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+        .join(
+            F.broadcast(qb.select(F.col("vec_id").alias("query_id"), "table", "bucket")),
+            ["table", "bucket"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sims = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",

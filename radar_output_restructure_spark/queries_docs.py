@@ -1,0 +1,213 @@
+"""Training-data pipeline queries over `documents` (text analysis + dedup).
+
+Same contract as queries.py: each Spark builder is paired with a DuckDB
+oracle producing identical values. The shared md5-Horner hash and
+integer-count ratios keep both engines bit-aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.operators import text as X
+from radar_output_restructure_spark.operators.dedup_scale import (
+    exact_dedup_groups,
+    jaccard_pairs,
+)
+from radar_output_restructure_spark.queries import register
+from radar_output_restructure_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# token counting + fingerprint (map-only text profile)
+# ---------------------------------------------------------------------------
+
+_SQL_FP = X.md5_horner_sql(
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))", 16
+)
+_SQL_NTOK = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+_SQL_NBPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id, {_SQL_NTOK} AS n_tokens, {_SQL_NBPE} AS n_bpe_tokens,
+           {_SQL_FP} AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts and the 53-bit content fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_token_count("text").alias("n_bpe_tokens"),
+        X.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_SQL_NPUNCT = "length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))"
+_SQL_NSTOP = " + ".join(
+    f"(len(regexp_split_to_array(' ' || lower(text) || ' ', '[^a-z]{w}[^a-z]')) - 1)"
+    for w in X.STOPWORDS_EN
+)
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             {_SQL_NTOK} AS n_tokens,
+             {_SQL_NPUNCT} AS n_punct,
+             {_SQL_NSTOP} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(n_stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round((least(n_tokens / 100.0, 1.0)
+                  + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 5, 1.0))
+                  + least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 1.0)) / 3,
+                 6) AS quality
+    FROM f
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = X.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification
+# ---------------------------------------------------------------------------
+
+
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"(len(regexp_split_to_array(' ' || lower(text) || ' ', '[^a-z]{w}[^a-z]')) - 1)"
+        for w in words
+    )
+
+
+_SQL_LANG_SCORES = ",\n             ".join(
+    f"{_sql_lang_score(ws)} AS s_{lang}" for lang, ws in X.LANG_MARKERS.items()
+)
+_SQL_LANG_CASE = " ".join(
+    f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(X.LANG_MARKERS)
+)
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_SQL_LANG_SCORES}
+      FROM documents
+    ), b AS (
+      SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s
+    )
+    SELECT doc_id, lang,
+           CASE WHEN best = 0 THEN 'und' {_SQL_LANG_CASE} END AS lang_pred
+    FROM b
+    """,
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language ID; ties resolve to the alphabetically first
+    language, no hits -> 'und'."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy) over a corpus with synthesized duplicates
+# ---------------------------------------------------------------------------
+
+_SQL_DOCS_WITH_DUPS = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM ({_SQL_DOCS_WITH_DUPS})
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one shuffle on the md5 digest, map-side combined;
+    duplicates synthesized deterministically (every 7th doc repeated)."""
+    return exact_dedup_groups(_docs_with_dups(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join (exact near-dup detection)
+# ---------------------------------------------------------------------------
+
+SQL_SHINGLES = r"""
+      SELECT DISTINCT doc_id AS doc, s AS shingle
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS words
+            FROM documents) w,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, len(words) - 1)]) AS t(s)
+"""
+
+
+@register(
+    "jaccard_pairs_docs",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.4
+    """,
+)
+def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard join, J >= 0.4 (finds the planted
+    near-duplicates; skew-capped variant for 100 TB in operators/dedup_scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.4)

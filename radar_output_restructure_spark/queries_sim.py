@@ -1,0 +1,286 @@
+"""Similarity-search / sketch-dedup / multimodal queries (`embeddings`,
+`documents`).
+
+MinHash, SimHash, and hyperplane-LSH oracles are generated from the same
+Python parameters as the Spark operators, so both engines evaluate
+structurally identical expressions (same hash, same fold order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.operators.dedup_scale import (
+    HASH_CHARS,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from radar_output_restructure_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from radar_output_restructure_spark.operators.similarity import (
+    _norm,
+    _plane_weight,
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from radar_output_restructure_spark.operators.text import md5_horner_sql
+from radar_output_restructure_spark.queries import register
+from radar_output_restructure_spark.queries_docs import SQL_SHINGLES
+from radar_output_restructure_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 8
+ROWS_PER_BAND = 2
+
+_SQL_MINHASH = f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    hs AS (
+      SELECT doc, seed,
+             min({md5_horner_sql("CAST(seed AS VARCHAR) || ':' || shingle", HASH_CHARS)})
+               AS minhash
+      FROM sh, (SELECT unnest(range({NUM_HASHES})) AS seed)
+      GROUP BY doc, seed
+    )
+"""
+
+
+@register(
+    "minhash_signatures_docs",
+    _SQL_MINHASH + "SELECT doc, seed, minhash FROM hs",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash vector: explode(shingle x seed) -> groupBy min."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=NUM_HASHES)
+
+
+@register(
+    "minhash_lsh_pairs_docs",
+    _SQL_MINHASH
+    + f"""
+    , bands AS (
+      SELECT doc, seed // {ROWS_PER_BAND} AS band,
+             md5(array_to_string(list_sort(
+               list(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ','))
+               AS band_hash
+      FROM hs GROUP BY doc, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b USING (band, band_hash)
+      WHERE a.doc < b.doc
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc = c.doc_a
+    JOIN sizes sb ON sb.doc = c.doc_b
+    WHERE round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) >= 0.5
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed candidate pairs verified with exact Jaccard >= 0.5 —
+    the scalable near-dup path (candidates per band bucket, not all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES)
+    cand = lsh_candidate_pairs(sigs, rows_per_band=ROWS_PER_BAND)
+    from radar_output_restructure_spark.operators.dedup_scale import jaccard_pairs
+
+    exact = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b", "jaccard")
+    return cand.join(exact, ["doc_a", "doc_b"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+_H = md5_horner_sql("tok", HASH_CHARS)
+_SQL_VOTES = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SQL_FP_SUM = " + ".join(
+    f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    hashed AS (SELECT doc, {_H} AS h FROM toks),
+    votes AS (
+      SELECT doc,
+             {_SQL_VOTES}
+      FROM hashed GROUP BY doc
+    )
+    SELECT doc, {_SQL_FP_SUM} AS simhash FROM votes
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash via per-bit weighted majority of token hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+DIMS = 64
+TOP_K = 5
+N_QUERIES = 10
+
+_SQL_DOT = (
+    "list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) "
+    f"for i in range(1, {DIMS + 1})])"
+)
+_SQL_QNORM = f"sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
+_SQL_CNORM = f"sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
+
+
+@register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(
+             [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+              for i in range(1, {DIMS + 1})])), 6) AS norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(_norm(F.col("embedding")), 6).alias("norm")
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM c, q WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries x partitioned corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
+# hyperplane LSH: generate identical plane expressions for both engines
+NUM_PLANES = 4
+NUM_TABLES = 10
+
+
+def _sql_bucket(vec: str, table: int) -> str:
+    planes = []
+    for i in range(NUM_PLANES):
+        p = table * NUM_PLANES + i
+        terms = ["0.0"]
+        for d in range(DIMS):
+            w = _plane_weight(p, d)
+            if w != 0:
+                terms.append(f"CAST({vec}[{d + 1}] AS DOUBLE) * {float(w)}")
+        planes.append(f"CASE WHEN ({' + '.join(terms)}) > 0 THEN {2**i} ELSE 0 END")
+    return " + ".join(planes)
+
+
+_SQL_BUCKETS_UNION = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {t} AS tbl, {_sql_bucket('embedding', t)} AS bucket"
+    " FROM embeddings"
+    for t in range(NUM_TABLES)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+{_SQL_BUCKETS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b c JOIN b q USING (tbl, bucket)
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = neighbor_id
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: multi-table sign-random-projection LSH (L tables of b
+    planes -> union of bucket collisions), exact cosine re-rank over the
+    candidate set. L tables turn per-table recall p into 1-(1-p)^L."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=TOP_K,
+        num_planes=NUM_PLANES,
+        num_tables=NUM_TABLES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (mapInPandas; deterministic fake features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload bytes -> Arrow-batched
+    mapInPandas feature extraction (byte length + md5 digest). The decode
+    stub (operators/multimodal.decode_image) marks where a real codec plugs
+    in; the batch shape and schema are the production ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    withbin = attach_binary_payload(docs)
+    return extract_features(withbin).select("doc_id", "n_bytes", "digest")

@@ -1,0 +1,120 @@
+"""Unit tests for text-analysis / sketch-dedup / similarity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.operators import text as X
+from radar_output_restructure_spark.operators.dedup_scale import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from radar_output_restructure_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from radar_output_restructure_spark.operators.similarity import cosine_topk
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [Row(t="hello world  foo"), Row(t=""), Row(t="   "), Row(t="one")]
+    )
+    out = df.select(X.token_count("t").alias("n"), X.bpe_token_count("t").alias("b")).collect()
+    assert [r.n for r in out] == [3, 0, 0, 1]
+    assert out[0].b == 3
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog is here"),
+            Row(t="der hund und die katze ist nicht da"),
+            Row(t="le chat est dans la maison les jours"),
+            Row(t="zzz qqq xxx"),
+        ]
+    )
+    out = [r[0] for r in df.select(X.lang_id("t")).collect()]
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),
+            Row(doc_id=2, text="a b c d x"),  # shares 2 of 3 trigrams? a b c / b c d
+            Row(doc_id=3, text="q w"),  # too short for trigrams
+        ]
+    )
+    sh = df.select("doc_id", shingles("text").alias("s")).collect()
+    by_id = {r.doc_id: r.s for r in sh}
+    assert by_id[1] == ["a b c", "b c d", "c d e"]
+    assert by_id[3] == []
+    pairs = jaccard_pairs(df, threshold=0.1).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # docs 1,2: common {a b c, b c d} = 2, union 4 -> 0.5
+    assert (p.doc_a, p.doc_b, p.jaccard) == (1, 2, 0.5)
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="same"), Row(doc_id=3, text="diff")]
+    )
+    out = {r.canonical_id: r.n_copies for r in exact_dedup_groups(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="totally different words here now ok"),
+        ]
+    )
+    sigs = minhash_signatures(df, num_hashes=4)
+    assert sigs.count() == 12
+    pairs = lsh_candidate_pairs(sigs, rows_per_band=2).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+            Row(doc_id=3, text="completely unrelated legal boilerplate text follows"),
+        ]
+    )
+    fps = {r.doc: r.simhash for r in simhash(df, bits=32).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+def test_cosine_topk(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, schema="vec_id int, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello"), Row(doc_id=2, text="x")])
+    out = extract_features(attach_binary_payload(df)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_bytes == 5
+    import hashlib
+
+    assert by_id[1].digest == hashlib.md5(b"hello").hexdigest()
+    assert by_id[2].ascii_ratio == 1.0
