@@ -33,20 +33,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from radar_output_restructure_spark.functions.javafmt import (
-    base64_no_pad,
-    java_double_repr,
-    java_float_repr,
-)
+from radar_output_restructure_spark.functions.javafmt import base64_no_pad
 
 
 def _render_leaf(col: Column, dtype: T.DataType) -> Column:
+    # double/float: Spark's JVM string cast IS java.lang.Double/Float.toString
+    # on the same JDK the reference runs (CsvAvroDataConverter.kt:74-78 calls
+    # toString), so `cast("string")` gives exact golden parity with zero
+    # Python in the hot path — including Java 17's pre-Ryu Float digits
+    # (e.g. 1.5e10f -> "1.50000005E10") that a shortest-round-trip
+    # reimplementation would get wrong.
     if isinstance(dtype, T.BinaryType):
         return base64_no_pad(col)
-    if isinstance(dtype, T.DoubleType):
-        return java_double_repr(col)
-    if isinstance(dtype, T.FloatType):
-        return java_float_repr(col.cast("double"))
     if isinstance(dtype, T.BooleanType):
         return F.when(col, "true").when(~col, "false")
     return col.cast("string")

@@ -31,23 +31,50 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from radar_output_restructure_spark.operators.text import md5_horner_sql
+from radar_output_restructure_spark.operators.text import (
+    FP_PRIME,
+    horner_fold,
+    md5_horner_sql,
+)
 
 HASH_CHARS = 12  # 12 hex chars of md5 through Horner — plenty for test scales
 
+# seeded minhash permutations: h_i = (A_i * h0 + B_i) mod FP_PRIME.
+# A_i odd and small so A_i * h0 < 2^61 stays exact in int64 on both engines.
+def minhash_seed_coeffs(i: int) -> tuple[int, int]:
+    return 131 + 2 * i, 1000003 * i + 1
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams of a text column (lowercased, ws-normalized)."""
-    col = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(F.trim(col)), r"\s+")
+
+def shingles_from_words(words: Column, k: int = 3) -> Column:
+    """Distinct word k-grams from a MATERIALIZED words-array column.
+
+    `words` must be a plain column reference, not a split() expression:
+    higher-order lambdas run interpreted (no codegen CSE), so an inline
+    split() would be re-evaluated for every gram element. One slice per
+    element over the bound array keeps this linear.
+    """
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))  # empty when n<k
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.get(words, i + j) for j in range(k)]
-    )
+    # 1-based slice starts; the guard keeps the (descending) sequence(1,0)
+    # branch from ever being taken
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    gram = lambda i: F.concat_ws(" ", F.slice(words, i, k))  # noqa: E731
     return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def split_words(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams of a text column (lowercased, ws-normalized).
+
+    Prefer the two-step `split_words` -> `shingles_from_words` on a
+    materialized column in hot paths (see shingles_from_words docstring).
+    """
+    return shingles_from_words(split_words(col), k)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -66,8 +93,11 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, k)).alias("shingle")
+    # materialize the words array in its own projection so the gram lambda
+    # slices a bound column instead of re-running split() per element
+    w = df.select(F.col(id_col).alias("doc"), split_words(text_col).alias("__words"))
+    return w.select(
+        "doc", F.explode(shingles_from_words(F.col("__words"), k)).alias("shingle")
     )
 
 
@@ -115,6 +145,46 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set (doc_a, doc_b).
+
+    The LSH verify step: instead of the all-pairs inverted-index join, the
+    (small) candidate list broadcasts against the shingle table twice —
+    work is proportional to candidates, not corpus^2."""
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    p = F.broadcast(pairs.select("doc_a", "doc_b"))
+    inter = (
+        ex.join(p, ex["doc"] == p["doc_a"])
+        .select("doc_a", "doc_b", "shingle")
+        .join(
+            ex.select(F.col("doc").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -124,18 +194,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, seed, minhash): n seeded min-hashes per document.
 
-    explode(shingles) x explode(seeds) -> groupBy min: two narrow explodes and
-    one partial-aggregated shuffle; no Python in the loop.
-    """
+    Each shingle is md5-hashed ONCE (h0); the n seeded hashes are affine
+    permutations (A_i*h0+B_i) mod p — pure integer arithmetic, so the plan is
+    explode(shingles) -> one groupBy(doc) carrying n min-aggregates
+    (map-side partial min, single shuffle, no row blowup), then an unpivot to
+    long form. At 100 TB this shuffles one row per document, not one per
+    (shingle x seed)."""
     ex = _exploded_shingles(df, text_col, id_col, k)
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    h = F.expr(md5_horner_sql("concat(cast(seed as string), ':', shingle)", HASH_CHARS))
-    return (
-        ex.select("doc", "shingle", F.explode(seeds).alias("seed"))
-        .withColumn("h", h)
-        .groupBy("doc", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    h0 = horner_fold(F.md5(F.col("shingle")), HASH_CHARS)
+    ex = ex.withColumn("h0", h0)
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_seed_coeffs(i)
+        aggs.append(F.min((F.col("h0") * a + b) % FP_PRIME).alias(f"m{i}"))
+    wide = ex.groupBy("doc").agg(*aggs)
+    sig = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("bigint").alias("seed"), F.col(f"m{i}").alias("minhash")
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("s")
+    return wide.select("doc", sig).select("doc", "s.seed", "s.minhash")
 
 
 def lsh_candidate_pairs(

@@ -133,10 +133,33 @@ def md5_horner_sql(expr: str, chars: int = 16) -> str:
     Both engines implement md5/substr/ascii/% identically, so the same SQL
     text yields the same integers — the foundation for fingerprints, minhash,
     and simhash oracles.
+
+    NOTE: inlines `md5(expr)` once per folded char. Use only where `expr` is
+    evaluated a handful of times per row; in hot paths materialize the md5
+    hex into a column first and fold it with `horner_fold_sql`/`horner_fold`.
     """
     h = "0"
     for j in range(1, chars + 1):
         h = f"(({h}) * {FP_BASE} + ascii(substr(md5({expr}), {j}, 1))) % {FP_PRIME}"
+    return h
+
+
+def horner_fold_sql(hex_col: str, chars: int = 16) -> str:
+    """Same Horner fold, but over an ALREADY-MATERIALIZED md5-hex column —
+    the md5 is computed once per row, and the fold is `chars` cheap
+    ascii/substr ops. Shared Spark/DuckDB dialect."""
+    h = "0"
+    for j in range(1, chars + 1):
+        h = f"(({h}) * {FP_BASE} + ascii(substr({hex_col}, {j}, 1))) % {FP_PRIME}"
+    return h
+
+
+def horner_fold(hex_col: Column | str, chars: int = 16) -> Column:
+    """Column form of horner_fold_sql (identical arithmetic, codegen'd)."""
+    col = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    h: Column = F.lit(0).cast("bigint")
+    for j in range(1, chars + 1):
+        h = (h * FP_BASE + F.ascii(F.substring(col, j, 1))) % FP_PRIME
     return h
 
 

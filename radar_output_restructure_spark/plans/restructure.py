@@ -32,7 +32,10 @@ from radar_output_restructure_spark.functions.flatten import flatten
 from radar_output_restructure_spark.functions.timeutil import event_time
 from radar_output_restructure_spark.operators.dedup import dedup_keep_first, dedup_keep_last
 from radar_output_restructure_spark.plans.path_format import DEFAULT_FORMAT, PathFormat
-from radar_output_restructure_spark.sinks.writers import write_output_tree
+from radar_output_restructure_spark.sinks.writers import (
+    write_output_tree,
+    write_output_tree_direct,
+)
 from radar_output_restructure_spark.sources.kafka_tree import read_topic_tree
 from radar_output_restructure_spark.sources.manifest import FileEntry, ProcessedFileManifest
 
@@ -153,8 +156,13 @@ class RestructurePlan:
             "topic",
         ]
         excluded = cfg.exclude_fields | tcfg.exclude_fields | set(meta_cols)
+        # CSV output renders every leaf to its Java toString form JVM-side
+        # (exact reference parity, zero Python in the row path); JSON keeps
+        # native types for the JSON-lines writer.
+        rendered = cfg.output_format == "csv"
         flat = flatten(
             df.withColumn("__pos", F.monotonically_increasing_id()),
+            rendered=rendered,
             excluded=excluded | {"__pos", *part_cols},
             keep=[*part_cols, "__pos"],
         )
@@ -189,16 +197,27 @@ class RestructurePlan:
         value_schema = df.drop(
             "source_file", "file_modified", "kafka_partition", "offset_from", "offset_to"
         ).schema
-        finals = write_output_tree(
-            flat,
-            cfg.output_dir,
-            part_cols,
-            fmt=cfg.output_format,
-            compression=cfg.compression,
-            topic_col="pf_topic",
-            value_schema=value_schema,
-            order_col="__pos",
-        )
+        if cfg.output_format == "csv":
+            finals = write_output_tree_direct(
+                flat,
+                cfg.output_dir,
+                part_cols,
+                compression=cfg.compression,
+                topic_col="pf_topic",
+                value_schema=value_schema,
+                order_col="__pos",
+            )
+        else:
+            finals = write_output_tree(
+                flat,
+                cfg.output_dir,
+                part_cols,
+                fmt=cfg.output_format,
+                compression=cfg.compression,
+                topic_col="pf_topic",
+                value_schema=value_schema,
+                order_col="__pos",
+            )
         self.manifest.commit(files)  # write-then-commit (T2)
         return finals
 

@@ -42,7 +42,7 @@ _SQL_NBPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 )
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish token counts and the 53-bit content fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         X.token_count("text").alias("n_tokens"),
@@ -85,7 +85,7 @@ _SQL_NSTOP = " + ".join(
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword quality features + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     f = X.quality_features("text")
     return docs.select(
         "doc_id",
@@ -135,7 +135,7 @@ _SQL_LANG_CASE = " ".join(
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword language ID; ties resolve to the alphabetically first
     language, no hits -> 'und'."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return docs.select("doc_id", "lang", X.lang_id("text").alias("lang_pred"))
 
 
@@ -151,7 +151,7 @@ _SQL_DOCS_WITH_DUPS = """
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -209,5 +209,5 @@ SQL_SHINGLES = r"""
 def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard join, J >= 0.4 (finds the planted
     near-duplicates; skew-capped variant for 100 TB in operators/dedup_scale)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return jaccard_pairs(docs, threshold=0.4)

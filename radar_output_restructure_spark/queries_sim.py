@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 
 from radar_output_restructure_spark.operators.dedup_scale import (
     HASH_CHARS,
+    jaccard_for_pairs,
     lsh_candidate_pairs,
+    minhash_seed_coeffs,
     minhash_signatures,
     simhash,
 )
@@ -27,7 +29,11 @@ from radar_output_restructure_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
 )
-from radar_output_restructure_spark.operators.text import md5_horner_sql
+from radar_output_restructure_spark.operators.text import (
+    FP_PRIME,
+    horner_fold_sql,
+    md5_horner_sql,
+)
 from radar_output_restructure_spark.queries import register
 from radar_output_restructure_spark.queries_docs import SQL_SHINGLES
 from radar_output_restructure_spark.sources.tables import load_table
@@ -39,13 +45,18 @@ from radar_output_restructure_spark.sources.tables import load_table
 NUM_HASHES = 8
 ROWS_PER_BAND = 2
 
+# seeded permutation (A_i*h0+B_i) mod p with (A_i, B_i) = minhash_seed_coeffs(i)
 _SQL_MINHASH = f"""
     WITH sh AS ({SQL_SHINGLES}),
+    h0 AS (
+      SELECT doc, {horner_fold_sql("md", HASH_CHARS)} AS h0
+      FROM (SELECT doc, md5(shingle) AS md FROM sh)
+    ),
     hs AS (
       SELECT doc, seed,
-             min({md5_horner_sql("CAST(seed AS VARCHAR) || ':' || shingle", HASH_CHARS)})
+             min(((131 + 2 * seed) * h0 + 1000003 * seed + 1) % {FP_PRIME})
                AS minhash
-      FROM sh, (SELECT unnest(range({NUM_HASHES})) AS seed)
+      FROM h0, (SELECT unnest(range({NUM_HASHES})) AS seed)
       GROUP BY doc, seed
     )
 """
@@ -57,7 +68,7 @@ _SQL_MINHASH = f"""
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash vector: explode(shingle x seed) -> groupBy min."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return minhash_signatures(docs, num_hashes=NUM_HASHES)
 
 
@@ -93,14 +104,16 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed candidate pairs verified with exact Jaccard >= 0.5 —
-    the scalable near-dup path (candidates per band bucket, not all-pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the scalable near-dup path: candidate generation per band bucket, exact
+    verification restricted to (broadcast) candidates, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     sigs = minhash_signatures(docs, num_hashes=NUM_HASHES)
     cand = lsh_candidate_pairs(sigs, rows_per_band=ROWS_PER_BAND)
-    from radar_output_restructure_spark.operators.dedup_scale import jaccard_pairs
-
-    exact = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b", "jaccard")
-    return cand.join(exact, ["doc_a", "doc_b"])
+    return (
+        jaccard_for_pairs(docs, cand)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +152,7 @@ _SQL_FP_SUM = " + ".join(
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash via per-bit weighted majority of token hashes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     return simhash(docs, bits=SIMHASH_BITS)
 
 
@@ -281,6 +294,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas feature extraction (byte length + md5 digest). The decode
     stub (operators/multimodal.decode_image) marks where a real codec plugs
     in; the batch shape and schema are the production ones."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     withbin = attach_binary_payload(docs)
     return extract_features(withbin).select("doc_id", "n_bytes", "digest")

@@ -32,6 +32,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -104,6 +105,104 @@ def _concat_into(dst: str, parts: list[str], gzipped: bool, has_header: bool) ->
     # reference's decompress-on-append accept them.
 
 
+def write_output_tree_direct(
+    df: DataFrame,
+    out_dir: str,
+    partition_cols: list[str],
+    compression: str | None = None,
+    extension: str | None = None,
+    topic_col: str = "pf_topic",
+    value_schema: T.StructType | None = None,
+    order_col: str | None = None,
+) -> list[str]:
+    """Exact-name CSV writer: one `applyInPandas` group per output file.
+
+    Every non-partition column of `df` must already be a rendered string
+    (flatten(rendered=True)) — the JVM cast did the Java-toString work, so
+    this function only joins cells. Compared to the partitionBy+finalize
+    path this is one shuffle, then each executor writes its groups straight
+    to their final `<project>/<user>/<topic>/<timebin>.csv[.gz]` paths with
+    an atomic tmp+rename (the reference's own temp-file->store protocol,
+    worker/FileCache.kt:79,152-186) — no N-file Spark commit, no driver-side
+    finalize pass. Appends to a pre-existing target by copying it into the
+    tmp file first (append semantics incl. late data, SURVEY ST3).
+
+    Group size is bounded by one user-hour of one topic (same invariant the
+    reference relies on for its per-file dedup buffer), so the pandas
+    materialization per group is small at any total scale. A task retried
+    *after* its rename commits would re-append — the same exposure the
+    reference has between store and accounting commit; the run-level
+    manifest makes whole-run retries safe.
+    """
+    if extension is None:
+        extension = ".csv" + (".gz" if compression == "gzip" else "")
+    gzipped = compression == "gzip"
+    key_cols = list(partition_cols)
+    header_names = [c for c in df.columns if c not in set(key_cols) and c != order_col]
+    # applyInPandas resolves columns by name, which breaks on literal dotted
+    # names (`key.projectId`); ship positional safe names and restore the
+    # dotted header inside the writer.
+    data_cols = [f"_c{i}" for i in range(len(header_names))]
+    rename = dict(zip(header_names, data_cols))
+    safe = df.select(
+        *[F.col(f"`{c}`").alias(rename.get(c, c)) for c in df.columns]
+    )
+    topic_idx = key_cols.index(topic_col) if topic_col in key_cols else None
+    sidecar_body: str | None = None
+    if value_schema is not None and topic_idx is not None:
+        # topic name is substituted per group; body computed once driver-side
+        sidecar_body = _avro_schema_json(value_schema, "__TOPIC_PLACEHOLDER__")
+
+    def write_group(keys, pdf):
+        import csv as _csv
+        import io
+        import uuid as _uuid
+
+        import pandas as pd
+
+        segs = ["" if k is None else str(k) for k in keys]
+        *dir_segs, bin_seg = segs
+        final_dir = os.path.join(out_dir, *dir_segs)
+        os.makedirs(final_dir, exist_ok=True)
+        final = os.path.join(final_dir, bin_seg + extension)
+        if order_col is not None:
+            pdf = pdf.sort_values(order_col)
+        body = pdf[data_cols].astype(object)
+        body = body.where(pd.notnull(body), "")
+        buf = io.StringIO()
+        w = _csv.writer(buf, lineterminator="\n", quoting=_csv.QUOTE_MINIMAL)
+        exists = os.path.exists(final)
+        if not exists:
+            w.writerow(header_names)
+        w.writerows(body.values.tolist())
+        payload = buf.getvalue().encode()
+        tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
+        try:
+            if exists:
+                shutil.copyfile(final, tmp)  # keep prior rows (append)
+            opener = gzip.open if gzipped else open
+            with opener(tmp, "ab") as out:
+                out.write(payload)
+            os.replace(tmp, final)  # atomic store
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        if sidecar_body is not None:
+            topic = segs[topic_idx]
+            sidecar = os.path.join(final_dir, f"schema-{topic}.json")
+            if not os.path.exists(sidecar):
+                stmp = f"{sidecar}.tmp-{_uuid.uuid4().hex}"
+                with open(stmp, "w") as fh:
+                    fh.write(sidecar_body.replace("__TOPIC_PLACEHOLDER__", topic))
+                os.replace(stmp, sidecar)
+        return pd.DataFrame({"path": [final], "rows": [len(body)]})
+
+    result = safe.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
+        write_group, "path string, rows long"
+    )
+    return sorted(r.path for r in result.collect())
+
+
 def write_output_tree(
     df: DataFrame,
     out_dir: str,
@@ -152,9 +251,11 @@ def write_output_tree(
 
     gzipped = compression == "gzip"
     has_header = fmt == "csv"
-    finals: list[str] = []
-    seen_topics: set[str] = set()
-    # walk partition dirs: tmp/<c0>=<v0>/.../<cn>=<vn>/part-*
+    # Collect (final_path, parts, final_dir, segs) per output file, then
+    # finalize concurrently — renames/concats are independent per file, and
+    # on object stores each is a server-side copy; a thread pool keeps the
+    # driver-side pass from serializing on I/O latency for large file counts.
+    jobs: list[tuple[str, list[str], str, list[str]]] = []
     for dirpath, dirnames, filenames in os.walk(tmp):
         parts = sorted(
             os.path.join(dirpath, f)
@@ -167,20 +268,36 @@ def write_output_tree(
         segs = [kv.split("=", 1)[1] for kv in rel.split(os.sep)]
         *dir_segs, bin_seg = segs
         final_dir = os.path.join(out_dir, *dir_segs)
-        os.makedirs(final_dir, exist_ok=True)
         final = os.path.join(final_dir, bin_seg + extension)
+        jobs.append((final, parts, final_dir, segs))
+
+    for final_dir in {j[2] for j in jobs}:
+        os.makedirs(final_dir, exist_ok=True)
+
+    def _finalize(job: tuple[str, list[str], str, list[str]]) -> str:
+        final, parts, _final_dir, _segs = job
         _concat_into(final, parts, gzipped, has_header)
-        finals.append(final)
-        # schema sidecar, write-once per output dir (FileCacheStore.kt:131-151)
-        topic = None
-        for col, seg in zip(partition_cols, segs):
-            if col == topic_col:
-                topic = seg
-        if topic and value_schema is not None:
+        return final
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, len(jobs) // 64 + 4))) as pool:
+        finals = list(pool.map(_finalize, jobs))
+
+    # schema sidecar, write-once per output dir (FileCacheStore.kt:131-151)
+    if value_schema is not None:
+        sidecar_dirs: dict[str, str] = {}
+        for _final, _parts, final_dir, segs in jobs:
+            topic = None
+            for col, seg in zip(partition_cols, segs):
+                if col == topic_col:
+                    topic = seg
+            if topic:
+                sidecar_dirs.setdefault(final_dir, topic)
+        for final_dir, topic in sidecar_dirs.items():
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
             if not os.path.exists(sidecar):
                 with open(sidecar, "w") as fh:
                     fh.write(_avro_schema_json(value_schema, topic))
-            seen_topics.add(topic)
     shutil.rmtree(tmp, ignore_errors=True)
     return sorted(finals)

@@ -43,12 +43,26 @@ def _nanos_ts_columns(path: str) -> set[str]:
     return out
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Load one testdata table.
+
+    `spread=True`: repartition up to the cluster's default parallelism when
+    the scan would yield fewer partitions — small single-file tables feeding
+    CPU-heavy expressions (shingling, hashing) otherwise run on one core. At
+    real scale the scan already has >= cores partitions and this is a no-op,
+    so the extra shuffle only ever moves data that fits on one core anyway.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col in sorted(_nanos_ts_columns(path)):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
