@@ -129,6 +129,39 @@ def flatten_columns(
     return cols
 
 
+def pruned_struct(
+    dtype: T.StructType, excluded: set[str], dotted: str = ""
+) -> Column | None:
+    """Rebuild a (possibly nested) struct column WITHOUT the excluded dotted
+    leaves — the JSON-mode `excludeFields` (JsonAvroDataConverter.kt:24-44
+    drops keys in place, preserving nesting, incl. inside maps).
+
+    Returns None when every field of the struct is excluded.
+    """
+    fields: list[Column] = []
+    for f in dtype.fields:
+        d = f"{dotted}.{f.name}" if dotted else f.name
+        if d in excluded:
+            continue
+        if isinstance(f.dataType, T.StructType):
+            sub = pruned_struct(f.dataType, excluded, d)
+            if sub is not None:
+                fields.append(sub.alias(f.name))
+            continue
+        child = F.col(d)
+        if isinstance(f.dataType, T.MapType):
+            # excludeFields like `value.props.secret` drop single map keys
+            bad = [
+                e[len(d) + 1 :]
+                for e in excluded
+                if e.startswith(d + ".") and "." not in e[len(d) + 1 :]
+            ]
+            if bad:
+                child = F.map_filter(child, lambda k, _v: ~k.isin(bad))
+        fields.append(child.alias(f.name))
+    return F.struct(*fields) if fields else None
+
+
 def flatten(
     df: DataFrame,
     rendered: bool = False,

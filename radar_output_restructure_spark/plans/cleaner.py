@@ -1,0 +1,202 @@
+"""Source-data cleaner: delete source files only after verifying extraction
+(SURVEY §2.9 C1-C3, reference cleaner/SourceDataCleaner.kt:48-131,
+TimestampExtractionCheck.kt:23-106).
+
+Reference semantics, re-expressed as one Spark job per topic:
+
+* C1 candidate filter (driver-side, cheap): file age > `age_days` AND the
+  file is committed in the manifest (seen & unmodified) AND a later offset
+  exists for its Kafka partition — the max-offset file is never removed
+  (SourceDataCleaner.kt:99-113 `incrementTo` containment).
+* C2 extraction check (distributed): recompute each source record's target
+  file path and event time with the SAME plan the writer used, then
+  LEFT ANTI join against the target files' (path, time) pairs. A source
+  file is extracted iff it has zero unmatched records. Records with no
+  event time are conservatively unmatched (the reference's extraction check
+  also fails them: TimestampExtractionCheck errors => not extracted).
+* C3: extracted -> delete source; not extracted -> revoke its manifest
+  entry so the next restructure run re-extracts it
+  (AccountantImpl.kt:55-59 offset revocation).
+
+Target files are read back as text (CSV with header / JSON-lines; gzip
+decodes natively). Zip-compressed targets are not re-readable by the scan,
+so their sources are conservatively never deleted.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.plans.restructure import RestructureConfig, RestructurePlan
+from radar_output_restructure_spark.sources.kafka_tree import (
+    parse_offset_filename,
+    read_topic_tree,
+)
+from radar_output_restructure_spark.sources.manifest import FileEntry
+
+
+@dataclass
+class CleanerConfig:
+    """config/CleanerConfig.kt:3-10 (enable/interval handled by the service
+    loop; age in days here)."""
+
+    age_days: float = 7.0
+
+
+class SourceDataCleaner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: RestructureConfig,
+        cleaner: CleanerConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.cleaner = cleaner or CleanerConfig()
+        self.plan = RestructurePlan(spark, config)
+
+    # -- C1: candidates ------------------------------------------------------
+
+    def candidate_files(self, topic: str) -> list[FileEntry]:
+        cfg = self.config
+        tcfg = cfg.topics.get(topic)
+        if tcfg and tcfg.exclude_from_delete:  # P6
+            return []
+        committed = self.plan.manifest.load()
+        cutoff_ms = (time.time() - self.cleaner.age_days * 86400) * 1000
+        # newest committed offset per kafka partition is never removed
+        max_offset: dict[int, int] = {}
+        parsed: list[tuple[str, int, int]] = []
+        for path, mtime in committed.items():
+            if f"{os.sep}{topic}{os.sep}" not in path:
+                continue
+            meta = parse_offset_filename(os.path.basename(path))
+            if meta is None:
+                continue
+            _t, part, off_from, _off_to = meta
+            parsed.append((path, part, off_from))
+            max_offset[part] = max(max_offset.get(part, -1), off_from)
+        out = []
+        for path, part, off_from in parsed:
+            if not os.path.exists(path):
+                continue
+            if off_from >= max_offset[part]:  # later offset must exist
+                continue
+            mtime = committed[path]
+            if mtime > cutoff_ms:
+                continue
+            if int(os.stat(path).st_mtime * 1000) > mtime:  # modified since commit
+                continue
+            out.append(FileEntry(path, mtime))
+        return sorted(out, key=lambda f: f.path)
+
+    # -- C2: extraction verification ------------------------------------------
+
+    def _source_expectations(self, topic: str, files: list[FileEntry]) -> DataFrame:
+        """(source_file, target_path, time_str) per source record — the same
+        routing + rendering plan the writer ran, grouped per attempt."""
+        cfg = self.config
+        parts: list[DataFrame] = []
+        ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + (
+            ".gz" if cfg.compression == "gzip" else ""
+        )
+        for attempt, group in self.plan._fingerprint_groups(topic, files):
+            df = read_topic_tree(
+                self.spark, cfg.input_dir, topic=topic,
+                file_format=cfg.source_format, paths=[f.path for f in group],
+            )
+            flat, part_cols = self.plan.transform(df, topic, keep_cols=("source_file",))
+            ext = (f"_{attempt}" if attempt else "") + ext0
+            target = F.concat_ws(
+                os.sep, F.lit(cfg.output_dir.rstrip(os.sep)),
+                *[F.col(c) for c in part_cols],
+            )
+            target = F.concat(target, F.lit(ext))
+            if cfg.output_format == "json":
+                time_str = F.get_json_object(F.col("line"), "$.value.time")
+            else:
+                time_str = (
+                    F.col("`value.time`")
+                    if "value.time" in flat.columns
+                    else F.lit(None)
+                )
+            parts.append(
+                flat.select(
+                    "source_file",
+                    target.alias("target_path"),
+                    time_str.cast("string").alias("time_str"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _target_rows(self, target_paths: list[str]) -> DataFrame:
+        """(target_path, time_str) for every row of the touched target files."""
+        cfg = self.config
+        existing = [p for p in target_paths if os.path.exists(p)]
+        if not existing:
+            return self.spark.createDataFrame(
+                [], "target_path string, time_str string"
+            )
+        if cfg.output_format == "json":
+            df = self.spark.read.text(existing)
+            time_str = F.get_json_object(F.col("value"), "$.value.time")
+        else:
+            df = self.spark.read.option("header", True).csv(existing)
+            time_str = (
+                F.col("`value.time`") if "value.time" in df.columns else F.lit(None)
+            )
+        path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+        return df.select("*", "_metadata").select(
+            path.alias("target_path"), time_str.cast("string").alias("time_str")
+        )
+
+    def verify_topic(self, topic: str, files: list[FileEntry]) -> dict[str, bool]:
+        """source_file -> fully extracted? One anti-join for the whole topic."""
+        if not files:
+            return {}
+        src = self._source_expectations(topic, files).cache()
+        try:
+            targets = [
+                r.target_path for r in src.select("target_path").distinct().collect()
+            ]
+            tgt = self._target_rows(targets)
+            missing = (
+                src.withColumn(
+                    "time_str", F.coalesce(F.col("time_str"), F.lit("\x00missing"))
+                )
+                .join(tgt, ["target_path", "time_str"], "left_anti")
+                .groupBy("source_file")
+                .count()
+            )
+            bad = {r.source_file for r in missing.collect()}
+        finally:
+            src.unpersist()
+        return {f.path: f.path not in bad for f in files}
+
+    # -- C3: delete or revoke --------------------------------------------------
+
+    def run_topic(self, topic: str) -> dict[str, list[str]]:
+        files = self.candidate_files(topic)
+        if self.config.compression == "zip":
+            return {"deleted": [], "revoked": []}  # conservative: cannot re-read
+        verdict = self.verify_topic(topic, files)
+        deleted, revoked = [], []
+        for f in files:
+            if verdict.get(f.path):
+                os.remove(f.path)  # S15
+                deleted.append(f.path)
+            else:
+                self.plan.manifest.revoke([f])  # T7 revocation
+                revoked.append(f.path)
+        return {"deleted": deleted, "revoked": revoked}
+
+    def run(self) -> dict[str, dict[str, list[str]]]:
+        return {t: self.run_topic(t) for t in self.plan.topics()}

@@ -27,8 +27,9 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from radar_output_restructure_spark.functions.flatten import flatten
+from radar_output_restructure_spark.functions.flatten import flatten, pruned_struct
 from radar_output_restructure_spark.functions.timeutil import event_time
 from radar_output_restructure_spark.operators.dedup import dedup_keep_first, dedup_keep_last
 from radar_output_restructure_spark.plans.path_format import DEFAULT_FORMAT, PathFormat
@@ -37,7 +38,11 @@ from radar_output_restructure_spark.sinks.writers import (
     write_output_tree_direct,
 )
 from radar_output_restructure_spark.sources.kafka_tree import read_topic_tree
-from radar_output_restructure_spark.sources.manifest import FileEntry, ProcessedFileManifest
+from radar_output_restructure_spark.sources.manifest import (
+    AttemptRegistry,
+    FileEntry,
+    ProcessedFileManifest,
+)
 
 
 @dataclass
@@ -69,7 +74,7 @@ class RestructureConfig:
     path_format: str = DEFAULT_FORMAT
     time_bin_format: str = "yyyyMMdd_HH'00'"
     output_format: str = "csv"  # csv | json
-    compression: str | None = None  # None | gzip
+    compression: str | None = None  # None | gzip | zip (S13)
     exclude_fields: set[str] = field(default_factory=set)
     dedup: DedupConfig = field(default_factory=DedupConfig)
     topics: dict[str, TopicConfig] = field(default_factory=dict)
@@ -91,6 +96,7 @@ class RestructurePlan:
         self.manifest = ProcessedFileManifest(
             os.path.join(config.output_dir, "offsets")
         )
+        self.attempts = AttemptRegistry(os.path.join(config.output_dir, "offsets"))
 
     # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
 
@@ -133,10 +139,17 @@ class RestructurePlan:
 
     # -- the declarative per-topic plan ------------------------------------
 
-    def transform(self, df: DataFrame, topic: str | None = None) -> tuple[DataFrame, list[str]]:
+    def transform(
+        self,
+        df: DataFrame,
+        topic: str | None = None,
+        keep_cols: tuple[str, ...] = (),
+    ) -> tuple[DataFrame, list[str]]:
         """Scan DataFrame -> flattened, partition-column-annotated DataFrame.
 
         Returns (df, partition_cols). Pure plan construction — no actions.
+        `keep_cols`: extra scan columns carried through unchanged (e.g. the
+        cleaner keeps `source_file` to attribute records back to sources).
         """
         cfg = self.config
         tcfg = cfg.topics.get(topic or "", TopicConfig())
@@ -156,17 +169,43 @@ class RestructurePlan:
             "topic",
         ]
         excluded = cfg.exclude_fields | tcfg.exclude_fields | set(meta_cols)
-        # CSV output renders every leaf to its Java toString form JVM-side
-        # (exact reference parity, zero Python in the row path); JSON keeps
-        # native types for the JSON-lines writer.
-        rendered = cfg.output_format == "csv"
-        flat = flatten(
-            df.withColumn("__pos", F.monotonically_increasing_id()),
-            rendered=rendered,
-            excluded=excluded | {"__pos", *part_cols},
-            keep=[*part_cols, "__pos"],
-        )
         dedup_cfg = tcfg.dedup or cfg.dedup
+        df = df.withColumn("__pos", F.monotonically_increasing_id())
+
+        if cfg.output_format == "json":
+            # JSON-lines preserves nesting (format/JsonAvroConverter.kt:30-60);
+            # excludeFields prunes keys in place; null fields stay explicit
+            # (Jackson writes them). One rendered `line` column per record.
+            non_record = excluded | {"__pos", *part_cols}
+            record = pruned_struct(
+                T.StructType(
+                    [f for f in df.schema.fields if f.name not in non_record]
+                ),
+                excluded,
+            )
+            lines = df.select(
+                *[F.col(c) for c in part_cols],
+                F.col("__pos"),
+                *[F.col(c) for c in keep_cols],
+                F.to_json(record, {"ignoreNullFields": "false"}).alias("line"),
+            )
+            if dedup_cfg.enable:
+                # JSON dedup is whole-line keep-FIRST regardless of
+                # distinct/ignore config (RecordConverterFactory.kt:63-92,
+                # divergent from CSV by design — SURVEY D4)
+                lines = dedup_keep_first(
+                    lines, "__pos", [*part_cols, "line"], None, restore_order=False
+                )
+            return lines, part_cols
+
+        # CSV output renders every leaf to its Java toString form JVM-side
+        # (exact reference parity, zero Python in the row path).
+        flat = flatten(
+            df,
+            rendered=True,
+            excluded=excluded | {"__pos", *part_cols},
+            keep=[*part_cols, "__pos", *keep_cols],
+        )
         if dedup_cfg.enable:
             # Dedup scope is ONE OUTPUT FILE in the reference (FileCache close),
             # so the partition columns always join the distinct key; __pos is
@@ -177,49 +216,65 @@ class RestructurePlan:
                 distinct = [*part_cols, *distinct]
             else:
                 ignore = list(dedup_cfg.ignore_fields or []) + ["__pos"]
-            dedup_fn = (
-                dedup_keep_last if cfg.output_format == "csv" else dedup_keep_first
-            )
-            flat = dedup_fn(flat, "__pos", distinct, ignore, restore_order=False)
+            flat = dedup_keep_last(flat, "__pos", distinct, ignore, restore_order=False)
         return flat, part_cols
+
+    def _fingerprint_groups(
+        self, topic: str, files: list[FileEntry]
+    ) -> list[tuple[int, list[FileEntry]]]:
+        """Group candidate files by source-schema fingerprint and map each
+        fingerprint to its persistent attempt suffix (SURVEY §1.3:
+        schema-evolution-by-suffix at file granularity)."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        by_fp: dict[str, list[FileEntry]] = {}
+        order: list[str] = []
+        for f in files:
+            schema = pq.read_schema(f.path)
+            canon = ",".join(f"{n}:{t}" for n, t in zip(schema.names, schema.types))
+            fp = hashlib.md5(canon.encode()).hexdigest()
+            if fp not in by_fp:
+                order.append(fp)
+            by_fp.setdefault(fp, []).append(f)
+        attempts = self.attempts.assign(topic, order)
+        return sorted((attempts[fp], group) for fp, group in by_fp.items())
 
     def run_topic(self, topic: str) -> list[str]:
         cfg = self.config
         files = self.list_candidate_files(topic)
         if not files:
             return []
-        df = read_topic_tree(
-            self.spark, cfg.input_dir, topic=topic, file_format=cfg.source_format
-        )
-        # restrict the scan to the pruned candidate list
-        df = df.filter(F.col("source_file").isin([f.path for f in files]))
-        flat, part_cols = self.transform(df, topic)
-        value_schema = df.drop(
-            "source_file", "file_modified", "kafka_partition", "offset_from", "offset_to"
-        ).schema
-        if cfg.output_format == "csv":
-            finals = write_output_tree_direct(
-                flat,
-                cfg.output_dir,
-                part_cols,
-                compression=cfg.compression,
-                topic_col="pf_topic",
-                value_schema=value_schema,
-                order_col="__pos",
+        ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + {
+            None: "",
+            "gzip": ".gz",
+            "zip": ".zip",
+        }[cfg.compression]
+        finals: list[str] = []
+        for attempt, group in self._fingerprint_groups(topic, files):
+            df = read_topic_tree(
+                self.spark, cfg.input_dir, topic=topic, file_format=cfg.source_format,
+                paths=[f.path for f in group],
             )
-        else:
-            finals = write_output_tree(
+            flat, part_cols = self.transform(df, topic)
+            value_schema = df.drop(
+                "source_file", "file_modified", "kafka_partition",
+                "offset_from", "offset_to",
+            ).schema
+            finals += write_output_tree_direct(
                 flat,
                 cfg.output_dir,
                 part_cols,
                 fmt=cfg.output_format,
                 compression=cfg.compression,
+                extension=(f"_{attempt}" if attempt else "") + ext0,
                 topic_col="pf_topic",
-                value_schema=value_schema,
+                value_schema=value_schema if attempt == 0 else None,
                 order_col="__pos",
             )
         self.manifest.commit(files)  # write-then-commit (T2)
-        return finals
+        return sorted(finals)
 
     def run(self) -> dict[str, list[str]]:
         return {t: self.run_topic(t) for t in self.topics()}

@@ -105,24 +105,66 @@ def _concat_into(dst: str, parts: list[str], gzipped: bool, has_header: bool) ->
     # reference's decompress-on-append accept them.
 
 
+_FMT_EXT = {"csv": ".csv", "json": ".json"}
+_COMP_EXT = {None: "", "gzip": ".gz", "zip": ".zip"}
+ZIP_LEVEL = 7  # compression/ZipCompression.kt:17
+
+
+def _store_payload(final: str, payload: bytes, compression: str | None) -> None:
+    """Atomically store/append `payload` at `final` (tmp file -> rename, the
+    reference's FileCache store protocol). gzip appends a new member;
+    zip (single-entry archive, level 7) is rewritten with old+new content."""
+    import uuid as _uuid
+    import zipfile
+
+    exists = os.path.exists(final)
+    tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
+    try:
+        if compression == "zip":
+            entry = os.path.basename(final)[: -len(".zip")]
+            if exists:
+                with zipfile.ZipFile(final) as zf:
+                    payload = zf.read(zf.namelist()[0]) + payload
+            with zipfile.ZipFile(
+                tmp, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
+            ) as zf:
+                zf.writestr(entry, payload)
+        else:
+            if exists:
+                shutil.copyfile(final, tmp)  # keep prior rows (append)
+            opener = gzip.open if compression == "gzip" else open
+            with opener(tmp, "ab") as out:
+                out.write(payload)
+        os.replace(tmp, final)  # atomic store
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def write_output_tree_direct(
     df: DataFrame,
     out_dir: str,
     partition_cols: list[str],
+    fmt: str = "csv",
     compression: str | None = None,
     extension: str | None = None,
     topic_col: str = "pf_topic",
     value_schema: T.StructType | None = None,
     order_col: str | None = None,
+    line_col: str = "line",
 ) -> list[str]:
-    """Exact-name CSV writer: one `applyInPandas` group per output file.
+    """Exact-name writer: one `applyInPandas` group per output file.
 
-    Every non-partition column of `df` must already be a rendered string
-    (flatten(rendered=True)) — the JVM cast did the Java-toString work, so
-    this function only joins cells. Compared to the partitionBy+finalize
-    path this is one shuffle, then each executor writes its groups straight
-    to their final `<project>/<user>/<topic>/<timebin>.csv[.gz]` paths with
-    an atomic tmp+rename (the reference's own temp-file->store protocol,
+    fmt="csv": every non-partition column of `df` must already be a rendered
+    string (flatten(rendered=True)) — the JVM cast did the Java-toString
+    work, so this function only joins cells. fmt="json": `df` carries ONE
+    pre-rendered `line_col` (a to_json JSON-lines string per record, nesting
+    preserved — format/JsonAvroConverter.kt:30-60) and no header is written.
+
+    Compared to a partitionBy+finalize path this is one shuffle, then each
+    executor writes its groups straight to their final
+    `<project>/<user>/<topic>/<timebin>.csv[.gz|.zip]` paths with an atomic
+    tmp+rename (the reference's own temp-file->store protocol,
     worker/FileCache.kt:79,152-186) — no N-file Spark commit, no driver-side
     finalize pass. Appends to a pre-existing target by copying it into the
     tmp file first (append semantics incl. late data, SURVEY ST3).
@@ -135,23 +177,29 @@ def write_output_tree_direct(
     manifest makes whole-run retries safe.
     """
     if extension is None:
-        extension = ".csv" + (".gz" if compression == "gzip" else "")
-    gzipped = compression == "gzip"
+        extension = _FMT_EXT[fmt] + _COMP_EXT[compression]
     key_cols = list(partition_cols)
-    header_names = [c for c in df.columns if c not in set(key_cols) and c != order_col]
+    if fmt == "json":
+        header_names = [line_col]
+    else:
+        header_names = [
+            c for c in df.columns if c not in set(key_cols) and c != order_col
+        ]
     # applyInPandas resolves columns by name, which breaks on literal dotted
     # names (`key.projectId`); ship positional safe names and restore the
     # dotted header inside the writer.
     data_cols = [f"_c{i}" for i in range(len(header_names))]
     rename = dict(zip(header_names, data_cols))
+    keep = key_cols + header_names + ([order_col] if order_col else [])
     safe = df.select(
-        *[F.col(f"`{c}`").alias(rename.get(c, c)) for c in df.columns]
+        *[F.col(f"`{c}`").alias(rename.get(c, c)) for c in df.columns if c in set(keep)]
     )
     topic_idx = key_cols.index(topic_col) if topic_col in key_cols else None
     sidecar_body: str | None = None
     if value_schema is not None and topic_idx is not None:
         # topic name is substituted per group; body computed once driver-side
         sidecar_body = _avro_schema_json(value_schema, "__TOPIC_PLACEHOLDER__")
+    write_header = fmt == "csv"
 
     def write_group(keys, pdf):
         import csv as _csv
@@ -167,26 +215,19 @@ def write_output_tree_direct(
         final = os.path.join(final_dir, bin_seg + extension)
         if order_col is not None:
             pdf = pdf.sort_values(order_col)
-        body = pdf[data_cols].astype(object)
-        body = body.where(pd.notnull(body), "")
-        buf = io.StringIO()
-        w = _csv.writer(buf, lineterminator="\n", quoting=_csv.QUOTE_MINIMAL)
         exists = os.path.exists(final)
-        if not exists:
-            w.writerow(header_names)
-        w.writerows(body.values.tolist())
-        payload = buf.getvalue().encode()
-        tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
-        try:
-            if exists:
-                shutil.copyfile(final, tmp)  # keep prior rows (append)
-            opener = gzip.open if gzipped else open
-            with opener(tmp, "ab") as out:
-                out.write(payload)
-            os.replace(tmp, final)  # atomic store
-        finally:
-            if os.path.exists(tmp):
-                os.remove(tmp)
+        if fmt == "json":
+            payload = ("\n".join(pdf[data_cols[0]].tolist()) + "\n").encode()
+        else:
+            body = pdf[data_cols].astype(object)
+            body = body.where(pd.notnull(body), "")
+            buf = io.StringIO()
+            w = _csv.writer(buf, lineterminator="\n", quoting=_csv.QUOTE_MINIMAL)
+            if write_header and not exists:
+                w.writerow(header_names)
+            w.writerows(body.values.tolist())
+            payload = buf.getvalue().encode()
+        _store_payload(final, payload, compression)
         if sidecar_body is not None:
             topic = segs[topic_idx]
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
@@ -195,7 +236,7 @@ def write_output_tree_direct(
                 with open(stmp, "w") as fh:
                     fh.write(sidecar_body.replace("__TOPIC_PLACEHOLDER__", topic))
                 os.replace(stmp, sidecar)
-        return pd.DataFrame({"path": [final], "rows": [len(body)]})
+        return pd.DataFrame({"path": [final], "rows": [len(pdf)]})
 
     result = safe.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
         write_group, "path string, rows long"

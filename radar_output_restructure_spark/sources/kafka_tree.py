@@ -74,6 +74,7 @@ def read_topic_tree(
     topic: str | None = None,
     file_format: str = "parquet",
     exclude_topics: set[str] | None = None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Load a Kafka-sink tree. One scan for all topics when schemas align;
     per-topic calls when they don't (the reference always processes per-topic,
@@ -81,9 +82,15 @@ def read_topic_tree(
 
     `+tmp` directories (reference util/AvroTopicLister.kt:28) are skipped
     naturally: the glob only descends into `partition=*` directories.
+
+    `paths`: load exactly these files (the manifest-pruned candidate list) —
+    partition pruning at the source instead of a post-scan filter.
     """
-    pattern = f"{input_dir}/{topic or '*'}/partition=*/"
-    df = spark.read.format(file_format).load(pattern)
+    if paths is not None:
+        df = spark.read.format(file_format).load(paths)
+    else:
+        pattern = f"{input_dir}/{topic or '*'}/partition=*/"
+        df = spark.read.format(file_format).load(pattern)
     # partition=N discovery column may shadow the parsed kafka partition
     if "partition" in df.columns:
         df = df.drop("partition")

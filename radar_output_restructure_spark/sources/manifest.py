@@ -96,3 +96,45 @@ class ProcessedFileManifest:
         self._append("commit", [FileEntry(p, m) for p, m in sorted(state.items())])
         for seg in segments:
             os.remove(seg)
+
+
+class AttemptRegistry:
+    """Persistent schema-fingerprint -> attempt-suffix assignment per topic.
+
+    The reference evolves schemas per output file: a record whose rendered
+    schema mismatches the file header retries into `<timebin>_1`, `_2`, ...
+    (worker/RestructureWorker.kt:168-183, FixedPathFormatterPlugin.kt:36,77).
+    At file granularity the equivalent invariant is: every distinct source
+    schema fingerprint gets a stable attempt number, first-seen = 0 (no
+    suffix). Persisted as one JSON per topic next to the manifest so appends
+    across runs keep landing in the matching `_N` file.
+    """
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, topic: str) -> str:
+        return os.path.join(self.directory, f"attempts-{topic}.json")
+
+    def load(self, topic: str) -> dict[str, int]:
+        p = self._path(topic)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def assign(self, topic: str, fingerprints: list[str]) -> dict[str, int]:
+        """Attempt number for each fingerprint, allocating new ones in
+        first-seen order and persisting the updated mapping."""
+        state = self.load(topic)
+        nxt = max(state.values(), default=-1) + 1
+        for fp in fingerprints:
+            if fp not in state:
+                state[fp] = nxt
+                nxt += 1
+        tmp = self._path(topic) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(state, fh, indent=0, sort_keys=True)
+        os.replace(tmp, self._path(topic))
+        return state

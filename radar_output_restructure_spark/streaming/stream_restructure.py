@@ -1,0 +1,92 @@
+"""Structured Streaming restructure (SURVEY ST1/ST4/ST5).
+
+The reference's polling service + Redis offset accounting collapse into the
+Structured Streaming file source: its checkpointed file log IS the
+processed-file ledger (SURVEY T1-T7 — the same file-granularity exactly-once
+the batch plan's manifest provides), `maxFileAge`/listing options replace the
+storage index, and `Trigger.AvailableNow` gives drain-and-stop semantics
+while `Trigger.ProcessingTime` matches service polling.
+
+Each micro-batch reuses the UNCHANGED batch plan (`RestructurePlan.transform`
++ exact-name writer) through foreachBatch — one code path for batch and
+streaming, the Spark-idiomatic equivalent of the reference running the same
+worker from both `main` and service mode.
+
+Late data (ST3): no watermark, by design — the reference appends arbitrarily
+late records into their (old) hourly file whenever they arrive, which the
+exact-name writer's append mode reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from radar_output_restructure_spark.plans.restructure import (
+    RestructureConfig,
+    RestructurePlan,
+)
+from radar_output_restructure_spark.sinks.writers import write_output_tree_direct
+from radar_output_restructure_spark.sources.kafka_tree import with_file_metadata
+
+
+def streaming_restructure(
+    spark: SparkSession,
+    config: RestructureConfig,
+    topic: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    available_now: bool = True,
+    processing_interval: str | None = None,
+) -> StreamingQuery:
+    """Start the per-topic streaming restructure query.
+
+    One stream per topic (schemas differ per topic; the reference also
+    processes per topic). `schema` may be omitted when source files already
+    exist — it is inferred from a one-off batch read of the tree.
+    """
+    cfg = config
+    plan = RestructurePlan(spark, cfg)
+    pattern = f"{cfg.input_dir}/{topic}/partition=*/"
+    if schema is None:
+        schema = spark.read.format(cfg.source_format).load(pattern).schema
+    stream = (
+        spark.readStream.format(cfg.source_format)
+        .schema(schema)
+        .option("maxFilesPerTrigger", cfg.max_files_per_topic or 1000)
+        .load(pattern)
+    )
+    if "partition" in stream.columns:
+        stream = stream.drop("partition")
+    stream = with_file_metadata(stream.select("*", "_metadata")).drop("_metadata")
+
+    def process_batch(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flat, part_cols = plan.transform(batch_df, topic)
+        value_schema = batch_df.drop(
+            "source_file", "file_modified", "kafka_partition",
+            "offset_from", "offset_to",
+        ).schema
+        write_output_tree_direct(
+            flat,
+            cfg.output_dir,
+            part_cols,
+            fmt=cfg.output_format,
+            compression=cfg.compression,
+            topic_col="pf_topic",
+            value_schema=value_schema,
+            order_col="__pos",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()

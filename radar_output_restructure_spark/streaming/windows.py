@@ -1,0 +1,153 @@
+"""Streaming windowed aggregation + custom stateful operator (SURVEY ST2-ST4
+and the beyond-reference streaming surface).
+
+The reference's only "window" is the hourly path time-bin (G2) with no
+watermark (ST3). These operators add what a production stream over the same
+data needs:
+
+* hourly_event_counts — event-time tumbling window + watermark: the
+  watermarked variant of the G2 bin for analytics sinks (append mode emits
+  a bin once the watermark passes it; the restructure file sink stays
+  unwatermarked by design).
+* session_windows — gap-based sessionization via applyInPandasWithState:
+  the custom-stateful-operator pattern (state = open session per user,
+  emitted when `gap` passes without events or at timeout).
+
+Both work identically on batch DataFrames (window() and a groupBy-sort in
+batch mode), so tests validate semantics without a long-running query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+    watermark: str = "2 hours",
+    window_len: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window counts; watermark bounds state/late data.
+
+    On a stream: append-mode emits each (key, window) exactly once after the
+    watermark passes window end. On a batch frame: plain window aggregation
+    (withWatermark is a no-op); identical results for on-time data.
+    """
+    stream = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        stream.groupBy(*keys, F.window(F.col(ts_col), window_len).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("win.start").alias("bin_start"),
+            F.col("win.end").alias("bin_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+
+
+def _session_fn(gap_s: float):
+    """Builds the applyInPandasWithState function: one open session per key."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        gap_us = int(gap_s * 1_000_000)
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+        us = (ts.astype("int64") // 1000).tolist()
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = us[0], us[0], 0
+        closed = []
+        for t in us:
+            if t - end_us > gap_us:
+                closed.append((start_us, end_us, n))
+                start_us, n = t, 0
+            end_us = max(end_us, t)
+            n += 1
+        state.update((start_us, end_us, n))
+        state.setTimeoutDuration(int(gap_s * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _e, _n in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _s, e, _n in closed],
+                    "n_events": [n for _s, _e, n in closed],
+                }
+            )
+
+    return fn
+
+
+def session_windows(
+    df: DataFrame,
+    gap_s: float = 1800.0,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions per user.
+
+    Streaming: applyInPandasWithState (state = the open session; processing-
+    time timeout flushes idle sessions). Batch: the equivalent lag/cumsum
+    window plan — same output for the same input, used by tests and oracles.
+    """
+    if df.isStreaming:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return (
+            df.select(F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_fn(gap_s),
+                outputStructType=SESSION_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap: Column = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    new_session = (gap.isNull() | (gap > int(gap_s * 1_000_000))).cast("int")
+    sess_id = F.sum(new_session).over(
+        Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        df.withColumn("__sess", sess_id)
+        .groupBy(F.col(key_col).alias("user_id"), F.col("__sess"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sess")
+    )

@@ -1,0 +1,88 @@
+"""Cleaner lifecycle test (SURVEY §2.9 / §3.2): age+offset candidate filter,
+extraction verification via anti-join, delete-or-revoke. Models
+cleaner/SourceDataCleanerTest behavior + TimestampExtractionCheck.kt:23-106."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from radar_output_restructure_spark.plans.cleaner import CleanerConfig, SourceDataCleaner
+from radar_output_restructure_spark.plans.restructure import (
+    RestructureConfig,
+    RestructurePlan,
+)
+from tests.test_restructure_e2e import SERVER_STATUS_SCHEMA, _write_fixture
+
+
+def _rows(t0: float, n: int, status: str = "CONNECTED"):
+    return [
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=t0 + i, serverStatus=status, ipAddress=None),
+        )
+        for i in range(n)
+    ]
+
+
+def test_cleaner_deletes_extracted_keeps_max_offset(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    f1 = _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    RestructurePlan(spark, cfg).run()
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    # candidate = only f0: f1 holds the max offset of partition 0 (C1)
+    cand = cleaner.candidate_files("t")
+    assert [c.path for c in cand] == [f0]
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
+    assert not os.path.exists(f0) and os.path.exists(f1)
+
+
+def test_cleaner_revokes_unextracted(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    plan = RestructurePlan(spark, cfg)
+    finals = plan.run()["t"]
+
+    # sabotage: remove f0's target file -> its records are no longer extracted
+    target = [f for f in finals if f.endswith("19700101_0100.csv")][0]
+    os.remove(target)
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [] and result["revoked"] == [f0]
+    assert os.path.exists(f0)
+    # revocation makes the file a candidate for re-extraction (T7)
+    assert [f.path for f in plan.list_candidate_files("t")] == [f0]
+    plan2 = RestructurePlan(spark, cfg)
+    plan2.run()
+    assert os.path.exists(target)  # re-extracted
+
+
+def test_cleaner_age_gate(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    RestructurePlan(spark, cfg).run()
+    # default 7-day age: nothing qualifies
+    cleaner = SourceDataCleaner(spark, cfg)
+    assert cleaner.candidate_files("t") == []

@@ -1,0 +1,115 @@
+"""JSON-lines sink (nesting preserved, keep-first dedup, excludeFields
+pruning — SURVEY S11/P3/D4) and zip compression (S13) through the public
+RestructurePlan API. Models JsonAvroConverterTest.kt:43-80 and
+CompressionFactoryTest round-trips."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import zipfile
+
+from pyspark.sql import Row
+
+from radar_output_restructure_spark.plans.restructure import (
+    DedupConfig,
+    RestructureConfig,
+    RestructurePlan,
+)
+from tests.test_restructure_e2e import SERVER_STATUS_SCHEMA, _write_fixture
+
+
+ROWS = [
+    Row(
+        key=Row(projectId="p1", userId="u1", sourceId="s1"),
+        value=Row(time=3600.0, serverStatus="CONNECTED", ipAddress="10.0.0.1"),
+    ),
+    Row(
+        key=Row(projectId="p1", userId="u1", sourceId="s1"),
+        value=Row(time=3601.0, serverStatus="DISCONNECTED", ipAddress=None),
+    ),
+    # exact duplicate of row 0 -> keep-FIRST drops it in JSON mode
+    Row(
+        key=Row(projectId="p1", userId="u1", sourceId="s1"),
+        value=Row(time=3600.0, serverStatus="CONNECTED", ipAddress="10.0.0.1"),
+    ),
+]
+
+
+def _run(spark, tmp_path, **cfg_kw):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(spark, input_dir, "t", ROWS, 0, 0, 2, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir, **cfg_kw)
+    return RestructurePlan(spark, cfg).run()["t"]
+
+
+def test_json_lines_nested_with_nulls(spark, tmp_path):
+    finals = _run(spark, tmp_path, output_format="json")
+    assert [os.path.basename(f) for f in finals] == ["19700101_0100.json"]
+    lines = open(finals[0]).read().splitlines()
+    assert len(lines) == 3
+    rec = json.loads(lines[0])
+    # nesting preserved, field order = schema order, null explicit
+    assert rec == {
+        "key": {"projectId": "p1", "userId": "u1", "sourceId": "s1"},
+        "value": {"time": 3600.0, "serverStatus": "CONNECTED", "ipAddress": "10.0.0.1"},
+    }
+    assert json.loads(lines[1])["value"]["ipAddress"] is None
+    assert '"ipAddress":null' in lines[1]
+
+
+def test_json_dedup_keep_first(spark, tmp_path):
+    finals = _run(
+        spark, tmp_path, output_format="json", dedup=DedupConfig(enable=True)
+    )
+    lines = open(finals[0]).read().splitlines()
+    assert len(lines) == 2  # duplicate line dropped, first occurrence kept
+    assert json.loads(lines[0])["value"]["serverStatus"] == "CONNECTED"
+    assert json.loads(lines[1])["value"]["serverStatus"] == "DISCONNECTED"
+
+
+def test_json_exclude_fields_nested_prune(spark, tmp_path):
+    finals = _run(
+        spark,
+        tmp_path,
+        output_format="json",
+        exclude_fields={"value.ipAddress", "key.sourceId"},
+    )
+    rec = json.loads(open(finals[0]).read().splitlines()[0])
+    assert "ipAddress" not in rec["value"]
+    assert "sourceId" not in rec["key"]
+    assert rec["value"]["serverStatus"] == "CONNECTED"
+
+
+def test_gzip_csv_roundtrip_and_append(spark, tmp_path):
+    finals = _run(spark, tmp_path, compression="gzip")
+    assert finals[0].endswith("19700101_0100.csv.gz")
+    body = gzip.open(finals[0]).read().decode().splitlines()
+    assert body[0].startswith("key.projectId")
+    assert len(body) == 4  # header + 3 rows
+
+
+def test_zip_csv_single_entry_archive(spark, tmp_path):
+    finals = _run(spark, tmp_path, compression="zip")
+    assert finals[0].endswith("19700101_0100.csv.zip")
+    with zipfile.ZipFile(finals[0]) as zf:
+        names = zf.namelist()
+        assert names == ["19700101_0100.csv"]  # single entry, archive name base
+        body = zf.read(names[0]).decode().splitlines()
+    assert len(body) == 4 and body[0].startswith("key.projectId")
+
+
+def test_zip_json_append_across_runs(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(spark, input_dir, "t", ROWS[:1], 0, 0, 0, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, output_format="json",
+        compression="zip",
+    )
+    RestructurePlan(spark, cfg).run()
+    _write_fixture(spark, input_dir, "t", ROWS[1:2], 0, 1, 1, SERVER_STATUS_SCHEMA)
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    with zipfile.ZipFile(finals[0]) as zf:
+        body = zf.read(zf.namelist()[0]).decode().splitlines()
+    assert len(body) == 2  # old content kept, new row appended

@@ -156,3 +156,44 @@ def test_dedup_keep_last_in_pipeline(spark, tmp_path):
         "p,u,s,3603.0,B",
         "p,u,s,3601.0,B",
     ]
+
+
+def test_schema_evolution_attempt_suffix(spark, tmp_path):
+    """§1.3: a second source schema within a topic lands in `<timebin>_1.csv`
+    (RestructureWorker.kt:168-183 retry-with-attempt, at file granularity)."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0, status="A"))],
+        0, 0, 0,
+    )
+    evolved = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<time: double, status: string, battery: double>"
+    )
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3601.0, status="B", battery=0.5))],
+        0, 1, 1, evolved,
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    names = [os.path.basename(f) for f in finals]
+    assert names == ["19700101_0100.csv", "19700101_0100_1.csv"]
+    base = open(finals[0]).read().splitlines()
+    ev = open(finals[1]).read().splitlines()
+    assert base[0] == "key.projectId,key.userId,key.sourceId,value.time,value.status"
+    assert ev[0].endswith("value.battery")
+
+    # append run: a third file with the evolved schema reuses suffix _1
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3602.0, status="C", battery=0.7))],
+        0, 2, 2, evolved,
+    )
+    RestructurePlan(spark, cfg).run()
+    ev2 = open(finals[1]).read().splitlines()
+    assert len(ev2) == 3 and ev2[-1].endswith("0.7")

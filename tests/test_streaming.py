@@ -1,0 +1,119 @@
+"""Streaming surface tests (SURVEY §2.10): Structured Streaming restructure
+with checkpointed exactly-once, service loop, watermarked window agg, and the
+applyInPandasWithState session operator (streaming + batch parity)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.plans.restructure import (
+    RestructureConfig,
+    RestructurePlan,
+)
+from radar_output_restructure_spark.streaming import (
+    hourly_event_counts,
+    run_service,
+    session_windows,
+    streaming_restructure,
+)
+from tests.test_restructure_e2e import SERVER_STATUS_SCHEMA, _write_fixture
+
+
+def _rows(t0: float, n: int):
+    return [
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=t0 + i, serverStatus="CONNECTED", ipAddress=None),
+        )
+        for i in range(n)
+    ]
+
+
+def test_streaming_restructure_exactly_once(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_fixture(spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+
+    q = streaming_restructure(spark, cfg, "t", ckpt)
+    q.awaitTermination(120)
+    target = os.path.join(output_dir, "p", "u", "t", "19700101_0100.csv")
+    assert len(open(target).read().splitlines()) == 1 + 3
+
+    # second drain with the SAME checkpoint: old file not reprocessed,
+    # new file appends (the file-source log is the offset ledger, T1-T7)
+    _write_fixture(spark, input_dir, "t", _rows(3610.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA)
+    q2 = streaming_restructure(spark, cfg, "t", ckpt)
+    q2.awaitTermination(120)
+    assert len(open(target).read().splitlines()) == 1 + 5
+
+
+def test_service_loop_incremental(spark, tmp_path):
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(spark, input_dir, "t", _rows(3600.0, 2), 0, 0, 1, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    seen = []
+    n = run_service(
+        spark, cfg, interval_s=0.0, max_iterations=2,
+        on_cycle=lambda i, r: seen.append(r["restructure"]["t"]),
+        sleep=lambda s: None,
+    )
+    assert n == 2
+    assert len(seen[0]) == 1  # first cycle wrote the bin
+    assert seen[1] == []  # second cycle: conflated no-op (manifest prune)
+
+
+def test_hourly_event_counts_batch(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 00:50:00"),
+         (1, "2024-01-01 01:10:00"), (2, "2024-01-01 00:20:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r.user_id, str(r.bin_start)): r.n_events
+        for r in hourly_event_counts(df).collect()
+    }
+    assert out == {
+        (1, "2024-01-01 00:00:00"): 2,
+        (1, "2024-01-01 01:00:00"): 1,
+        (2, "2024-01-01 00:00:00"): 1,
+    }
+
+
+def test_session_windows_batch(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 60.0), (1, 4000.0), (2, 10.0)], "user_id long, t double"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = sorted(
+        (r.user_id, r.n_events) for r in session_windows(df, gap_s=1800).collect()
+    )
+    # user 1: [0,60] and [4000]; user 2: [10]
+    assert out == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_session_windows_streaming_state(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 60.0), (1, 4000.0)], "user_id long, t double"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    )
+    q = (
+        session_windows(stream, gap_s=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sessions_out").collect()
+    # the first session (2 events) closed when the 4000s event arrived;
+    # the second stays open in state awaiting timeout
+    assert [(r.user_id, r.n_events) for r in rows] == [(1, 2)]
