@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from radar_output_restructure_spark import queries as q  # noqa: E402
 from radar_output_restructure_spark import queries_docs  # noqa: E402,F401  (registers doc queries)
 from radar_output_restructure_spark import queries_sim  # noqa: E402,F401  (registers sim queries)
+from radar_output_restructure_spark import queries_stream  # noqa: E402,F401  (registers streaming/session queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

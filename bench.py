@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "simhash_docs",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "session_windows_events",
+    "hourly_event_counts",
     "multimodal_features",
 ]
 

@@ -57,6 +57,14 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def ascii_ratio(b: bytes) -> float:
+            if not b:
+                return 0.0
+            arr = np.frombuffer(b, dtype=np.uint8)
+            return round(float((arr < 128).mean()), 6)
+
         for pdf in it:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -64,9 +72,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "doc_id": pdf[id_col],
                     "n_bytes": payloads.map(len),
                     "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "ascii_ratio": payloads.map(
-                        lambda b: round(sum(x < 128 for x in bytes(b)) / max(len(b), 1), 6)
-                    ),
+                    "ascii_ratio": payloads.map(lambda b: ascii_ratio(bytes(b))),
                 }
             )
 

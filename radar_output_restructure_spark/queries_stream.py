@@ -1,0 +1,135 @@
+"""Sessionization / windowed-aggregation / embedding-near-dup queries.
+
+Streaming operators are validated through their batch-equivalent plans
+(streaming/windows.py builds both from the same semantics), so each gets a
+full DuckDB oracle like every other registry entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.operators.similarity import (
+    cosine,
+    hyperplane_lsh_buckets,
+)
+from radar_output_restructure_spark.queries import register
+from radar_output_restructure_spark.queries_sim import (
+    _SQL_BUCKETS_UNION,
+    _SQL_CNORM,
+    _SQL_DOT,
+    _SQL_QNORM,
+    NUM_PLANES,
+    NUM_TABLES,
+)
+from radar_output_restructure_spark.sources.tables import load_table
+from radar_output_restructure_spark.streaming.windows import (
+    hourly_event_counts,
+    session_windows,
+)
+
+SESSION_GAP_S = 3600
+
+
+@register(
+    "session_windows_events",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > {SESSION_GAP_S * 1_000_000}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (1 h idle closes a session) — the batch plan of the
+    applyInPandasWithState streaming operator (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev, gap_s=SESSION_GAP_S)
+
+
+@register(
+    "hourly_event_counts",
+    """
+    SELECT user_id,
+           date_trunc('hour', ts) AS bin_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS bin_end,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling hourly window (the watermarked streaming agg's
+    batch plan, SURVEY ST2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_event_counts(ev)
+
+
+NEAR_DUP_COSINE = 0.4
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH b AS (
+{_SQL_BUCKETS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c USING (tbl, bucket)
+      WHERE a.vec_id < c.vec_id
+    ),
+    sims AS (
+      SELECT vec_a, vec_b,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, sim FROM sims WHERE sim >= {NEAR_DUP_COSINE}
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: hyperplane-LSH bucket
+    candidates over the WHOLE corpus, exact cosine verification — the
+    embedding analog of MinHash near-dup (candidates per bucket, never
+    all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = hyperplane_lsh_buckets(
+        emb, num_planes=NUM_PLANES, num_tables=NUM_TABLES
+    )
+    cand = (
+        cb.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+        .join(
+            cb.select(F.col("vec_id").alias("vec_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("cv"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= NEAR_DUP_COSINE)
+    )
