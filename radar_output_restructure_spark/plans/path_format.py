@@ -67,6 +67,11 @@ class PathFormat:
     time_bin_format: str = DEFAULT_BIN_FORMAT
     extension: str = ".csv"
     mp_dim: DataFrame | None = None
+    # U1/U4 plugin surface (path/PathFormatterPlugin.kt:8-106, README.md:278-291
+    # custom RecordPathFactory): user-registered `${name}` resolvers. Each
+    # callable gets (df, event_ts) and returns the segment Column — the
+    # Spark-first equivalent of a plugin class, still fully inside Catalyst.
+    custom_params: dict = field(default_factory=dict)
     _params: list[str] = field(init=False)
 
     def __post_init__(self) -> None:
@@ -112,6 +117,8 @@ class PathFormat:
         if param.startswith("mp:"):
             # resolved post-join: the broadcast join materializes mp_<attr>
             return F.coalesce(F.col(f"mp_{param[3:]}").cast("string"), F.lit("unknown"))
+        if param in self.custom_params:
+            return self.custom_params[param](df, event_ts).cast("string")
         raise ValueError(f"unknown path parameter ${{{param}}}")
 
     def apply(

@@ -78,6 +78,8 @@ class RestructureConfig:
     exclude_fields: set[str] = field(default_factory=set)
     dedup: DedupConfig = field(default_factory=DedupConfig)
     topics: dict[str, TopicConfig] = field(default_factory=dict)
+    # U1/U4: custom `${name}` path resolvers, name -> fn(df, event_ts) -> Column
+    path_params: dict = field(default_factory=dict)
     max_files_per_topic: int | None = None
     minimum_file_age_s: float = 0.0
     source_format: str = "parquet"  # avro on a real cluster
@@ -92,7 +94,11 @@ class RestructurePlan:
         for fmt in [config.path_format] + [
             t.path_format for t in config.topics.values() if t.path_format
         ]:
-            PathFormat(fmt=fmt, time_bin_format=config.time_bin_format)
+            PathFormat(
+                fmt=fmt,
+                time_bin_format=config.time_bin_format,
+                custom_params=config.path_params,
+            )
         self.manifest = ProcessedFileManifest(
             os.path.join(config.output_dir, "offsets")
         )
@@ -157,6 +163,7 @@ class RestructurePlan:
             fmt=tcfg.path_format or cfg.path_format,
             time_bin_format=cfg.time_bin_format,
             extension="",
+            custom_params=cfg.path_params,
         )
         ts = event_time(df)
         df, part_cols = fmt.partition_columns(df, ts)
