@@ -197,3 +197,48 @@ def test_schema_evolution_attempt_suffix(spark, tmp_path):
     RestructurePlan(spark, cfg).run()
     ev2 = open(finals[1]).read().splitlines()
     assert len(ev2) == 3 and ev2[-1].endswith("0.7")
+
+
+def test_all_types_pipeline_golden(spark, tmp_path):
+    """All-types end-to-end (the reference's full.avsc/full.json fixture,
+    CsvAvroConverterTest.kt): map keys and array indices become data-dependent
+    columns; bytes render base64-unpadded; booleans lowercase; floats/doubles
+    Java toString."""
+    from pyspark.sql import Row
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    schema = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<time: double, s: string, b: binary, f: float, i: int, "
+        "flag: boolean, m: map<string,int>, arr: array<string>>"
+    )
+    rows = [
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(
+                time=3600.0, s="hello, world", b=bytearray(b"\xff\x01"),
+                f=0.1213231, i=7, flag=True,
+                m={"beta": 2, "alpha": 1}, arr=["x", "y"],
+            ),
+        ),
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(
+                time=3601.0, s=None, b=None, f=None, i=None, flag=False,
+                m={"alpha": 9}, arr=["z"],
+            ),
+        ),
+    ]
+    _write_fixture(spark, input_dir, "full", rows, 0, 0, 1, schema)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    finals = RestructurePlan(spark, cfg).run()["full"]
+    lines = open(finals[0]).read().splitlines()
+    assert lines[0] == (
+        "key.projectId,key.userId,key.sourceId,value.time,value.s,value.b,"
+        "value.f,value.i,value.flag,value.m.alpha,value.m.beta,"
+        "value.arr.0,value.arr.1"
+    )
+    # quoted comma cell, unpadded base64 of ff01, float via Float.toString
+    assert lines[1] == 'p,u,s,3600.0,"hello, world",/wE,0.1213231,7,true,1,2,x,y'
+    # nulls -> empty cells; absent map key / short array -> empty
+    assert lines[2] == "p,u,s,3601.0,,,,,false,9,,z,"
