@@ -29,12 +29,13 @@ def _dot(a: Column, b: Column, dims: int | None = None) -> Column:
 
     Two physical forms with bit-identical results (same fold order):
 
-    * dims=None — zip_with+aggregate lambda. Interpreted (no codegen), but
-      zero compile cost: right when rows are few or the plan runs once.
-    * dims=N — unrolled element_at sum. Whole-stage codegen'd, ~10x faster
-      per row, but each distinct plan pays ~1-2 s of JIT compile for the
-      wide expression: right for row-heavy plans (full-corpus scoring at
-      real scale), wrong for small candidate sets.
+    * dims=None (default) — zip_with+aggregate higher-order fold. Measured
+      FASTER at every scale tried (sf0.1, 600k pairs x 64 dims): the fold
+      runs on primitive double arrays inside the JVM, while the unrolled
+      alternative blows up generated-code size (192 element_at terms per
+      cosine) past what JIT handles well.
+    * dims=N — unrolled element_at sum, kept for plans where codegen
+      profiling shows the fold dominating; measure before switching.
     """
     if dims is not None:
         acc: Column = F.lit(0.0)
