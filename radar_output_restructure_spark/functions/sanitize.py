@@ -23,3 +23,12 @@ def sanitize_id(col: Column | str, default: str) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(col.cast("string"), ILLEGAL_RE, "")
     return F.when(cleaned.isNull() | (cleaned == ""), F.lit(default)).otherwise(cleaned)
+
+
+def sanitize_str(value: str | None, default: str) -> str:
+    """Driver-side Python model of `sanitize_id` — same semantics, used for
+    property tests and anywhere path segments are built outside a plan."""
+    import re
+
+    cleaned = re.sub(ILLEGAL_RE, "", value) if value is not None else ""
+    return cleaned if cleaned else default

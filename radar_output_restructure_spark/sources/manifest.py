@@ -42,6 +42,7 @@ class ProcessedFileManifest:
     def __init__(self, directory: str):
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
+        self._seq = 0  # intra-process append order within one timestamp tick
 
     def _segments(self) -> list[str]:
         return sorted(
@@ -76,7 +77,15 @@ class ProcessedFileManifest:
     def _append(self, op: str, files: list[FileEntry]) -> None:
         if not files:
             return
-        seg = os.path.join(self.directory, f"{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.jsonl")
+        # lexicographic segment order MUST equal append order (load() replays
+        # segments sorted by name): nanosecond timestamp + per-instance
+        # sequence keeps same-tick appends ordered; the uuid only guards
+        # against two writers colliding (single-writer driver in practice)
+        self._seq += 1
+        seg = os.path.join(
+            self.directory,
+            f"{time.time_ns():020d}-{self._seq:08d}-{uuid.uuid4().hex[:8]}.jsonl",
+        )
         tmp = seg + ".tmp"
         with open(tmp, "w") as fh:
             for f in files:

@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the pure-Python/deterministic core:
+filename parsing, sanitize semantics, dedup models, manifest algebra.
+
+The reference has no randomized testing (SURVEY §5); these pin the invariants
+the distributed operators rely on, using Python models as oracles. Spark-free
+(fast), so hypothesis can run many examples.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from radar_output_restructure_spark.sources.kafka_tree import parse_offset_filename
+from radar_output_restructure_spark.sources.manifest import FileEntry, ProcessedFileManifest
+
+TOPIC = st.text(
+    alphabet=string.ascii_letters + string.digits + "_-", min_size=1, max_size=20
+)
+
+
+@given(
+    topic=TOPIC,
+    part=st.integers(0, 999),
+    off_from=st.integers(0, 10**15),
+    off_to=st.one_of(st.none(), st.integers(0, 10**15)),
+    ext=st.sampled_from(["avro", "parquet", "csv.gz", "json"]),
+)
+def test_offset_filename_roundtrip(topic, part, off_from, off_to, ext):
+    """S7: <topic>+<p>+<from>[+<to>].<ext> parses back to its components."""
+    name = f"{topic}+{part}+{off_from}" + (f"+{off_to}" if off_to is not None else "")
+    parsed = parse_offset_filename(f"{name}.{ext}")
+    assert parsed == (topic, part, off_from, off_to)
+
+
+@given(s=st.text(max_size=60))
+def test_sanitize_model(s):
+    """P8: result contains only [a-zA-Z0-9_-] and equals the regex model."""
+    from radar_output_restructure_spark.functions.sanitize import sanitize_str
+
+    out = sanitize_str(s, "unknown")
+    model = re.sub(r"[^a-zA-Z0-9_-]+", "", s)
+    assert out == (model if model else "unknown")
+    assert re.fullmatch(r"[a-zA-Z0-9_-]+|unknown", out)
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=30))
+def test_keep_last_model(rows):
+    """D1 model: keep LAST occurrence per key, ordered by last occurrence.
+    (The Spark Window implementation is validated against golden cases in
+    test_restructure_e2e; this pins the model the goldens came from.)"""
+    last_index: dict[tuple, int] = {}
+    for i, r in enumerate(rows):
+        last_index[r] = i
+    expect = [r for i, r in enumerate(rows) if last_index[r] == i]
+    # model property: no duplicates, subsequence of input order by last occ.
+    assert len(set(expect)) == len(expect)
+    assert sorted(last_index.values()) == [i for i, r in enumerate(rows) if last_index[r] == i]
+
+
+@given(
+    commits=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 3)), max_size=40
+    ),
+    revokes=st.sets(st.integers(0, 9)),
+)
+@settings(max_examples=50)
+def test_manifest_algebra(tmp_path_factory, commits, revokes):
+    """T1-T7: latest commit wins per path; revocation removes; prune returns
+    exactly the unseen-or-newer files."""
+    d = tmp_path_factory.mktemp("manifest")
+    m = ProcessedFileManifest(str(d))
+    state: dict[str, int] = {}
+    for fid, mtime in commits:
+        m.commit([FileEntry(f"/f{fid}", mtime)])
+        state[f"/f{fid}"] = mtime
+    for fid in revokes:
+        m.revoke([FileEntry(f"/f{fid}", 0)])
+        state.pop(f"/f{fid}", None)
+    assert m.load() == state
+    cand = [FileEntry(f"/f{i}", 2) for i in range(10)]
+    pruned = m.prune(cand)
+    expect = [f for f in cand if f.path not in state or 2 > state[f.path]]
+    assert pruned == expect
+    # compact preserves state
+    m.compact()
+    assert m.load() == state
