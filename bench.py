@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q18_large_orders",
     "doc_token_stats",
     "doc_quality",
     "dedup_exact_docs",
@@ -56,6 +58,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dup_pairs",
     "session_windows_events",
     "hourly_event_counts",

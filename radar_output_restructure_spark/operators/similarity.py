@@ -187,3 +187,81 @@ def cosine_topk_lsh(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(vec_id, cell, cell_rank): the `nprobe` nearest coarse cells per
+    vector, ranked by cosine to the (broadcast) centroid set.
+
+    The IVF coarse quantizer: corpus vectors index with nprobe=1 (their one
+    home cell); queries probe several. Determinism: cosine rounded to 6
+    decimals, centroid id breaks ties. At scale the corpus assignment is a
+    map-only broadcast loop written once and bucket-partitioned on disk by
+    `cell`, so probing reads only the matching buckets.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    )
+    scored = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("aff"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("vec_id", "cell", "cell_rank")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus (one cell per
+    vector), probe the query's `nprobe` nearest cells, exact cosine re-rank
+    inside the probed cells. The complement of the LSH path: recall comes
+    from probing more cells instead of more hash tables."""
+    corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    query_cells = ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sims = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -650,3 +650,81 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "tpch_q6_forecast",
+    """
+    SELECT sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+             AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-heavy scan-aggregate (TPC-H Q6 shape): every predicate pushes
+    into the parquet scan; the agg is a two-value partial -> single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_cents,
+           CAST(round(sum(l.l_quantity), 0) AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN big ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-order customers (TPC-H Q18 shape): semi-join against a
+    partially-aggregated HAVING set, then dim joins — the big-side shuffle
+    happens once on l_orderkey and AQE broadcasts the filtered order set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        orders.join(big, orders.o_orderkey == F.col("big_orderkey"))
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(li.alias("l2"), F.col("l2.l_orderkey") == orders.o_orderkey)
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            cents(F.col("o_totalprice")).alias("totalprice_cents"),
+        )
+        .agg(F.round(F.sum("l2.l_quantity"), 0).cast("long").alias("sum_qty"))
+    )

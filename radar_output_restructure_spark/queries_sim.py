@@ -297,3 +297,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     withbin = attach_binary_payload(docs)
     return extract_features(withbin).select("doc_id", "n_bytes", "digest")
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: coarse quantizer cells + probe + exact re-rank
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+NPROBE = 4
+
+# cosine(vec, centroid) fragments over aliased columns v / centroid
+_SQL_IVF_DOT = (
+    "list_sum([CAST(v[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
+    f"for i in range(1, {DIMS + 1})])"
+)
+_SQL_IVF_VNORM = f"sqrt(list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
+_SQL_IVF_CNORM = f"sqrt(list_sum([CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
+
+
+def _sql_ivf_cells(source_filter: str, nprobe: int) -> str:
+    return f"""
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY round(({_SQL_IVF_DOT}) / ({_SQL_IVF_VNORM} * {_SQL_IVF_CNORM}), 6) DESC,
+                          c.cell ASC) AS r
+        FROM (SELECT vec_id, embedding AS v FROM embeddings {source_filter}) s
+        CROSS JOIN (SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+                    WHERE vec_id < {N_CENTROIDS}) c
+      ) WHERE r <= {nprobe}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH corpus_cells AS ({_sql_ivf_cells("", 1)}),
+    query_cells AS ({_sql_ivf_cells(f"WHERE vec_id < {N_QUERIES}", NPROBE)}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM corpus_cells c JOIN query_cells q USING (cell)
+      WHERE c.vec_id != q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = neighbor_id
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 16 deterministic coarse centroids (first 16 vectors
+    standing in for a k-means codebook), corpus indexed to its home cell,
+    queries probe 4 cells, exact cosine re-rank — the bucket-partitioned
+    complement of the multi-table LSH path (operators/similarity.py
+    cosine_topk_ivf)."""
+    from radar_output_restructure_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    return cosine_topk_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        centroids,
+        k=TOP_K,
+        nprobe=NPROBE,
+    )
