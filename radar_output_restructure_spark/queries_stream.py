@@ -107,6 +107,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates over the WHOLE corpus, exact cosine verification — the
     embedding analog of MinHash near-dup (candidates per bucket, never
     all-pairs)."""
+    from radar_output_restructure_spark.operators.similarity import _dot, _norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     cb = hyperplane_lsh_buckets(
         emb, num_planes=NUM_PLANES, num_tables=NUM_TABLES
@@ -121,15 +123,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("cv"))
+    # norms once per VECTOR, not per pair: same double values (identical
+    # fold), one third of the per-pair array work
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= NEAR_DUP_COSINE)
     )

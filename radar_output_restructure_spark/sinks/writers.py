@@ -241,7 +241,19 @@ def write_output_tree_direct(
     result = safe.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
         write_group, "path string, rows long"
     )
-    return sorted(r.path for r in result.collect())
+    # AQE coalesces shuffle partitions by BYTE size, but this stage's cost is
+    # per-output-FILE (open/rename/sidecar), not per byte — a few MB of
+    # rendered rows can fan out to thousands of files, and coalescing to one
+    # partition serializes them (measured 3x slower at 7200 files). Scope-
+    # disable coalescing for just this action.
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return sorted(r.path for r in result.collect())
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_output_tree(
