@@ -155,8 +155,16 @@ def jaccard_for_pairs(
     """Exact Jaccard for a GIVEN candidate-pair set (doc_a, doc_b).
 
     The LSH verify step: instead of the all-pairs inverted-index join, the
-    (small) candidate list broadcasts against the shingle table twice —
-    work is proportional to candidates, not corpus^2."""
+    corpus is first semi-joined down to the documents that appear in any
+    candidate pair (broadcast — the pair list is small by construction), so
+    shingling and the intersection join touch only candidate docs. Work is
+    proportional to candidates, not corpus^2."""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    df = df.join(F.broadcast(cand_docs), id_col, "left_semi")
     ex = _exploded_shingles(df, text_col, id_col, k)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     p = F.broadcast(pairs.select("doc_a", "doc_b"))

@@ -86,3 +86,22 @@ def test_cleaner_age_gate(spark, tmp_path):
     # default 7-day age: nothing qualifies
     cleaner = SourceDataCleaner(spark, cfg)
     assert cleaner.candidate_files("t") == []
+
+
+def test_cleaner_json_target_verification(spark, tmp_path):
+    """C2 over JSON-lines targets: time extracted via get_json_object on
+    both sides (source line rendering vs target file rows)."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, output_format="json"
+    )
+    RestructurePlan(spark, cfg).run()
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
