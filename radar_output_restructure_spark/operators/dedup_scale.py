@@ -159,6 +159,12 @@ def jaccard_for_pairs(
     candidate pair (broadcast — the pair list is small by construction), so
     shingling and the intersection join touch only candidate docs. Work is
     proportional to candidates, not corpus^2."""
+    # the pair list is referenced by every branch below (sizes, both sides of
+    # the intersection, the doc filter); without a materialization barrier
+    # Spark inlines the ENTIRE candidate-generation subplan into each use
+    # (measured 22 scans / 47 shuffles for the LSH query). localCheckpoint
+    # computes it once — it is small by construction (LSH-bucketed).
+    pairs = pairs.localCheckpoint(eager=False)
     cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
@@ -193,21 +199,21 @@ def jaccard_for_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_wide(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """(doc, seed, minhash): n seeded min-hashes per document.
+    """(doc, m0..m{n-1}): the MinHash signature as one row per document.
 
     Each shingle is md5-hashed ONCE (h0); the n seeded hashes are affine
     permutations (A_i*h0+B_i) mod p — pure integer arithmetic, so the plan is
     explode(shingles) -> one groupBy(doc) carrying n min-aggregates
-    (map-side partial min, single shuffle, no row blowup), then an unpivot to
-    long form. At 100 TB this shuffles one row per document, not one per
-    (shingle x seed)."""
+    (map-side partial min, single shuffle, no row blowup). At 100 TB this
+    shuffles one row per document, not one per (shingle x seed). Wide form is
+    the primitive: banding and similarity read it without re-aggregation."""
     ex = _exploded_shingles(df, text_col, id_col, k)
     h0 = horner_fold(F.md5(F.col("shingle")), HASH_CHARS)
     ex = ex.withColumn("h0", h0)
@@ -215,7 +221,18 @@ def minhash_signatures(
     for i in range(num_hashes):
         a, b = minhash_seed_coeffs(i)
         aggs.append(F.min((F.col("h0") * a + b) % FP_PRIME).alias(f"m{i}"))
-    wide = ex.groupBy("doc").agg(*aggs)
+    return ex.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(doc, seed, minhash): long-form unpivot of `minhash_wide`."""
+    wide = minhash_wide(df, text_col, id_col, k, num_hashes)
     sig = F.explode(
         F.array(
             *[
@@ -229,27 +246,37 @@ def minhash_signatures(
     return wide.select("doc", sig).select("doc", "s.seed", "s.minhash")
 
 
+def band_hashes(wide: DataFrame, num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """(doc, band, band_hash) from a WIDE signature frame — a pure projection
+    (one tiny explode of `bands` structs), no re-aggregation of signatures.
+
+    band key = md5 of the sorted "seed:minhash" strings of the band, matching
+    the long-form/list_sort oracle rendering exactly.
+    """
+    structs = []
+    for band in range(num_hashes // rows_per_band):
+        seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
+        entries = F.array(
+            *[F.concat_ws(":", F.lit(str(s)), F.col(f"m{s}")) for s in seeds]
+        )
+        bh = F.md5(F.concat_ws(",", F.sort_array(entries)))
+        structs.append(F.struct(F.lit(band).alias("band"), bh.alias("band_hash")))
+    return wide.select(
+        "doc", F.explode(F.array(*structs)).alias("b")
+    ).select("doc", "b.band", "b.band_hash")
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = 4,
+    wide: DataFrame,
+    num_hashes: int = 8,
     rows_per_band: int = 2,
 ) -> DataFrame:
     """Docs sharing at least one LSH band bucket (candidate near-duplicates).
 
-    band key = md5 of the band's minhash values; the self-join runs per
-    (band_id, band_hash) bucket — the LSH trick that replaces all-pairs.
+    Input is the `minhash_wide` frame; the self-join runs per
+    (band, band_hash) bucket — the LSH trick that replaces all-pairs.
     """
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",", F.sort_array(F.collect_list(F.concat_ws(":", "seed", "minhash")))
-                )
-            ).alias("band_hash")
-        )
-    )
+    banded = band_hashes(wide, num_hashes, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "band_hash"])

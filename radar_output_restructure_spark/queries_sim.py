@@ -15,6 +15,7 @@ from radar_output_restructure_spark.operators.dedup_scale import (
     HASH_CHARS,
     jaccard_for_pairs,
     lsh_candidate_pairs,
+    minhash_wide,
     minhash_seed_coeffs,
     minhash_signatures,
     simhash,
@@ -107,8 +108,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scalable near-dup path: candidate generation per band bucket, exact
     verification restricted to (broadcast) candidates, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    sigs = minhash_signatures(docs, num_hashes=NUM_HASHES)
-    cand = lsh_candidate_pairs(sigs, rows_per_band=ROWS_PER_BAND)
+    wide = minhash_wide(docs, num_hashes=NUM_HASHES)
+    cand = lsh_candidate_pairs(wide, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND)
     return (
         jaccard_for_pairs(docs, cand)
         .filter(F.col("jaccard") >= 0.5)

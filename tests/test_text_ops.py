@@ -11,6 +11,7 @@ from radar_output_restructure_spark.operators.dedup_scale import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_wide,
     shingles,
     simhash,
 )
@@ -78,9 +79,10 @@ def test_minhash_identical_docs_share_all_bands(spark):
             Row(doc_id=3, text="totally different words here now ok"),
         ]
     )
-    sigs = minhash_signatures(df, num_hashes=4)
-    assert sigs.count() == 12
-    pairs = lsh_candidate_pairs(sigs, rows_per_band=2).collect()
+    sigs = minhash_wide(df, num_hashes=4)
+    assert sigs.count() == 3 and len(sigs.columns) == 5  # doc + m0..m3
+    assert minhash_signatures(df, num_hashes=4).count() == 12
+    pairs = lsh_candidate_pairs(sigs, num_hashes=4, rows_per_band=2).collect()
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
 
 
