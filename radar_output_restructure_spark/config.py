@@ -1,0 +1,138 @@
+"""YAML configuration loader accepting the reference's `restructure.yml`
+shape (config/RestructureConfig.kt:60-65, restructure.yml in the reference
+repo), so an existing deployment's config ports over unchanged where the
+concept survives the engine swap:
+
+* paths.inputs / paths.output         -> input dirs + output dir
+* format.type / deduplication /
+  excludeFields                       -> output_format, DedupConfig, excludes
+* compression.type                    -> gzip | zip | None
+* worker.maxFilesPerTopic /
+  minimumFileAge / enable             -> listing limits
+* topics.<name>.*                     -> per-topic TopicConfig (exclude,
+                                         excludeFromDelete, pathProperties.
+                                         format, deduplication, excludeFields)
+* paths.properties.format /
+  timeBinFormat                       -> the `${...}` path DSL
+* cleaner.enable / interval / age     -> CleanerConfig + service scheduling
+* service.enable / interval           -> polling loop (streaming/service.py)
+
+Dropped concepts (documented, not errors): `redis.*` (the file manifest
+replaces Redis offsets/locks), `worker.cacheSize`/`cacheOffsetsSize`
+(Spark manages memory), `source.s3|azure` credentials (storage access is
+Hadoop filesystem configuration — s3a:// / abfs:// URIs in paths.inputs),
+`source.index` intervals (driver listing + manifest).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from radar_output_restructure_spark.plans.cleaner import CleanerConfig
+from radar_output_restructure_spark.plans.restructure import (
+    DedupConfig,
+    RestructureConfig,
+    TopicConfig,
+)
+
+
+@dataclass
+class ServiceConfig:
+    """config/ServiceConfig.kt + CleanerConfig.kt scheduling knobs."""
+
+    enable: bool = False
+    interval_s: float = 300.0
+    cleaner_enable: bool = False
+    cleaner_interval_s: float = 1260.0
+    worker_enable: bool = True
+
+
+@dataclass
+class AppConfig:
+    inputs: list[str] = field(default_factory=list)
+    restructure: RestructureConfig = field(default_factory=RestructureConfig)
+    cleaner: CleanerConfig = field(default_factory=CleanerConfig)
+    service: ServiceConfig = field(default_factory=ServiceConfig)
+
+    def for_input(self, input_dir: str) -> RestructureConfig:
+        """The per-input plan config (the reference iterates inputs too)."""
+        import copy
+
+        cfg = copy.copy(self.restructure)
+        cfg.input_dir = input_dir
+        return cfg
+
+
+def _dedup(d: dict | None, default: DedupConfig | None = None) -> DedupConfig | None:
+    if not d:
+        return default
+    return DedupConfig(
+        enable=bool(d.get("enable", False)),
+        distinct_fields=list(d["distinctFields"]) if d.get("distinctFields") else None,
+        ignore_fields=list(d["ignoreFields"]) if d.get("ignoreFields") else None,
+    )
+
+
+def load_config(path: str) -> AppConfig:
+    import yaml
+
+    with open(path) as fh:
+        raw = yaml.safe_load(fh) or {}
+
+    fmt = raw.get("format") or {}
+    comp = (raw.get("compression") or {}).get("type", "none")
+    comp = None if comp in (None, "none") else str(comp).lower()
+    worker = raw.get("worker") or {}
+    paths = raw.get("paths") or {}
+    path_props = paths.get("properties") or {}
+    svc = raw.get("service") or {}
+    cln = raw.get("cleaner") or {}
+
+    topics: dict[str, TopicConfig] = {}
+    for name, t in (raw.get("topics") or {}).items():
+        t = t or {}
+        topics[name] = TopicConfig(
+            exclude=bool(t.get("exclude", False)),
+            exclude_from_delete=bool(t.get("excludeFromDelete", False)),
+            path_format=(t.get("pathProperties") or {}).get("format"),
+            dedup=_dedup(t.get("deduplication")),
+            exclude_fields=set(t.get("excludeFields") or ()),
+        )
+
+    restructure = RestructureConfig(
+        output_dir=str(paths.get("output", "output")),
+        path_format=path_props.get(
+            "format", "${projectId}/${userId}/${topic}/${filename}"
+        ),
+        time_bin_format=path_props.get("timeBinFormat", "yyyyMMdd_HH'00'"),
+        output_format=str(fmt.get("type", "csv")).lower(),
+        compression=comp,
+        exclude_fields=set(fmt.get("excludeFields") or ()),
+        dedup=_dedup(fmt.get("deduplication"), DedupConfig()) or DedupConfig(),
+        topics=topics,
+        max_files_per_topic=worker.get("maxFilesPerTopic"),
+        minimum_file_age_s=float(worker.get("minimumFileAge", 60)),
+    )
+    return AppConfig(
+        inputs=[str(p) for p in (paths.get("inputs") or [])],
+        restructure=restructure,
+        cleaner=CleanerConfig(age_days=float(cln.get("age", 7))),
+        service=ServiceConfig(
+            enable=bool(svc.get("enable", False)),
+            interval_s=float(svc.get("interval", 300)),
+            cleaner_enable=bool(cln.get("enable", False)),
+            cleaner_interval_s=float(cln.get("interval", 1260)),
+            worker_enable=bool(worker.get("enable", True)),
+        ),
+    )
+
+
+def apply_env(cfg: AppConfig, env: dict[str, str] | None = None) -> AppConfig:
+    """RestructureConfig.kt:36-58 withEnv analog for the surviving knobs."""
+    env = os.environ if env is None else env
+    if env.get("RADAR_OUTPUT_DIR"):
+        cfg.restructure.output_dir = env["RADAR_OUTPUT_DIR"]
+    if env.get("RADAR_INPUT_DIRS"):
+        cfg.inputs = env["RADAR_INPUT_DIRS"].split(",")
+    return cfg

@@ -1,0 +1,107 @@
+"""YAML config loader + CLI entry tests (reference restructure.yml shape,
+Application.kt lifecycle)."""
+
+from __future__ import annotations
+
+import os
+
+from radar_output_restructure_spark.config import load_config
+
+SAMPLE_YAML = """
+service:
+  enable: false
+  interval: 30
+compression:
+  type: gzip
+format:
+  type: csv
+  deduplication:
+    enable: true
+    distinctFields: [key.sourceId, value.time]
+  excludeFields: [value.ipAddress]
+worker:
+  enable: true
+  numThreads: 2
+  maxFilesPerTopic: 7
+  minimumFileAge: 0
+cleaner:
+  enable: true
+  interval: 1260
+  age: 3
+paths:
+  inputs: [/testIn]
+  output: /out
+  properties:
+    format: ${projectId}/${userId}/${topic}/${filename}
+    timeBinFormat: yyyyMMdd_HH'00'
+topics:
+  skip_me:
+    exclude: true
+  special:
+    pathProperties:
+      format: ${projectId}/${userId}/${topic}/${value:serverStatus}/${filename}
+    deduplication:
+      enable: false
+    excludeFields: [value.debug]
+redis:
+  uri: redis://ignored:6379
+"""
+
+
+def test_load_reference_shaped_yaml(tmp_path):
+    p = tmp_path / "restructure.yml"
+    p.write_text(SAMPLE_YAML)
+    cfg = load_config(str(p))
+    assert cfg.inputs == ["/testIn"]
+    r = cfg.restructure
+    assert r.output_dir == "/out"
+    assert r.output_format == "csv" and r.compression == "gzip"
+    assert r.dedup.enable and r.dedup.distinct_fields == ["key.sourceId", "value.time"]
+    assert r.exclude_fields == {"value.ipAddress"}
+    assert r.max_files_per_topic == 7 and r.minimum_file_age_s == 0
+    assert r.topics["skip_me"].exclude
+    sp = r.topics["special"]
+    assert sp.path_format.endswith("${value:serverStatus}/${filename}")
+    assert sp.dedup is not None and not sp.dedup.enable
+    assert sp.exclude_fields == {"value.debug"}
+    assert cfg.cleaner.age_days == 3
+    assert cfg.service.cleaner_enable and cfg.service.cleaner_interval_s == 1260
+    assert not cfg.service.enable and cfg.service.interval_s == 30
+
+
+def test_cli_end_to_end(tmp_path, spark):
+    """`python -m` main() against a fixture tree (single batch run)."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark import __main__ as cli
+    from tests.test_restructure_e2e import SERVER_STATUS_SCHEMA, _write_fixture
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    rows = [
+        Row(key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=3600.0, serverStatus="CONNECTED", ipAddress="10.0.0.1"))
+    ]
+    _write_fixture(spark, input_dir, "t", rows, 0, 0, 0, SERVER_STATUS_SCHEMA)
+    cfgfile = tmp_path / "c.yml"
+    cfgfile.write_text(
+        f"""
+format:
+  type: csv
+worker:
+  minimumFileAge: 0
+paths:
+  inputs: [{input_dir}]
+  output: {output_dir}
+"""
+    )
+    # main() creates its own session via getOrCreate -> reuses the test one,
+    # but must not stop it (other tests need it); guard with a no-op stop.
+    stop = spark.stop
+    spark.stop = lambda: None
+    try:
+        rc = cli.main([str(cfgfile)])
+    finally:
+        spark.stop = stop
+    assert rc == 0
+    target = os.path.join(output_dir, "p", "u", "t", "19700101_0100.csv")
+    assert os.path.exists(target)
