@@ -115,10 +115,14 @@ class PathFormat:
             path = _resolve_dotted(df, struct, dotted)
             return sanitize_id(F.col(path), f"unknown-{dotted}")
         if param.startswith("mp:"):
-            # resolved post-join: the broadcast join materializes mp_<attr>
-            return F.coalesce(F.col(f"mp_{param[3:]}").cast("string"), F.lit("unknown"))
+            # resolved post-join: the broadcast join materializes mp_<attr>.
+            # sanitized like every id segment — dimension values are external
+            # data and must never contribute path separators
+            return sanitize_id(F.col(f"mp_{param[3:]}"), "unknown")
         if param in self.custom_params:
-            return self.custom_params[param](df, event_ts).cast("string")
+            return sanitize_id(
+                self.custom_params[param](df, event_ts).cast("string"), "unknown"
+            )
         raise ValueError(f"unknown path parameter ${{{param}}}")
 
     def apply(

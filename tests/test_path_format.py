@@ -128,3 +128,20 @@ def test_per_topic_path_override_in_pipeline(spark, tmp_path):
         "p/u/status/CONNECTED/19700101_0100.csv",
         "p/u/status/DISCONNECTED/19700101_0100.csv",
     ]
+
+
+def test_mp_and_custom_segments_sanitized(spark):
+    """External dimension values must never contribute path separators."""
+    df = _df(spark)
+    mp = spark.createDataFrame(
+        [("P 1!", "u/1", "../escape/org")],
+        "projectId string, userId string, organization string",
+    )
+    fmt = PathFormat(fmt="${mp:organization}/${topic}/${filename}", extension="", mp_dim=mp)
+    out = fmt.apply(df, event_time(df)).first()
+    assert out.output_path == "escapeorg/t/20200128_1300"
+    fmt2 = PathFormat(
+        fmt="${evil}/${topic}/${filename}", extension="",
+        custom_params={"evil": lambda d, ts: F.lit("../../x")},
+    )
+    assert fmt2.apply(df, event_time(df)).first().output_path == "x/t/20200128_1300"
