@@ -299,8 +299,8 @@ def simhash(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    h = F.expr(md5_horner_sql("tok", HASH_CHARS))
-    with_bits = tokens.withColumn("h", h)
+    # md5 once per token, then the cheap Horner fold (see horner_fold docs)
+    with_bits = tokens.withColumn("h", horner_fold(F.md5(F.col("tok")), HASH_CHARS))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

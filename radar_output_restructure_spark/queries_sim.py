@@ -122,7 +122,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 32
-_H = md5_horner_sql("tok", HASH_CHARS)
+_H = horner_fold_sql("md", HASH_CHARS)
 _SQL_VOTES = ",\n             ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
     for b in range(SIMHASH_BITS)
@@ -142,7 +142,8 @@ _SQL_FP_SUM = " + ".join(
             FROM documents) w,
            unnest(words) AS t(tok)
     ),
-    hashed AS (SELECT doc, {_H} AS h FROM toks),
+    hashed AS (SELECT doc, {_H} AS h
+               FROM (SELECT doc, md5(tok) AS md FROM toks)),
     votes AS (
       SELECT doc,
              {_SQL_VOTES}

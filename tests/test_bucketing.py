@@ -1,0 +1,54 @@
+"""Bucketed co-located join: the write-once-shuffle-never pattern. Asserts
+the physical plan property (no Exchange between two same-bucketed scans),
+not just the result."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from radar_output_restructure_spark.operators.bucketing import bucketed_join, write_bucketed
+from radar_output_restructure_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", "l_orderkey", num_buckets=8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-bcast
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan.replace("ReusedExchange", "")
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # correctness: same count as the plain (shuffling) join
+        li2 = load_table(spark, sf_dir, "lineitem")
+        o2 = load_table(spark, sf_dir, "orders")
+        expect = li2.join(o2, li2.l_orderkey == o2.o_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_agg_has_no_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(li, "b_li_agg", "l_orderkey", num_buckets=8)
+    try:
+        agg = spark.table("b_li_agg").groupBy("l_orderkey").count()
+        plan = _plan(agg)
+        assert "Exchange" not in plan.replace("ReusedExchange", "")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
