@@ -52,3 +52,30 @@ def test_bucketed_agg_has_no_shuffle(spark, sf_dir):
         assert "Exchange" not in plan.replace("ReusedExchange", "")
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from radar_output_restructure_spark.operators.bucketing import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    # simulate skew: collapse most rows onto one key
+    skewed = ev.withColumn("k", (F.col("user_id") % 3 == 0).cast("int"))
+    direct = {
+        (r.k): (r.n, r.total)
+        for r in skewed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.n, r.total)
+        for r in salted_agg(
+            skewed.withColumn("cents", F.round(F.col("value") * 100).cast("long")),
+            ["k"],
+            {"n": ("k", "count"), "total": ("cents", "sum")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == direct
