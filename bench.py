@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "doc_quality",
     "dedup_exact_docs",
+    "dedup_clusters_docs",
     "minhash_lsh_pairs_docs",
     "simhash_docs",
     "cosine_topk_bruteforce",

@@ -316,3 +316,52 @@ def simhash(
         F.lit(0),
     )
     return agg.select("doc", fp.alias("simhash"))
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(doc, cluster): connected components of the near-duplicate pair graph,
+    cluster id = min doc id in the component — the canonicalization step that
+    turns pairwise near-dup hits into survivor groups.
+
+    Iterative min-label propagation (the Pregel/GraphX pattern on plain
+    DataFrames): each round joins labels across symmetrized edges and keeps
+    the per-doc min; convergence is a driver-side count of changed labels.
+    Rounds needed = graph diameter, which for dedup clusters is tiny; each
+    round is one broadcast-or-shuffle join + partial-agg groupBy, so the
+    whole thing is O(diameter) shuffles of the (small) pair graph, never of
+    the corpus. localCheckpoint per round keeps the plan from growing
+    linearly with iterations.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc"])
+            .groupBy(F.col("src").alias("doc"))
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("cluster"), F.coalesce("n_min", "cluster")).alias(
+                    "cluster"
+                ),
+                (F.coalesce("n_min", "cluster") < F.col("cluster")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels

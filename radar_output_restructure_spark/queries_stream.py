@@ -23,6 +23,7 @@ from radar_output_restructure_spark.queries_sim import (
     NUM_PLANES,
     NUM_TABLES,
 )
+from radar_output_restructure_spark.queries_docs import SQL_SHINGLES
 from radar_output_restructure_spark.sources.tables import load_table
 from radar_output_restructure_spark.streaming.windows import (
     hourly_event_counts,
@@ -147,3 +148,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= NEAR_DUP_COSINE)
     )
+
+
+@register(
+    "dedup_clusters_docs",
+    f"""
+    WITH RECURSIVE sh AS ({SQL_SHINGLES}),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
+    )
+    SELECT doc, min(label) AS cluster FROM reach GROUP BY doc
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: jaccard-verified pairs (J >= 0.5) -> connected
+    components via iterative min-label propagation (operators/dedup_scale.
+    duplicate_clusters) — the survivor-group canonicalization over the pair
+    graph. Oracle = DuckDB recursive CTE transitive closure."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return duplicate_clusters(pairs)
