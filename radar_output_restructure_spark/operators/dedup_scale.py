@@ -318,20 +318,48 @@ def simhash(
     return agg.select("doc", fp.alias("simhash"))
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iterations: int = 20, driver_max_pairs: int = 5_000_000
+) -> DataFrame:
     """(doc, cluster): connected components of the near-duplicate pair graph,
     cluster id = min doc id in the component — the canonicalization step that
     turns pairwise near-dup hits into survivor groups.
 
-    Iterative min-label propagation (the Pregel/GraphX pattern on plain
-    DataFrames): each round joins labels across symmetrized edges and keeps
-    the per-doc min; convergence is a driver-side count of changed labels.
-    Rounds needed = graph diameter, which for dedup clusters is tiny; each
-    round is one broadcast-or-shuffle join + partial-agg groupBy, so the
-    whole thing is O(diameter) shuffles of the (small) pair graph, never of
-    the corpus. localCheckpoint per round keeps the plan from growing
-    linearly with iterations.
+    Two physical paths, same result:
+
+    * pair graph fits the driver (the NORMAL case — near-dup pairs are a
+      vanishing fraction of the corpus): collect once, union-find in Python
+      (linear, alpha-inverse), parallelize the labels back. One Spark job,
+      no iterations.
+    * larger than `driver_max_pairs`: iterative min-label propagation (the
+      Pregel/GraphX pattern on plain DataFrames) — per round one join +
+      partial-agg min over the symmetrized edges, rounds = component
+      diameter, localCheckpoint per round keeps plans flat.
     """
+    spark = pairs.sparkSession
+    n_pairs = pairs.limit(driver_max_pairs + 1).count()
+    if n_pairs <= driver_max_pairs:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in pairs.select("doc_a", "doc_b").collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by value: smaller id becomes the root => root == min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        labels = [(doc, find(doc)) for doc in parent]
+        return spark.createDataFrame(labels, "doc long, cluster long")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
