@@ -242,3 +242,29 @@ def test_all_types_pipeline_golden(spark, tmp_path):
     assert lines[1] == 'p,u,s,3600.0,"hello, world",/wE,0.1213231,7,true,1,2,x,y'
     # nulls -> empty cells; absent map key / short array -> empty
     assert lines[2] == "p,u,s,3601.0,,,,,false,9,,z,"
+
+
+def test_multi_topic_run_with_exclusion(spark, tmp_path):
+    """Two topics in one run (the reference integration scenario) plus P6
+    topic exclusion."""
+    from radar_output_restructure_spark.plans.restructure import TopicConfig
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    row = [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+               value=Row(time=3600.0, serverStatus="OK", ipAddress=None))]
+    _write_fixture(spark, input_dir, "alpha", row, 0, 0, 0, SERVER_STATUS_SCHEMA)
+    _write_fixture(spark, input_dir, "beta", row, 0, 0, 0, SERVER_STATUS_SCHEMA)
+    _write_fixture(spark, input_dir, "skipped", row, 0, 0, 0, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir,
+        topics={"skipped": TopicConfig(exclude=True)},
+    )
+    plan = RestructurePlan(spark, cfg)
+    assert plan.topics() == ["alpha", "beta"]
+    result = plan.run()
+    assert sorted(result) == ["alpha", "beta"]
+    for topic in ("alpha", "beta"):
+        assert os.path.exists(
+            os.path.join(output_dir, "p", "u", topic, "19700101_0100.csv")
+        )
+    assert not os.path.exists(os.path.join(output_dir, "p", "u", "skipped"))
