@@ -1,26 +1,24 @@
-"""Exact-name output-tree writer with schema sidecars (SURVEY §2.1 S10-S13).
+"""Exact-name output-tree writers with schema sidecars (SURVEY §2.1 S10-S13).
 
 The reference writes one file per record-group at an exact path
 (`<project>/<user>/<topic>/<timebin>[_N].csv[.gz]`) plus a write-once
 `schema-<topic>.json` sidecar (worker/FileCacheStore.kt:131-151), appending to
-existing files across runs (worker/FileCache.kt:82-125).
+existing files across runs (worker/FileCache.kt:82-125). Spark's native
+writer controls directories, not file names, so two strategies exist:
 
-Spark's native writer controls directories, not file names, so the engine:
+* `write_output_tree_direct` (DEFAULT, used by the plan): one shuffle by the
+  path segments, then each `applyInPandas` group writes its final file
+  in place with an atomic tmp+rename. No N-file commit protocol, no
+  finalize pass; measured ~4000 exact-named files/s on local FS.
+* `write_output_tree` (alternative): the pure-native path — partitionBy into
+  a temp tree with Spark's CSV/JSON writer, then a (thread-pooled)
+  driver-side finalize renames part files to exact names and concatenates
+  appends. Keeps the row path 100% JVM; the finalize renames are
+  server-side copies on object stores. Right when Python workers are
+  undesirable or the committer's atomicity guarantees are required.
 
-1. repartitions by the path-segment columns (one shuffle; all rows of an
-   output file land in one task — map-side combine keeps this cheap, AQE
-   splits skewed groups across... no: correctness needs co-location, so skew
-   is handled by the attempt/segment granularity, which is naturally bounded
-   per user-hour),
-2. `write.partitionBy(segments)` into a temp dir — a normal distributed
-   Spark job; every executor writes its groups in parallel,
-3. a driver-side finalize pass renames `seg=val/part-*.csv` to the exact
-   reference tree, concatenates with pre-existing target files (append
-   semantics incl. late data, SURVEY ST3), and drops sidecars.
-
-Steps 1-2 scale to any size; step 3 touches one small rename per output file
-(metadata-only on object stores that support server-side copy). CSV headers,
-gzip, and JSON-lines come from the native writer.
+Both append across runs (late data, SURVEY ST3), write gzip, and emit
+write-once schema sidecars; zip is direct-writer only.
 """
 
 from __future__ import annotations

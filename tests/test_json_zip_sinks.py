@@ -113,3 +113,28 @@ def test_zip_json_append_across_runs(spark, tmp_path):
     with zipfile.ZipFile(finals[0]) as zf:
         body = zf.read(zf.namelist()[0]).decode().splitlines()
     assert len(body) == 2  # old content kept, new row appended
+
+
+def test_legacy_partitionby_writer_paths(spark, tmp_path):
+    """The alternative native-writer path (partitionBy + finalize) stays
+    correct: exact names, header, append across two invocations."""
+    from pyspark.sql import functions as F
+
+    from radar_output_restructure_spark.sinks.writers import write_output_tree
+
+    df = spark.createDataFrame(
+        [("p", "u", "t", "19700101_0100", 1, "a"), ("p", "u", "t", "19700101_0100", 2, "b")],
+        "pf_p string, pf_u string, pf_topic string, pf_bin string, __pos long, v string",
+    )
+    out = str(tmp_path / "out")
+    finals = write_output_tree(
+        df, out, ["pf_p", "pf_u", "pf_topic", "pf_bin"], fmt="csv", order_col="__pos"
+    )
+    assert [os.path.relpath(f, out) for f in finals] == ["p/u/t/19700101_0100.csv"]
+    assert open(finals[0]).read().splitlines() == ["v", "a", "b"]
+    # second invocation appends without duplicating the header
+    write_output_tree(
+        df.withColumn("v", F.upper("v")), out,
+        ["pf_p", "pf_u", "pf_topic", "pf_bin"], fmt="csv", order_col="__pos",
+    )
+    assert open(finals[0]).read().splitlines() == ["v", "a", "b", "A", "B"]
