@@ -30,11 +30,7 @@ from radar_output_restructure_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
 )
-from radar_output_restructure_spark.operators.text import (
-    FP_PRIME,
-    horner_fold_sql,
-    md5_horner_sql,
-)
+from radar_output_restructure_spark.operators.text import FP_PRIME, horner_fold_sql
 from radar_output_restructure_spark.queries import register
 from radar_output_restructure_spark.queries_docs import SQL_SHINGLES
 from radar_output_restructure_spark.sources.tables import load_table

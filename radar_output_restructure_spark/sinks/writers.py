@@ -23,7 +23,6 @@ write-once schema sidecars; zip is direct-writer only.
 
 from __future__ import annotations
 
-import glob
 import gzip
 import json
 import os
