@@ -188,3 +188,34 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, n_tokens, nll_micro): corpus-unigram negative log likelihood —
+    the perplexity-style quality filter (low-likelihood docs are boilerplate,
+    noise, or wrong-language).
+
+    Two aggregations over the token stream: (1) corpus unigram counts
+    (groupBy token — map-side combined, the classic word-count), broadcast
+    back; (2) per-doc sum of -ln p(token). Per-token values round to integer
+    MICRO-nats before summing so the result is order-independent and
+    engine-exact (float accumulation is not).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    freqs = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tokens.count()
+    nll_micro = F.round(-F.log(F.col("tf") / F.lit(float(total))) * 1_000_000).cast(
+        "long"
+    )
+    scored = tokens.join(F.broadcast(freqs), "tok").select(
+        "doc", nll_micro.alias("nll")
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("nll").alias("nll_micro"),
+    )

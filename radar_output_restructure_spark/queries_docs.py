@@ -211,3 +211,30 @@ def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates; skew-capped variant for 100 TB in operators/dedup_scale)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return jaccard_pairs(docs, threshold=0.4)
+
+
+@register(
+    "doc_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM toks)
+    SELECT doc, count(*) AS n_tokens,
+           sum(CAST(round(-ln(tf / (SELECT n * 1.0 FROM total)) * 1000000)
+                    AS BIGINT)) AS nll_micro
+    FROM toks JOIN freqs USING (tok)
+    GROUP BY doc
+    """,
+)
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram NLL quality score (perplexity filter): word-count pass
+    broadcast into a per-doc -ln p sum; integer micro-nats keep both engines
+    bit-equal."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.unigram_logprob_score(docs)

@@ -131,3 +131,26 @@ def test_duplicate_clusters_components(spark):
     out = {r.doc: r.cluster for r in duplicate_clusters(pairs).collect()}
     # chains collapse to the min id of the component
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 10: 4, 4: 4}
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_shingle_df drops hot shingles before the self-join (skew cap):
+    pairs that only share the hot shingle disappear; identical docs stay."""
+    from radar_output_restructure_spark.operators.dedup_scale import jaccard_pairs
+
+    hot = "the quick brown"  # appears in every doc -> document frequency 4
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps high"),
+            Row(doc_id=2, text="the quick brown fox jumps high"),
+            Row(doc_id=3, text="the quick brown cat sleeps now"),
+            Row(doc_id=4, text="the quick brown dog barks loud"),
+        ]
+    )
+    uncapped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df, threshold=0.1).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(df, threshold=0.1, max_shingle_df=3).collect()
+    }
+    assert (1, 2) in capped           # exact duplicates survive the cap
+    assert capped < uncapped          # hot-shingle-only pairs dropped
