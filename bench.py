@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "tpch_q18_large_orders",
     "doc_token_stats",
     "doc_quality",
+    "doc_unigram_logprob",
     "dedup_exact_docs",
     "dedup_clusters_docs",
     "minhash_lsh_pairs_docs",
