@@ -142,7 +142,9 @@ def main() -> None:
 
     # two passes per query, keep the fastest: the first pass pays one-time
     # JIT/codegen for that query's expressions; the second is steady-state,
-    # which is what a long-running production job actually sees.
+    # which is what a long-running production job actually sees. A GC nudge
+    # between queries keeps heap growth from earlier queries (codegen
+    # classes, checkpoint blocks) from taxing later ones.
     for name in BENCH_QUERIES:
         fn = queries[name]
         best = float("inf")
@@ -151,6 +153,7 @@ def main() -> None:
             _sink(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

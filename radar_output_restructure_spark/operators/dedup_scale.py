@@ -118,6 +118,11 @@ def jaccard_pairs(
     if max_shingle_df:
         hot = ex.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         ex = ex.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # the shingle table feeds three branches (sizes + both self-join sides);
+    # materialize it once — the standard persist-before-inverted-index-join.
+    # (Spark's ReuseExchange dedups the join's own shuffle, but not the
+    # scan+explode feeding the separate `sizes` aggregation.)
+    ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")
@@ -337,8 +342,10 @@ def duplicate_clusters(
       diameter, localCheckpoint per round keeps plans flat.
     """
     spark = pairs.sparkSession
-    n_pairs = pairs.limit(driver_max_pairs + 1).count()
-    if n_pairs <= driver_max_pairs:
+    # one evaluation of the (possibly expensive) pair plan: collect up to the
+    # cap + 1 row; over the cap -> fall through to the distributed path
+    rows = pairs.select("doc_a", "doc_b").limit(driver_max_pairs + 1).collect()
+    if len(rows) <= driver_max_pairs:
         parent: dict = {}
 
         def find(x):
@@ -347,7 +354,7 @@ def duplicate_clusters(
                 x = parent[x]
             return x
 
-        for row in pairs.select("doc_a", "doc_b").collect():
+        for row in rows:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
