@@ -191,7 +191,7 @@ def q_event_time_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT user_id, {_SQL_BIN} AS bin,
            count(*) AS n,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -381,7 +381,7 @@ def q_offset_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_mktsegment AS segment, e.event_type,
            count(*) AS n,
-           sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
     GROUP BY 1, 2
     """,
@@ -537,11 +537,11 @@ def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
              AS sum_disc_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
-               AS BIGINT)) AS sum_charge_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+               AS BIGINT)) AS BIGINT) AS sum_charge_cents,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -569,7 +569,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     """
     SELECT l.l_orderkey,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -610,7 +610,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier",
     """
     SELECT n.n_name AS nation,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT))
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -655,7 +655,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast",
     """
-    SELECT sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT))
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT)
              AS revenue_cents,
            count(*) AS n_items
     FROM lineitem

@@ -226,8 +226,8 @@ def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
     total AS (SELECT count(*) AS n FROM toks)
     SELECT doc, count(*) AS n_tokens,
-           sum(CAST(round(-ln(tf / (SELECT n * 1.0 FROM total)) * 1000000)
-                    AS BIGINT)) AS nll_micro
+           CAST(sum(CAST(round(-ln(tf / (SELECT n * 1.0 FROM total)) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS nll_micro
     FROM toks JOIN freqs USING (tok)
     GROUP BY doc
     """,

@@ -58,6 +58,23 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> bool:
         return False
     if not ok:
         return False
+    # Dtype-strict gate: the driver's hash is rendering-sensitive, so an int64
+    # Spark column vs a float64 oracle column ("140" vs "140.0") fails there
+    # even when values agree.  DuckDB types sum(BIGINT) as HUGEINT -> pandas
+    # float64; oracles must CAST(sum(..) AS BIGINT).  Flag any int/float kind
+    # divergence instead of silently coercing (the round-1 blind spot).
+    for c in sorted(spark_df.columns):
+        sk = spark_df[c].to_numpy().dtype.kind
+        okind = oracle_df[c].to_numpy().dtype.kind
+        num = {"i", "u", "f"}
+        if sk in num and okind in num and (sk == "f") != (okind == "f"):
+            print(
+                f"  DTYPE MISMATCH col={c} spark={spark_df[c].dtype} "
+                f"oracle={oracle_df[c].dtype} (driver hash would fail)"
+            )
+            ok = False
+    if not ok:
+        return False
     s, o = normalize(spark_df), normalize(oracle_df)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
