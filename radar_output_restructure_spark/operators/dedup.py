@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 _ORD = "__ros_ord"
 _RN = "__ros_rn"
 
+OrderBy = "str | Column | Sequence[str | Column]"
+
+
+def _ord_exprs(order_by) -> list[Column]:
+    if isinstance(order_by, (str, Column)):
+        order_by = [order_by]
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
 
 def _key_cols(
     df: DataFrame,
@@ -46,30 +54,38 @@ def _key_cols(
 
 def _window_dedup(
     df: DataFrame,
-    order_by: str | Column,
+    order_by,
     descending: bool,
     distinct_fields: Sequence[str] | None,
     ignore_fields: Sequence[str] | None,
     restore_order: bool,
 ) -> DataFrame:
-    ord_col = F.col(order_by) if isinstance(order_by, str) else order_by
-    with_ord = df.withColumn(_ORD, ord_col)
-    keys = _key_cols(with_ord, distinct_fields, ignore_fields, exclude=(_ORD,))
-    order = F.col(_ORD).desc() if descending else F.col(_ORD).asc()
-    w = Window.partitionBy(*keys).orderBy(order)
+    # Multi-column order keys (e.g. kafka partition, offset, intra-file pos)
+    # compare lexicographically, matching the reference's per-offset record
+    # order regardless of how the file source packed its splits.
+    ords = _ord_exprs(order_by)
+    names = [f"{_ORD}{i}" for i in range(len(ords))]
+    with_ord = df
+    for n, c in zip(names, ords):
+        with_ord = with_ord.withColumn(n, c)
+    keys = _key_cols(with_ord, distinct_fields, ignore_fields, exclude=tuple(names))
+    order = [
+        F.col(n).desc() if descending else F.col(n).asc() for n in names
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
     out = (
         with_ord.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) == 1)
         .drop(_RN)
     )
     if restore_order:
-        out = out.orderBy(_ORD)
-    return out.drop(_ORD)
+        out = out.orderBy(*[F.col(n) for n in names])
+    return out.drop(*names)
 
 
 def dedup_keep_last(
     df: DataFrame,
-    order_by: str | Column,
+    order_by: str | Column | Sequence,
     distinct_fields: Sequence[str] | None = None,
     ignore_fields: Sequence[str] | None = None,
     restore_order: bool = True,
@@ -83,7 +99,7 @@ def dedup_keep_last(
 
 def dedup_keep_first(
     df: DataFrame,
-    order_by: str | Column,
+    order_by: str | Column | Sequence,
     distinct_fields: Sequence[str] | None = None,
     ignore_fields: Sequence[str] | None = None,
     restore_order: bool = True,

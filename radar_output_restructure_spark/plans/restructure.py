@@ -45,6 +45,10 @@ from radar_output_restructure_spark.sources.manifest import (
 )
 
 
+# Arrival-order key: (kafka partition, starting offset, intra-file position).
+ORDER_COLS = ["__ord_part", "__ord_off", "__pos"]
+
+
 @dataclass
 class DedupConfig:
     """config/DeduplicationConfig.kt:5-28."""
@@ -177,13 +181,25 @@ class RestructurePlan:
         ]
         excluded = cfg.exclude_fields | tcfg.exclude_fields | set(meta_cols)
         dedup_cfg = tcfg.dedup or cfg.dedup
-        df = df.withColumn("__pos", F.monotonically_increasing_id())
+        # Offset-aware arrival order (reference: files are processed in Kafka
+        # offset order, RestructureWorker.kt). monotonically_increasing_id
+        # alone follows SCAN-PARTITION order, and the file source bin-packs
+        # splits sorted by size DESCENDING — so when several source files feed
+        # one output bin, id order can diverge from offset order. Lead the
+        # order key with (kafka_partition, offset_from) parsed from the
+        # filename; the id breaks ties within one source file, where scan
+        # order is row order.
+        df = (
+            df.withColumn("__ord_part", F.col("kafka_partition").cast("bigint"))
+            .withColumn("__ord_off", F.col("offset_from").cast("bigint"))
+            .withColumn("__pos", F.monotonically_increasing_id())
+        )
 
         if cfg.output_format == "json":
             # JSON-lines preserves nesting (format/JsonAvroConverter.kt:30-60);
             # excludeFields prunes keys in place; null fields stay explicit
             # (Jackson writes them). One rendered `line` column per record.
-            non_record = excluded | {"__pos", *part_cols}
+            non_record = excluded | {*ORDER_COLS, *part_cols}
             record = pruned_struct(
                 T.StructType(
                     [f for f in df.schema.fields if f.name not in non_record]
@@ -192,7 +208,7 @@ class RestructurePlan:
             )
             lines = df.select(
                 *[F.col(c) for c in part_cols],
-                F.col("__pos"),
+                *[F.col(c) for c in ORDER_COLS],
                 *[F.col(c) for c in keep_cols],
                 F.to_json(record, {"ignoreNullFields": "false"}).alias("line"),
             )
@@ -201,7 +217,7 @@ class RestructurePlan:
                 # distinct/ignore config (RecordConverterFactory.kt:63-92,
                 # divergent from CSV by design — SURVEY D4)
                 lines = dedup_keep_first(
-                    lines, "__pos", [*part_cols, "line"], None, restore_order=False
+                    lines, ORDER_COLS, [*part_cols, "line"], None, restore_order=False
                 )
             return lines, part_cols
 
@@ -210,20 +226,22 @@ class RestructurePlan:
         flat = flatten(
             df,
             rendered=True,
-            excluded=excluded | {"__pos", *part_cols},
-            keep=[*part_cols, "__pos", *keep_cols],
+            excluded=excluded | {*ORDER_COLS, *part_cols},
+            keep=[*part_cols, *ORDER_COLS, *keep_cols],
         )
         if dedup_cfg.enable:
             # Dedup scope is ONE OUTPUT FILE in the reference (FileCache close),
-            # so the partition columns always join the distinct key; __pos is
-            # the order column, never part of the key.
+            # so the partition columns always join the distinct key; the order
+            # columns are never part of the key.
             distinct = dedup_cfg.distinct_fields
             ignore = None
             if distinct:
                 distinct = [*part_cols, *distinct]
             else:
-                ignore = list(dedup_cfg.ignore_fields or []) + ["__pos"]
-            flat = dedup_keep_last(flat, "__pos", distinct, ignore, restore_order=False)
+                ignore = list(dedup_cfg.ignore_fields or []) + list(ORDER_COLS)
+            flat = dedup_keep_last(
+                flat, ORDER_COLS, distinct, ignore, restore_order=False
+            )
         return flat, part_cols
 
     def _fingerprint_groups(
@@ -278,9 +296,13 @@ class RestructurePlan:
                 extension=(f"_{attempt}" if attempt else "") + ext0,
                 topic_col="pf_topic",
                 value_schema=value_schema if attempt == 0 else None,
-                order_col="__pos",
+                order_col=ORDER_COLS,
             )
-        self.manifest.commit(files)  # write-then-commit (T2)
+            # Write-then-commit (T2) PER fingerprint group: the reference
+            # commits accounting per file batch (worker loop), so a crash
+            # exposes only the in-flight batch. Committing once per topic
+            # would re-append every already-written group on rerun.
+            self.manifest.commit(group)
         return sorted(finals)
 
     def run(self) -> dict[str, list[str]]:

@@ -147,7 +147,7 @@ def write_output_tree_direct(
     extension: str | None = None,
     topic_col: str = "pf_topic",
     value_schema: T.StructType | None = None,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
     line_col: str = "line",
 ) -> list[str]:
     """Exact-name writer: one `applyInPandas` group per output file.
@@ -175,19 +175,24 @@ def write_output_tree_direct(
     """
     if extension is None:
         extension = _FMT_EXT[fmt] + _COMP_EXT[compression]
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col or [])
+    )
     key_cols = list(partition_cols)
     if fmt == "json":
         header_names = [line_col]
     else:
         header_names = [
-            c for c in df.columns if c not in set(key_cols) and c != order_col
+            c
+            for c in df.columns
+            if c not in set(key_cols) and c not in set(order_cols)
         ]
     # applyInPandas resolves columns by name, which breaks on literal dotted
     # names (`key.projectId`); ship positional safe names and restore the
     # dotted header inside the writer.
     data_cols = [f"_c{i}" for i in range(len(header_names))]
     rename = dict(zip(header_names, data_cols))
-    keep = key_cols + header_names + ([order_col] if order_col else [])
+    keep = key_cols + header_names + order_cols
     safe = df.select(
         *[F.col(f"`{c}`").alias(rename.get(c, c)) for c in df.columns if c in set(keep)]
     )
@@ -210,8 +215,8 @@ def write_output_tree_direct(
         final_dir = os.path.join(out_dir, *dir_segs)
         os.makedirs(final_dir, exist_ok=True)
         final = os.path.join(final_dir, bin_seg + extension)
-        if order_col is not None:
-            pdf = pdf.sort_values(order_col)
+        if order_cols:
+            pdf = pdf.sort_values(order_cols, kind="stable")
         exists = os.path.exists(final)
         if fmt == "json":
             payload = ("\n".join(pdf[data_cols[0]].tolist()) + "\n").encode()
@@ -263,7 +268,7 @@ def write_output_tree(
     topic_col: str = "pf_topic",
     value_schema: T.StructType | None = None,
     tmp_dir: str | None = None,
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
 ) -> list[str]:
     """Write `df` as the reference's output tree; returns final file paths.
 
@@ -279,13 +284,16 @@ def write_output_tree(
     shutil.rmtree(tmp, ignore_errors=True)
 
     shuffled = df.repartition(*[df[c] for c in partition_cols])
-    if order_col is not None:
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col or [])
+    if order_cols:
         # restore record order inside each output file AFTER the shuffle
         # (reference dedup output order, CsvAvroConverterFactory.kt:56-63).
         # Sort key leads with the partition columns so FileFormatWriter sees
         # its required ordering satisfied and does not add its own
         # (order-destroying) sort on them.
-        shuffled = shuffled.sortWithinPartitions(*partition_cols, order_col).drop(order_col)
+        shuffled = shuffled.sortWithinPartitions(
+            *partition_cols, *order_cols
+        ).drop(*order_cols)
     writer = shuffled.write.mode("overwrite").partitionBy(*partition_cols)
     if fmt == "csv":
         # escape='"' => RFC4180 doubled quotes, matching the reference's opencsv

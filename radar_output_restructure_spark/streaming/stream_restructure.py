@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from radar_output_restructure_spark.plans.restructure import (
+    ORDER_COLS,
     RestructureConfig,
     RestructurePlan,
 )
@@ -77,7 +78,7 @@ def streaming_restructure(
             compression=cfg.compression,
             topic_col="pf_topic",
             value_schema=value_schema,
-            order_col="__pos",
+            order_col=ORDER_COLS,
         )
 
     writer = (

@@ -268,3 +268,77 @@ def test_multi_topic_run_with_exclusion(spark, tmp_path):
             os.path.join(output_dir, "p", "u", topic, "19700101_0100.csv")
         )
     assert not os.path.exists(os.path.join(output_dir, "p", "u", "skipped"))
+
+
+def test_cross_file_offset_order(spark, tmp_path):
+    """Rows from several source files landing in ONE output bin must appear in
+    Kafka offset order, not scan-split order. The file source bin-packs splits
+    by size DESCENDING, so a large high-offset file would otherwise precede a
+    small low-offset one (reference processes files in offset order)."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    t0 = 1580219820.0
+    key = Row(projectId="p", userId="u", sourceId="s")
+    # low offsets: ONE row (small file); high offsets: 200 rows (big file)
+    low = [Row(key=key, value=Row(time=t0, serverStatus="LOW_0", ipAddress=None))]
+    high = [
+        Row(key=key, value=Row(time=t0 + 1 + i * 0.001, serverStatus=f"HIGH_{i}",
+                               ipAddress="x" * 50))
+        for i in range(200)
+    ]
+    _write_fixture(spark, input_dir, "t", low, 0, 0, 0, SERVER_STATUS_SCHEMA)
+    _write_fixture(spark, input_dir, "t", high, 0, 1, 200, SERVER_STATUS_SCHEMA)
+    plan = RestructurePlan(
+        spark, RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    )
+    finals = plan.run()["t"]
+    assert len(finals) == 1
+    with open(finals[0]) as fh:
+        statuses = [line.split(",")[4] for line in fh.read().splitlines()[1:]]
+    assert statuses[0] == "LOW_0", "low-offset file's row must come first"
+    assert statuses[1:] == [f"HIGH_{i}" for i in range(200)]
+
+
+def test_crash_between_groups_no_duplicates(spark, tmp_path, monkeypatch):
+    """Manifest commits PER fingerprint group: a crash after group 1's write
+    but before group 2's must not re-append group 1's rows on rerun (the
+    reference commits accounting per file batch, worker loop)."""
+    import radar_output_restructure_spark.plans.restructure as R
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0, status="A"))],
+        0, 0, 0,
+    )
+    evolved = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<time: double, status: string, battery: double>"
+    )
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3601.0, status="B", battery=0.5))],
+        0, 1, 1, evolved,
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+
+    real = R.write_output_tree_direct
+    calls = {"n": 0}
+
+    def crash_on_second(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before group 2")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(R, "write_output_tree_direct", crash_on_second)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        RestructurePlan(spark, cfg).run()
+
+    monkeypatch.setattr(R, "write_output_tree_direct", real)
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    # rerun wrote only the crashed group; group 1's file has exactly its 1 row
+    assert [os.path.basename(f) for f in finals] == ["19700101_0100_1.csv"]
+    base = os.path.join(output_dir, "p", "u", "t", "19700101_0100.csv")
+    assert len(open(base).read().splitlines()) == 2  # header + 1 row, no dup
