@@ -30,6 +30,7 @@ import os
 from dataclasses import dataclass, field
 
 from radar_output_restructure_spark.plans.cleaner import CleanerConfig
+from radar_output_restructure_spark.plans.path_format import BucketFormat
 from radar_output_restructure_spark.plans.restructure import (
     DedupConfig,
     RestructureConfig,
@@ -100,8 +101,21 @@ def load_config(path: str) -> AppConfig:
             exclude_fields=set(t.get("excludeFields") or ()),
         )
 
+    bucket_raw = paths.get("bucket")
+    bucket = None
+    if bucket_raw:
+        # paths.bucket (config/BucketFormatterConfig.kt + PathConfig.kt:26)
+        bucket = BucketFormat(
+            fmt=str(bucket_raw.get("format", "radar-output-storage")),
+            disabled_formats=[
+                str(r) for r in (bucket_raw.get("disabledFormats") or [])
+            ],
+            default_name=str(bucket_raw.get("defaultName", "radar-output-storage")),
+        )
+
     restructure = RestructureConfig(
         output_dir=str(paths.get("output", "output")),
+        bucket=bucket,
         path_format=path_props.get(
             "format", "${projectId}/${userId}/${topic}/${filename}"
         ),

@@ -9,11 +9,12 @@ The reference renders CSV cells with Java `toString()` semantics
   `1.58021982003E9`, `1.21322421E-15`, `0.1213231`
 * null           -> empty string
 
-Spark's `base64` pads and its string cast of doubles differs from Java, so
-these are the only two spots where parity needs custom code. base64_no_pad is
-a pure Column; the Java float/double repr is a vectorized Arrow-batched
-pandas_udf (only used when writing golden-parity CSV, never in the analytic
-hot path).
+Spark's `base64` pads, so base64_no_pad strips it as a pure Column. Floats
+and doubles need NO custom code on the write path: Spark's string cast IS
+Java `Double.toString`/`Float.toString` (same JVM as the reference), so
+flatten(rendered=True) gets exact parity for free — see
+functions/flatten.py:39-44. The pandas_udf here (`java_double_repr`) exists
+only as an executable cross-check used by tests to assert that equivalence.
 """
 
 from __future__ import annotations

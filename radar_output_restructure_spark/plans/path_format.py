@@ -72,10 +72,16 @@ class PathFormat:
     # callable gets (df, event_ts) and returns the segment Column — the
     # Spark-first equivalent of a plugin class, still fully inside Catalyst.
     custom_params: dict = field(default_factory=dict)
+    # PathFormatter.kt checkMinimalDistinction: the bucket formatter reuses
+    # this compiler without the topic/filename requirement
+    # (FormattedPathFactory.kt:89-93 toBucketFormatter).
+    require_distinction: bool = True
     _params: list[str] = field(init=False)
 
     def __post_init__(self) -> None:
         self._params = _PARAM_RE.findall(self.fmt)
+        if not self.require_distinction:
+            return
         if "topic" not in self._params:
             raise ValueError("path format must contain ${topic}")  # PathFormatter.kt:52-60
         if "filename" not in self._params and not (
@@ -156,6 +162,24 @@ class PathFormat:
         segs = [self._segment(df, p, event_ts, attempt) for p in self._params]
         return df.withColumn(out_col, F.concat_ws("/", *segs))
 
+    def template_column(
+        self, df: DataFrame, event_ts: Column, attempt: Column | None = None
+    ) -> Column:
+        """Render the WHOLE format string — literal text plus `${...}`
+        substitutions — as one Column (the reference's PathFormatter.format
+        string semantics, where literals survive verbatim)."""
+        attempt = attempt if attempt is not None else F.lit(0)
+        cols: list[Column] = []
+        pos = 0
+        for m in _PARAM_RE.finditer(self.fmt):
+            if m.start() > pos:
+                cols.append(F.lit(self.fmt[pos : m.start()]))
+            cols.append(self._segment(df, m.group(1), event_ts, attempt))
+            pos = m.end()
+        if pos < len(self.fmt) or not cols:
+            cols.append(F.lit(self.fmt[pos:]))
+        return F.concat(*cols)
+
     def partition_columns(
         self, df: DataFrame, event_ts: Column, prefix: str = "pf_"
     ) -> tuple[DataFrame, list[str]]:
@@ -172,6 +196,48 @@ class PathFormat:
         df = df.withColumn(prefix + "bin", time_bin(event_ts, self.time_bin_format))
         names.append(prefix + "bin")
         return df, names
+
+
+@dataclass
+class BucketFormat:
+    """G6 per-record target-bucket selection (FormattedPathFactory.kt:51-60,
+    config/BucketFormatterConfig.kt).
+
+    Renders `fmt` with the same `${...}` plugin language as the path format;
+    a rendered name that matches any regex in `disabled_formats` (full match,
+    case-insensitive — Kotlin `Regex.matches` with IGNORE_CASE) falls back to
+    `default_name`. On an object store the bucket picks the target
+    bucket/container; on a local tree it is the first path segment. The whole
+    thing is one Column expression — regex dispatch happens JVM-side via
+    `rlike`, no per-record Python.
+    """
+
+    fmt: str = "radar-output-storage"
+    disabled_formats: list[str] = field(default_factory=list)
+    default_name: str = "radar-output-storage"
+    time_bin_format: str = DEFAULT_BIN_FORMAT
+    mp_dim: DataFrame | None = None
+    custom_params: dict = field(default_factory=dict)
+
+    def _formatter(self) -> PathFormat:
+        return PathFormat(
+            fmt=self.fmt,
+            time_bin_format=self.time_bin_format,
+            extension="",
+            mp_dim=self.mp_dim,
+            custom_params=self.custom_params,
+            require_distinction=False,
+        )
+
+    def column(self, df: DataFrame, event_ts: Column) -> Column:
+        raw = self._formatter().template_column(df, event_ts)
+        cond = None
+        for rx in self.disabled_formats:
+            c = raw.rlike(f"(?i)^(?:{rx})$")
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            raw = F.when(cond, F.lit(self.default_name)).otherwise(raw)
+        return raw
 
 
 def _resolve_dotted(df: DataFrame, struct: str, dotted: str) -> str:

@@ -32,7 +32,11 @@ from pyspark.sql import types as T
 from radar_output_restructure_spark.functions.flatten import flatten, pruned_struct
 from radar_output_restructure_spark.functions.timeutil import event_time
 from radar_output_restructure_spark.operators.dedup import dedup_keep_first, dedup_keep_last
-from radar_output_restructure_spark.plans.path_format import DEFAULT_FORMAT, PathFormat
+from radar_output_restructure_spark.plans.path_format import (
+    DEFAULT_FORMAT,
+    BucketFormat,
+    PathFormat,
+)
 from radar_output_restructure_spark.sinks.writers import (
     write_output_tree,
     write_output_tree_direct,
@@ -87,6 +91,9 @@ class RestructureConfig:
     max_files_per_topic: int | None = None
     minimum_file_age_s: float = 0.0
     source_format: str = "parquet"  # avro on a real cluster
+    # G6: per-record target bucket (FormattedPathFactory.kt:51-60); None keeps
+    # a single output root, matching the reference's local-storage behavior.
+    bucket: BucketFormat | None = None
 
 
 class RestructurePlan:
@@ -171,6 +178,12 @@ class RestructurePlan:
         )
         ts = event_time(df)
         df, part_cols = fmt.partition_columns(df, ts)
+        if cfg.bucket is not None:
+            # bucket leads the grouping key: it is the output ROOT (object
+            # store bucket / first local segment), computed per record like
+            # every other path segment — same shuffle, no extra pass.
+            df = df.withColumn("pf_bucket", cfg.bucket.column(df, ts))
+            part_cols = ["pf_bucket", *part_cols]
         meta_cols = [
             "source_file",
             "file_modified",

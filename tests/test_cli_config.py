@@ -31,6 +31,10 @@ cleaner:
 paths:
   inputs: [/testIn]
   output: /out
+  bucket:
+    format: radar-${projectId}
+    disabledFormats: [".*-disabled"]
+    defaultName: radar-default
   properties:
     format: ${projectId}/${userId}/${topic}/${filename}
     timeBinFormat: yyyyMMdd_HH'00'
@@ -67,6 +71,10 @@ def test_load_reference_shaped_yaml(tmp_path):
     assert cfg.cleaner.age_days == 3
     assert cfg.service.cleaner_enable and cfg.service.cleaner_interval_s == 1260
     assert not cfg.service.enable and cfg.service.interval_s == 30
+    assert r.bucket is not None
+    assert r.bucket.fmt == "radar-${projectId}"
+    assert r.bucket.disabled_formats == [".*-disabled"]
+    assert r.bucket.default_name == "radar-default"
 
 
 def test_cli_end_to_end(tmp_path, spark):

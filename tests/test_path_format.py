@@ -145,3 +145,69 @@ def test_mp_and_custom_segments_sanitized(spark):
         custom_params={"evil": lambda d, ts: F.lit("../../x")},
     )
     assert fmt2.apply(df, event_time(df)).first().output_path == "x/t/20200128_1300"
+
+
+def test_bucket_format_template_literals_and_params(spark):
+    from radar_output_restructure_spark.plans.path_format import BucketFormat
+
+    df = _df(spark)
+    bf = BucketFormat(fmt="radar-${projectId}-out")
+    row = df.select(bf.column(df, event_time(df)).alias("b")).first()
+    assert row.b == "radar-P1-out"  # literal text survives, param sanitized
+
+
+def test_bucket_format_disabled_regex_falls_back(spark):
+    from radar_output_restructure_spark.plans.path_format import BucketFormat
+
+    df = _df(spark)
+    bf = BucketFormat(
+        fmt="radar-${projectId}-out",
+        disabled_formats=["RADAR-P1-.*", "other"],
+        default_name="default-bucket",
+    )
+    row = df.select(bf.column(df, event_time(df)).alias("b")).first()
+    # case-insensitive FULL match (Kotlin Regex.matches + IGNORE_CASE)
+    assert row.b == "default-bucket"
+    bf2 = BucketFormat(
+        fmt="radar-${projectId}-out",
+        disabled_formats=["P1"],  # substring only -> NOT a full match
+        default_name="default-bucket",
+    )
+    row2 = df.select(bf2.column(df, event_time(df)).alias("b")).first()
+    assert row2.b == "radar-P1-out"
+
+
+def test_bucket_format_constant_no_params(spark):
+    from radar_output_restructure_spark.plans.path_format import BucketFormat
+
+    df = _df(spark)
+    bf = BucketFormat()  # default: fixed name, no substitutions
+    row = df.select(bf.column(df, event_time(df)).alias("b")).first()
+    assert row.b == "radar-output-storage"
+
+
+def test_bucket_routes_pipeline_output(spark, tmp_path):
+    from radar_output_restructure_spark.plans.path_format import BucketFormat
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    rows = [
+        Row(key=Row(projectId=p, userId="u", sourceId="s"),
+            value=Row(time=3600.0, serverStatus="A", ipAddress=None))
+        for p in ("alpha", "beta")
+    ]
+    _write_fixture(spark, input_dir, "t", rows, 0, 0, 1, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        bucket=BucketFormat(
+            fmt="bkt-${projectId}",
+            disabled_formats=["bkt-beta"],
+            default_name="fallback",
+        ),
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    rel = sorted(os.path.relpath(f, output_dir) for f in finals)
+    assert rel == [
+        "bkt-alpha/alpha/u/t/19700101_0100.csv",
+        "fallback/beta/u/t/19700101_0100.csv",
+    ]
