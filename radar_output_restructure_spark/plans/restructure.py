@@ -257,6 +257,25 @@ class RestructurePlan:
             )
         return flat, part_cols
 
+    def _schema_canon(self, path: str) -> str:
+        """Canonical `name:type` schema string of one source file, dispatched
+        on source_format — parquet reads the footer, avro the container
+        header; both are O(KB) regardless of file size."""
+        if self.config.source_format == "avro":
+            from radar_output_restructure_spark.sources import avro_io
+
+            with open(path, "rb") as fh:
+                head = fh.read(64 * 1024)  # header is metadata-only
+            try:
+                schema, _, _, _ = avro_io.read_header(head)
+            except EOFError:  # pathological schema larger than the prefix
+                schema, _, _, _ = avro_io.read_header(path)
+            return avro_io.avro_schema_fingerprint_canonical(schema)
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return ",".join(f"{n}:{t}" for n, t in zip(schema.names, schema.types))
+
     def _fingerprint_groups(
         self, topic: str, files: list[FileEntry]
     ) -> list[tuple[int, list[FileEntry]]]:
@@ -265,13 +284,10 @@ class RestructurePlan:
         schema-evolution-by-suffix at file granularity)."""
         import hashlib
 
-        import pyarrow.parquet as pq
-
         by_fp: dict[str, list[FileEntry]] = {}
         order: list[str] = []
         for f in files:
-            schema = pq.read_schema(f.path)
-            canon = ",".join(f"{n}:{t}" for n, t in zip(schema.names, schema.types))
+            canon = self._schema_canon(f.path)
             fp = hashlib.md5(canon.encode()).hexdigest()
             if fp not in by_fp:
                 order.append(fp)

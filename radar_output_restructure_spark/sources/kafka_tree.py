@@ -18,9 +18,11 @@ one declarative scan:
   AzureSourceStorage.kt) collapse into the Hadoop FileSystem URL scheme;
   retries and listing pagination are Hadoop-connector config, not engine code.
 
-Format: "avro" on a real cluster (spark-avro on the classpath); local tests
-use parquet fixtures with identical tree semantics. The reader is
-format-agnostic — semantics live in the path parsing, not the codec.
+Format "avro" (the reference's native input) uses the spark-avro DataSource
+when its jar is on the classpath; otherwise the distributed pure-Python
+container reader in avro_io.py (binaryFile scan + Arrow mapInPandas decode)
+takes over with identical downstream semantics. Parquet shares the same tree
+semantics — they live in the path parsing, not the codec.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # <topic>+<partition>+<offsetFrom>[+<offsetTo>].<ext>[.<compression>]
 FILENAME_RE = r"([^/+]+)\+(\d+)\+(\d+)(?:\+(\d+))?\.[A-Za-z0-9.]+$"
@@ -44,20 +47,18 @@ def parse_offset_filename(name: str) -> tuple[str, int, int, int | None] | None:
     return topic, int(part), int(off_from), int(off_to) if off_to else None
 
 
-def with_file_metadata(df: DataFrame) -> DataFrame:
+def _attach_path_metadata(
+    df: DataFrame, path_col: str, mtime_col: str
+) -> DataFrame:
     """Attach topic / kafka_partition / offset_from / offset_to / source_file /
-    file_modified from the file-source `_metadata` column.
-
-    `_metadata` is produced by the scan itself (no second listing), so at
-    100 TB this costs nothing beyond the existing file index.
-    """
-    path = F.col("_metadata.file_path")
+    file_modified parsed from a file-path column, then drop the raw columns."""
+    path = F.col(path_col)
     # local URIs come back as file:/x or file:///x — normalize to a plain path
     # so driver-side os.* paths compare equal; object-store schemes pass through
     normalized = F.regexp_replace(path, "^file:/+", "/")
     return (
         df.withColumn("source_file", normalized)
-        .withColumn("file_modified", F.col("_metadata.file_modification_time"))
+        .withColumn("file_modified", F.col(mtime_col))
         .withColumn("topic", F.regexp_extract(path, FILENAME_RE, 1))
         .withColumn("kafka_partition", F.regexp_extract(path, FILENAME_RE, 2).cast("int"))
         .withColumn("offset_from", F.regexp_extract(path, FILENAME_RE, 3).cast("long"))
@@ -65,7 +66,88 @@ def with_file_metadata(df: DataFrame) -> DataFrame:
             "offset_to",
             F.nullif(F.regexp_extract(path, FILENAME_RE, 4), F.lit("")).cast("long"),
         )
+        .drop(path_col, mtime_col)
     )
+
+
+def with_file_metadata(df: DataFrame) -> DataFrame:
+    """Attach filename metadata from the file-source `_metadata` column.
+
+    `_metadata` is produced by the scan itself (no second listing), so at
+    100 TB this costs nothing beyond the existing file index.
+    """
+    df = df.withColumn("__src_path", F.col("_metadata.file_path")).withColumn(
+        "__src_mtime", F.col("_metadata.file_modification_time")
+    )
+    return _attach_path_metadata(df, "__src_path", "__src_mtime")
+
+
+_NATIVE_AVRO: dict[int, bool] = {}
+
+
+def has_native_avro(spark: SparkSession) -> bool:
+    """True when the spark-avro DataSource jar is on the classpath (a real
+    cluster); False in jar-less environments, where the pure-Python container
+    reader (sources/avro_io.py) takes over."""
+    key = id(spark._jsparkSession)
+    if key not in _NATIVE_AVRO:
+        try:
+            # resolving the DataSource is the authoritative probe; the path
+            # is never read (schema supplied, load is lazy for file listing
+            # only after resolution fails or succeeds)
+            spark.read.format("avro").schema("__probe int").load(
+                "/__avro_capability_probe__"
+            )
+            _NATIVE_AVRO[key] = True
+        except Exception as exc:
+            _NATIVE_AVRO[key] = "Failed to find data source" not in str(exc)
+    return _NATIVE_AVRO[key]
+
+
+def _read_avro_tree_python(spark: SparkSession, load) -> DataFrame:
+    """Jar-less Avro scan: binaryFile ships each container file whole to an
+    executor; an Arrow-batched mapInPandas decodes it with the pure-Python
+    codec. Kafka-sink files are flush-sized (MBs), so one-file-per-row is the
+    natural split granularity — the same unit the reference processes
+    (util/GenericRecordReader.kt:11-43)."""
+    import pandas as pd
+
+    from radar_output_restructure_spark.sources import avro_io
+
+    bin_df = spark.read.format("binaryFile").load(load)
+    probe = bin_df.select("content").limit(1).first()
+    if probe is None:
+        raise FileNotFoundError(f"no avro files under {load!r}")
+    writer_schema, _, _, _ = avro_io.read_header(bytes(probe.content))
+    record_type, _ = avro_io.avro_to_spark_type(writer_schema)
+    if not isinstance(record_type, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    out_schema = T.StructType(
+        list(record_type.fields)
+        + [
+            T.StructField("__src_path", T.StringType(), False),
+            T.StructField("__src_mtime", T.TimestampType(), False),
+        ]
+    )
+    names = [f.name for f in record_type.fields]
+
+    def decode(batches):
+        for pdf in batches:
+            frames = []
+            for path, mtime, content in zip(
+                pdf["path"], pdf["modificationTime"], pdf["content"]
+            ):
+                _, records = avro_io.read_container(bytes(content))
+                frame = pd.DataFrame(
+                    {n: [rec.get(n) for rec in records] for n in names}
+                )
+                frame["__src_path"] = path
+                frame["__src_mtime"] = mtime
+                frames.append(frame)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return bin_df.mapInPandas(decode, out_schema)
 
 
 def read_topic_tree(
@@ -85,16 +167,21 @@ def read_topic_tree(
 
     `paths`: load exactly these files (the manifest-pruned candidate list) —
     partition pruning at the source instead of a post-scan filter.
+
+    format="avro" uses the native spark-avro DataSource when its jar is on
+    the classpath and falls back to the distributed pure-Python container
+    reader (avro_io.py) otherwise, with identical downstream semantics.
     """
-    if paths is not None:
-        df = spark.read.format(file_format).load(paths)
+    load = paths if paths is not None else f"{input_dir}/{topic or '*'}/partition=*/"
+    if file_format == "avro" and not has_native_avro(spark):
+        decoded = _read_avro_tree_python(spark, load)
+        df = _attach_path_metadata(decoded, "__src_path", "__src_mtime")
     else:
-        pattern = f"{input_dir}/{topic or '*'}/partition=*/"
-        df = spark.read.format(file_format).load(pattern)
-    # partition=N discovery column may shadow the parsed kafka partition
-    if "partition" in df.columns:
-        df = df.drop("partition")
-    df = with_file_metadata(df.select("*", "_metadata"))
+        df = spark.read.format(file_format).load(load)
+        # partition=N discovery column may shadow the parsed kafka partition
+        if "partition" in df.columns:
+            df = df.drop("partition")
+        df = with_file_metadata(df.select("*", "_metadata")).drop("_metadata")
     if exclude_topics:
         df = df.filter(~F.col("topic").isin(*sorted(exclude_topics)))
-    return df.drop("_metadata")
+    return df
