@@ -50,22 +50,59 @@ def _render_leaf(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
-def _map_keys_for(df: DataFrame, path: str) -> list[str]:
-    """Union of keys present for a map column — one small aggregate job.
+def _collect_dynamic_paths(
+    schema: T.StructType, excluded: set[str], sep: str
+) -> tuple[list[str], list[str]]:
+    """Dotted paths of every non-excluded map / array column, mirroring the
+    struct recursion of the flattener walk."""
+    maps: list[str] = []
+    arrays: list[str] = []
 
-    At 100 TB this is a map-side partial-agg of distinct keys per partition
-    (tiny cardinality), not a full shuffle of the data.
+    def walk(path: str, name: str, dtype: T.DataType) -> None:
+        dotted = f"{path}{sep}{name}" if path else name
+        if dotted in excluded:
+            return
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(dotted, f.name, f.dataType)
+        elif isinstance(dtype, T.MapType):
+            maps.append(dotted)
+        elif isinstance(dtype, T.ArrayType):
+            arrays.append(dotted)
+
+    for f in schema.fields:
+        walk("", f.name, f.dataType)
+    return maps, arrays
+
+
+def _dynamic_shapes(
+    df: DataFrame, map_paths: list[str], array_paths: list[str]
+) -> tuple[dict[str, list[str]], dict[str, int]]:
+    """Key unions for map columns and max arities for array columns — ONE
+    combined aggregate job for all of them, not one job per column.
+
+    At 100 TB this is a single map-side partial agg (tiny per-partition
+    state: distinct keys + a max per column), no data shuffle.
     """
-    row = df.select(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_set(F.map_keys(F.col(path)))))).alias("ks")
-    ).first()
-    return list(row["ks"]) if row and row["ks"] else []
-
-
-def _max_arity_for(df: DataFrame, path: str) -> int:
-    row = df.select(F.max(F.size(F.col(path))).alias("n")).first()
-    n = row["n"] if row else 0
-    return max(int(n or 0), 0)
+    if not map_paths and not array_paths:
+        return {}, {}
+    aggs = [
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_set(F.map_keys(F.col(p)))))
+        ).alias(f"__mk{i}")
+        for i, p in enumerate(map_paths)
+    ] + [
+        F.max(F.size(F.col(p))).alias(f"__aa{i}")
+        for i, p in enumerate(array_paths)
+    ]
+    row = df.select(*aggs).first()
+    keys = {
+        p: list(row[f"__mk{i}"] or []) for i, p in enumerate(map_paths)
+    }
+    arity = {
+        p: max(int(row[f"__aa{i}"] or 0), 0) for i, p in enumerate(array_paths)
+    }
+    return keys, arity
 
 
 def flatten_columns(
@@ -76,6 +113,8 @@ def flatten_columns(
 ) -> list[Column]:
     """Build the flat projection list without applying it."""
     excluded = excluded or set()
+    map_paths, array_paths = _collect_dynamic_paths(df.schema, excluded, sep)
+    map_keys, array_arity = _dynamic_shapes(df, map_paths, array_paths)
     cols: list[Column] = []
 
     def walk(path: str, name: str, dtype: T.DataType) -> None:
@@ -87,7 +126,7 @@ def flatten_columns(
                 walk(dotted, f.name, f.dataType)
             return
         if isinstance(dtype, T.MapType):
-            for key in _map_keys_for(df, dotted):
+            for key in map_keys[dotted]:
                 leaf_name = f"{dotted}{sep}{key}"
                 if leaf_name in excluded:
                     continue
@@ -98,7 +137,7 @@ def flatten_columns(
                 cols.append(leaf.alias(leaf_name))
             return
         if isinstance(dtype, T.ArrayType):
-            for i in range(_max_arity_for(df, dotted)):
+            for i in range(array_arity[dotted]):
                 leaf_name = f"{dotted}{sep}{i}"
                 if leaf_name in excluded:
                     continue

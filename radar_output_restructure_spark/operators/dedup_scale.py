@@ -399,4 +399,16 @@ def duplicate_clusters(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        # components with diameter > max_iterations would silently get SPLIT
+        # cluster ids; surface it instead (caller can raise the budget)
+        import warnings
+
+        warnings.warn(
+            f"label propagation did not converge after {max_iterations} "
+            f"iterations ({changed} labels still changing); cluster ids may "
+            "be split for long-diameter components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

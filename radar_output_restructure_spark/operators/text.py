@@ -202,19 +202,27 @@ def unigram_logprob_score(
     back; (2) per-doc sum of -ln p(token). Per-token values round to integer
     MICRO-nats before summing so the result is order-independent and
     engine-exact (float accumulation is not).
+
+    The corpus token total folds into the freqs side as a global window over
+    the VOCAB-sized frame (sum of tf), not a separate `tokens.count()` — that
+    saved pass was a full corpus scan for one scalar. The single-partition
+    window exchange is over data that is about to be broadcast anyway, so it
+    adds no new scalability constraint.
     """
+    from pyspark.sql import Window
+
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
     freqs = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = tokens.count()
-    nll_micro = F.round(-F.log(F.col("tf") / F.lit(float(total))) * 1_000_000).cast(
-        "long"
-    )
-    scored = tokens.join(F.broadcast(freqs), "tok").select(
-        "doc", nll_micro.alias("nll")
-    )
+    total = F.sum("tf").over(Window.partitionBy())
+    nll_micro = F.round(
+        -F.log(F.col("tf") / total.cast("double")) * 1_000_000
+    ).cast("long")
+    scored = tokens.join(
+        F.broadcast(freqs.select("tok", nll_micro.alias("nll"))), "tok"
+    ).select("doc", "nll")
     return scored.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("nll").alias("nll_micro"),

@@ -105,33 +105,42 @@ class SourceDataCleaner:
         ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + (
             ".gz" if cfg.compression == "gzip" else ""
         )
-        for attempt, group in self.plan._fingerprint_groups(topic, files):
-            df = read_topic_tree(
-                self.spark, cfg.input_dir, topic=topic,
-                file_format=cfg.source_format, paths=[f.path for f in group],
-            )
-            flat, part_cols = self.plan.transform(df, topic, keep_cols=("source_file",))
-            ext = (f"_{attempt}" if attempt else "") + ext0
-            target = F.concat_ws(
-                os.sep, F.lit(cfg.output_dir.rstrip(os.sep)),
-                *[F.col(c) for c in part_cols],
-            )
-            target = F.concat(target, F.lit(ext))
-            if cfg.output_format == "json":
-                time_str = F.get_json_object(F.col("line"), "$.value.time")
-            else:
-                time_str = (
-                    F.col("`value.time`")
-                    if "value.time" in flat.columns
-                    else F.lit(None)
+        for attempt, _schema_json, fp_groups in self.plan._fingerprint_groups(
+            topic, files
+        ):
+            # one scan per fingerprint group — schemas are uniform within a
+            # group, and mixing them in one parquet scan would silently drop
+            # the non-first schema's columns
+            for group in fp_groups:
+                df = read_topic_tree(
+                    self.spark, cfg.input_dir, topic=topic,
+                    file_format=cfg.source_format,
+                    paths=[f.path for f in group],
                 )
-            parts.append(
-                flat.select(
-                    "source_file",
-                    target.alias("target_path"),
-                    time_str.cast("string").alias("time_str"),
+                flat, part_cols = self.plan.transform(
+                    df, topic, keep_cols=("source_file",)
                 )
-            )
+                ext = (f"_{attempt}" if attempt else "") + ext0
+                target = F.concat_ws(
+                    os.sep, F.lit(cfg.output_dir.rstrip(os.sep)),
+                    *[F.col(c) for c in part_cols],
+                )
+                target = F.concat(target, F.lit(ext))
+                if cfg.output_format == "json":
+                    time_str = F.get_json_object(F.col("line"), "$.value.time")
+                else:
+                    time_str = (
+                        F.col("`value.time`")
+                        if "value.time" in flat.columns
+                        else F.lit(None)
+                    )
+                parts.append(
+                    flat.select(
+                        "source_file",
+                        target.alias("target_path"),
+                        time_str.cast("string").alias("time_str"),
+                    )
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -22,6 +22,7 @@ hash exchange when enabled, which AQE coalesces into it when keys align).
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -30,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from radar_output_restructure_spark.functions.flatten import flatten, pruned_struct
+from radar_output_restructure_spark.functions.schema_compat import conform_to
 from radar_output_restructure_spark.functions.timeutil import event_time
 from radar_output_restructure_spark.operators.dedup import dedup_keep_first, dedup_keep_last
 from radar_output_restructure_spark.plans.path_format import (
@@ -46,6 +48,7 @@ from radar_output_restructure_spark.sources.manifest import (
     AttemptRegistry,
     FileEntry,
     ProcessedFileManifest,
+    SchemaFingerprintCache,
 )
 
 
@@ -114,6 +117,9 @@ class RestructurePlan:
             os.path.join(config.output_dir, "offsets")
         )
         self.attempts = AttemptRegistry(os.path.join(config.output_dir, "offsets"))
+        self.schema_cache = SchemaFingerprintCache(
+            os.path.join(config.output_dir, "offsets")
+        )
 
     # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
 
@@ -219,6 +225,12 @@ class RestructurePlan:
                 ),
                 excluded,
             )
+            if record is None:
+                raise ValueError(
+                    "excludeFields removes every value field for topic "
+                    f"{topic!r}; JSON output would be empty objects — "
+                    "narrow the excludeFields configuration"
+                )
             lines = df.select(
                 *[F.col(c) for c in part_cols],
                 *[F.col(c) for c in ORDER_COLS],
@@ -258,9 +270,11 @@ class RestructurePlan:
         return flat, part_cols
 
     def _schema_canon(self, path: str) -> str:
-        """Canonical `name:type` schema string of one source file, dispatched
+        """Canonical source-file schema as Spark StructType JSON, dispatched
         on source_format — parquet reads the footer, avro the container
-        header; both are O(KB) regardless of file size."""
+        header; both are O(KB) regardless of file size. A Spark-typed canon
+        is format-agnostic: the same logical schema fingerprints identically
+        whether the file arrived as avro or parquet."""
         if self.config.source_format == "avro":
             from radar_output_restructure_spark.sources import avro_io
 
@@ -270,30 +284,49 @@ class RestructurePlan:
                 schema, _, _, _ = avro_io.read_header(head)
             except EOFError:  # pathological schema larger than the prefix
                 schema, _, _, _ = avro_io.read_header(path)
-            return avro_io.avro_schema_fingerprint_canonical(schema)
+            struct, _ = avro_io.avro_to_spark_type(schema)
+            return struct.json()
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
 
-        schema = pq.read_schema(path)
-        return ",".join(f"{n}:{t}" for n, t in zip(schema.names, schema.types))
+        return from_arrow_schema(pq.read_schema(path)).json()
 
     def _fingerprint_groups(
         self, topic: str, files: list[FileEntry]
-    ) -> list[tuple[int, list[FileEntry]]]:
-        """Group candidate files by source-schema fingerprint and map each
+    ) -> list[tuple[int, str | None, list[list[FileEntry]]]]:
+        """Group candidate files by source-schema fingerprint, resolve each
         fingerprint to its persistent attempt suffix (SURVEY §1.3:
-        schema-evolution-by-suffix at file granularity)."""
+        schema-evolution-by-suffix at file granularity), and gather the
+        fingerprint groups per attempt.
+
+        Returns [(attempt, superset schema JSON, [file groups])] sorted by
+        attempt. Several fingerprint groups share one attempt when their
+        schemas are order-preserving subsets of the attempt's superset schema
+        (reference subset-write semantics, CsvAvroConverterTest.kt subSchema);
+        their rows null-fill into the superset projection at read time.
+        """
         import hashlib
 
+        canons = self.schema_cache.get_many(files, self._schema_canon)
         by_fp: dict[str, list[FileEntry]] = {}
+        fp_canon: dict[str, str] = {}
         order: list[str] = []
         for f in files:
-            canon = self._schema_canon(f.path)
-            fp = hashlib.md5(canon.encode()).hexdigest()
+            fp = hashlib.md5(canons[f.path].encode()).hexdigest()
             if fp not in by_fp:
                 order.append(fp)
+                fp_canon[fp] = canons[f.path]
             by_fp.setdefault(fp, []).append(f)
-        attempts = self.attempts.assign(topic, order)
-        return sorted((attempts[fp], group) for fp, group in by_fp.items())
+        attempts, schemas = self.attempts.assign(
+            topic, [(fp, fp_canon[fp]) for fp in order]
+        )
+        per_attempt: dict[int, list[list[FileEntry]]] = {}
+        for fp, group in by_fp.items():
+            per_attempt.setdefault(attempts[fp], []).append(group)
+        return [
+            (attempt, schemas.get(str(attempt)), groups)
+            for attempt, groups in sorted(per_attempt.items())
+        ]
 
     def run_topic(self, topic: str) -> list[str]:
         cfg = self.config
@@ -306,16 +339,37 @@ class RestructurePlan:
             "zip": ".zip",
         }[cfg.compression]
         finals: list[str] = []
-        for attempt, group in self._fingerprint_groups(topic, files):
-            df = read_topic_tree(
-                self.spark, cfg.input_dir, topic=topic, file_format=cfg.source_format,
-                paths=[f.path for f in group],
+        meta_cols = [
+            "source_file", "file_modified", "kafka_partition",
+            "offset_from", "offset_to",
+        ]
+        for attempt, schema_json, fp_groups in self._fingerprint_groups(
+            topic, files
+        ):
+            sup = (
+                T.StructType.fromJson(json.loads(schema_json))
+                if schema_json
+                else None
             )
+            dfs = []
+            for group in fp_groups:
+                d = read_topic_tree(
+                    self.spark, cfg.input_dir, topic=topic,
+                    file_format=cfg.source_format,
+                    paths=[f.path for f in group],
+                )
+                if sup is not None:
+                    # null-fill subset schemas into the attempt's superset
+                    # (subset-write rule); for the defining group this is an
+                    # identity projection
+                    d = conform_to(d, sup, keep=[*meta_cols, "topic"])
+                dfs.append(d)
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionByName(other)
             flat, part_cols = self.transform(df, topic)
-            value_schema = df.drop(
-                "source_file", "file_modified", "kafka_partition",
-                "offset_from", "offset_to",
-            ).schema
+            value_schema = sup if sup is not None else df.drop(*meta_cols).schema
+            group = [f for g in fp_groups for f in g]
             finals += write_output_tree_direct(
                 flat,
                 cfg.output_dir,

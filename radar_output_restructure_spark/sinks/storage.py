@@ -1,0 +1,165 @@
+"""Target-storage abstraction for the exact-name writers (SURVEY §2.1 S14;
+reference target/TargetStorage.kt:24-68 with LocalTargetStorage.kt,
+S3TargetStorage.kt, AzureTargetStorage.kt implementations).
+
+The writers only ever need six primitives — exists / read / atomic store /
+makedirs / delete / walk — so the storage backend is one small class:
+
+* `LocalTargetStorage`: os/shutil on a mounted filesystem (local disk, NFS,
+  FUSE mounts of object stores). Picklable, so it ships to executors and the
+  direct (`applyInPandas`) writer works with it.
+* `HadoopTargetStorage`: the driver-side seam to ANY Hadoop FileSystem URL —
+  file://, hdfs://, s3a://, abfs:// — through the running JVM's FileSystem
+  API, so the cloud connectors' config (credentials, retries, server-side
+  copy) is Hadoop configuration, not engine code. NOT picklable (it holds a
+  py4j handle): usable from `write_output_tree`'s driver-side finalize, not
+  from the executor-side direct writer. An executor-side object-store
+  implementation is one class away (boto3 / azure-storage-blob with the same
+  six methods) when those SDKs are available.
+
+Atomicity contract: `store_atomic` must publish the full payload or nothing
+(tmp file + rename locally; create-then-rename on Hadoop FileSystems, which
+object-store connectors implement as upload + server-side copy).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+
+class TargetStorage:
+    """Six-method storage surface the writers are built on."""
+
+    #: safe to pickle into executor tasks (the direct writer requires it)
+    executor_safe = False
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def store_atomic(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def walk_files(self, root: str) -> list[str]:
+        """Every file path under root (recursive); [] when root is absent."""
+        raise NotImplementedError
+
+
+class LocalTargetStorage(TargetStorage):
+    """target/LocalTargetStorage.kt semantics on the local filesystem."""
+
+    executor_safe = True
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    def store_atomic(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def delete(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def walk_files(self, root: str) -> list[str]:
+        out: list[str] = []
+        for dirpath, _dirs, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files]
+        return out
+
+
+class HadoopTargetStorage(TargetStorage):
+    """Driver-side storage over any Hadoop FileSystem scheme.
+
+    Resolves the FileSystem for each path's URI through the active session's
+    Hadoop configuration, so `s3a://bucket/...` or `abfs://container@.../...`
+    targets work with whatever credentials/committer config the cluster
+    already has. Holds py4j handles — driver-only (executor_safe = False).
+    """
+
+    executor_safe = False
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _fs_path(self, path: str):
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self._conf)
+        return fs, jpath
+
+    def exists(self, path: str) -> bool:
+        fs, jpath = self._fs_path(path)
+        return fs.exists(jpath)
+
+    def read(self, path: str) -> bytes:
+        fs, jpath = self._fs_path(path)
+        stream = fs.open(jpath)
+        try:
+            out = bytearray()
+            helper = self._jvm.org.apache.commons.io.IOUtils
+            return bytes(helper.toByteArray(stream))
+        finally:
+            stream.close()
+
+    def store_atomic(self, path: str, data: bytes) -> None:
+        fs, jpath = self._fs_path(path)
+        tmp = self._jvm.org.apache.hadoop.fs.Path(
+            f"{path}.tmp-{uuid.uuid4().hex}"
+        )
+        stream = fs.create(tmp, True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        # overwrite-rename: delete a pre-existing target first (rename on
+        # HDFS/S3A fails onto an existing file)
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)
+            raise IOError(f"rename {tmp} -> {path} failed")
+
+    def makedirs(self, path: str) -> None:
+        fs, jpath = self._fs_path(path)
+        fs.mkdirs(jpath)
+
+    def delete(self, path: str) -> None:
+        fs, jpath = self._fs_path(path)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+    def walk_files(self, root: str) -> list[str]:
+        fs, jpath = self._fs_path(root)
+        if not fs.exists(jpath):
+            return []
+        out: list[str] = []
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            out.append(it.next().getPath().toString())
+        return out

@@ -26,11 +26,15 @@ from __future__ import annotations
 import gzip
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from radar_output_restructure_spark.sinks.storage import (
+    LocalTargetStorage,
+    TargetStorage,
+)
 
 
 def _avro_schema_json(schema: T.StructType, topic: str) -> str:
@@ -83,23 +87,34 @@ def _avro_schema_json(schema: T.StructType, topic: str) -> str:
     return json.dumps(top, indent=2)
 
 
-def _concat_into(dst: str, parts: list[str], gzipped: bool, has_header: bool) -> None:
-    """Append part files into dst (skipping their headers when dst exists)."""
-    opener = gzip.open if gzipped else open
-    exists = os.path.exists(dst)
-    mode = "ab"
-    with opener(dst, mode) as out:  # type: ignore[arg-type]
-        skip_header = exists and has_header
-        for part in parts:
-            with opener(part, "rb") as src:  # type: ignore[arg-type]
-                data = src.read()
-            if skip_header and data:
-                nl = data.find(b"\n")
-                data = data[nl + 1 :] if nl >= 0 else b""
-            out.write(data)
-            skip_header = has_header  # subsequent parts always drop the header
-    # normalize: gzip append produces multi-member files; both gzip and the
-    # reference's decompress-on-append accept them.
+def _concat_into(
+    dst: str,
+    parts: list[str],
+    gzipped: bool,
+    has_header: bool,
+    storage: TargetStorage,
+) -> None:
+    """Append part files into dst (skipping their headers when dst exists),
+    publishing the result atomically through the storage backend."""
+    exists = storage.exists(dst)
+    existing = storage.read(dst) if exists else b""
+    chunks: list[bytes] = []
+    skip_header = exists and has_header
+    for part in parts:
+        data = storage.read(part)
+        if gzipped:
+            data = gzip.decompress(data)
+        if skip_header and data:
+            nl = data.find(b"\n")
+            data = data[nl + 1 :] if nl >= 0 else b""
+        chunks.append(data)
+        skip_header = has_header  # subsequent parts always drop the header
+    payload = b"".join(chunks)
+    if gzipped:
+        # appended as a fresh member; gzip and the reference's
+        # decompress-on-append both accept multi-member files
+        payload = gzip.compress(payload)
+    storage.store_atomic(dst, existing + payload)
 
 
 _FMT_EXT = {"csv": ".csv", "json": ".json"}
@@ -107,35 +122,36 @@ _COMP_EXT = {None: "", "gzip": ".gz", "zip": ".zip"}
 ZIP_LEVEL = 7  # compression/ZipCompression.kt:17
 
 
-def _store_payload(final: str, payload: bytes, compression: str | None) -> None:
-    """Atomically store/append `payload` at `final` (tmp file -> rename, the
-    reference's FileCache store protocol). gzip appends a new member;
-    zip (single-entry archive, level 7) is rewritten with old+new content."""
-    import uuid as _uuid
+def _store_payload(
+    final: str,
+    payload: bytes,
+    compression: str | None,
+    storage: TargetStorage,
+) -> None:
+    """Atomically store/append `payload` at `final` through the storage
+    backend (the reference's FileCache store protocol: full new content is
+    staged, then published atomically). gzip appends a new member; zip
+    (single-entry archive, level 7) is rewritten with old+new content."""
+    import io
     import zipfile
 
-    exists = os.path.exists(final)
-    tmp = f"{final}.tmp-{_uuid.uuid4().hex}"
-    try:
-        if compression == "zip":
-            entry = os.path.basename(final)[: -len(".zip")]
-            if exists:
-                with zipfile.ZipFile(final) as zf:
-                    payload = zf.read(zf.namelist()[0]) + payload
-            with zipfile.ZipFile(
-                tmp, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
-            ) as zf:
-                zf.writestr(entry, payload)
-        else:
-            if exists:
-                shutil.copyfile(final, tmp)  # keep prior rows (append)
-            opener = gzip.open if compression == "gzip" else open
-            with opener(tmp, "ab") as out:
-                out.write(payload)
-        os.replace(tmp, final)  # atomic store
-    finally:
-        if os.path.exists(tmp):
-            os.remove(tmp)
+    exists = storage.exists(final)
+    if compression == "zip":
+        entry = os.path.basename(final)[: -len(".zip")]
+        if exists:
+            with zipfile.ZipFile(io.BytesIO(storage.read(final))) as zf:
+                payload = zf.read(zf.namelist()[0]) + payload
+        buf = io.BytesIO()
+        with zipfile.ZipFile(
+            buf, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
+        ) as zf:
+            zf.writestr(entry, payload)
+        data = buf.getvalue()
+    else:
+        if compression == "gzip":
+            payload = gzip.compress(payload, 9)  # fresh member per append
+        data = (storage.read(final) if exists else b"") + payload
+    storage.store_atomic(final, data)
 
 
 def write_output_tree_direct(
@@ -149,6 +165,7 @@ def write_output_tree_direct(
     value_schema: T.StructType | None = None,
     order_col: str | list[str] | None = None,
     line_col: str = "line",
+    storage: TargetStorage | None = None,
 ) -> list[str]:
     """Exact-name writer: one `applyInPandas` group per output file.
 
@@ -175,6 +192,14 @@ def write_output_tree_direct(
     """
     if extension is None:
         extension = _FMT_EXT[fmt] + _COMP_EXT[compression]
+    storage = storage if storage is not None else LocalTargetStorage()
+    if not storage.executor_safe:
+        raise ValueError(
+            "write_output_tree_direct writes from executors; the storage "
+            "backend must be executor_safe (picklable, reachable from "
+            "workers). Driver-side backends like HadoopTargetStorage work "
+            "with write_output_tree's finalize path instead."
+        )
     order_cols = (
         [order_col] if isinstance(order_col, str) else list(order_col or [])
     )
@@ -206,18 +231,17 @@ def write_output_tree_direct(
     def write_group(keys, pdf):
         import csv as _csv
         import io
-        import uuid as _uuid
 
         import pandas as pd
 
         segs = ["" if k is None else str(k) for k in keys]
         *dir_segs, bin_seg = segs
         final_dir = os.path.join(out_dir, *dir_segs)
-        os.makedirs(final_dir, exist_ok=True)
+        storage.makedirs(final_dir)
         final = os.path.join(final_dir, bin_seg + extension)
         if order_cols:
             pdf = pdf.sort_values(order_cols, kind="stable")
-        exists = os.path.exists(final)
+        exists = storage.exists(final)
         if fmt == "json":
             payload = ("\n".join(pdf[data_cols[0]].tolist()) + "\n").encode()
         else:
@@ -229,15 +253,17 @@ def write_output_tree_direct(
                 w.writerow(header_names)
             w.writerows(body.values.tolist())
             payload = buf.getvalue().encode()
-        _store_payload(final, payload, compression)
+        _store_payload(final, payload, compression, storage)
         if sidecar_body is not None:
             topic = segs[topic_idx]
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
-            if not os.path.exists(sidecar):
-                stmp = f"{sidecar}.tmp-{_uuid.uuid4().hex}"
-                with open(stmp, "w") as fh:
-                    fh.write(sidecar_body.replace("__TOPIC_PLACEHOLDER__", topic))
-                os.replace(stmp, sidecar)
+            if not storage.exists(sidecar):
+                storage.store_atomic(
+                    sidecar,
+                    sidecar_body.replace(
+                        "__TOPIC_PLACEHOLDER__", topic
+                    ).encode(),
+                )
         return pd.DataFrame({"path": [final], "rows": [len(pdf)]})
 
     result = safe.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
@@ -269,19 +295,23 @@ def write_output_tree(
     value_schema: T.StructType | None = None,
     tmp_dir: str | None = None,
     order_col: str | list[str] | None = None,
+    storage: TargetStorage | None = None,
 ) -> list[str]:
     """Write `df` as the reference's output tree; returns final file paths.
 
     `partition_cols`: ordered path segments; the last is the time-bin that
-    becomes the file name. Local-filesystem finalize (object-store variants
-    swap os.* for the storage client's server-side copy).
+    becomes the file name. The finalize pass runs through the storage
+    backend: LocalTargetStorage for mounted filesystems, or
+    HadoopTargetStorage for s3a://, abfs://, hdfs:// targets (driver-side
+    renames/reads through the cluster's Hadoop connectors).
     """
     if extension is None:
         extension = {"csv": ".csv", "json": ".json"}[fmt] + (
             ".gz" if compression == "gzip" else ""
         )
+    storage = storage if storage is not None else LocalTargetStorage()
     tmp = tmp_dir or (out_dir.rstrip("/") + "+tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
+    storage.delete(tmp)
 
     shuffled = df.repartition(*[df[c] for c in partition_cols])
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col or [])
@@ -313,28 +343,28 @@ def write_output_tree(
     # finalize concurrently — renames/concats are independent per file, and
     # on object stores each is a server-side copy; a thread pool keeps the
     # driver-side pass from serializing on I/O latency for large file counts.
-    jobs: list[tuple[str, list[str], str, list[str]]] = []
-    for dirpath, dirnames, filenames in os.walk(tmp):
-        parts = sorted(
-            os.path.join(dirpath, f)
-            for f in filenames
-            if f.startswith("part-") and not f.endswith(".crc")
-        )
-        if not parts:
+    marker = "/" + os.path.basename(tmp.rstrip("/")) + "/"
+    by_dir: dict[str, list[str]] = {}
+    for f in storage.walk_files(tmp):
+        name = f.rsplit("/", 1)[-1]
+        if not name.startswith("part-") or name.endswith(".crc"):
             continue
-        rel = os.path.relpath(dirpath, tmp)
-        segs = [kv.split("=", 1)[1] for kv in rel.split(os.sep)]
+        rel_dir = f.split(marker, 1)[1].rsplit("/", 1)[0]
+        by_dir.setdefault(rel_dir, []).append(f)
+    jobs: list[tuple[str, list[str], str, list[str]]] = []
+    for rel_dir, parts in by_dir.items():
+        segs = [kv.split("=", 1)[1] for kv in rel_dir.split("/")]
         *dir_segs, bin_seg = segs
         final_dir = os.path.join(out_dir, *dir_segs)
         final = os.path.join(final_dir, bin_seg + extension)
-        jobs.append((final, parts, final_dir, segs))
+        jobs.append((final, sorted(parts), final_dir, segs))
 
     for final_dir in {j[2] for j in jobs}:
-        os.makedirs(final_dir, exist_ok=True)
+        storage.makedirs(final_dir)
 
     def _finalize(job: tuple[str, list[str], str, list[str]]) -> str:
         final, parts, _final_dir, _segs = job
-        _concat_into(final, parts, gzipped, has_header)
+        _concat_into(final, parts, gzipped, has_header, storage)
         return final
 
     from concurrent.futures import ThreadPoolExecutor
@@ -354,8 +384,9 @@ def write_output_tree(
                 sidecar_dirs.setdefault(final_dir, topic)
         for final_dir, topic in sidecar_dirs.items():
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
-            if not os.path.exists(sidecar):
-                with open(sidecar, "w") as fh:
-                    fh.write(_avro_schema_json(value_schema, topic))
-    shutil.rmtree(tmp, ignore_errors=True)
+            if not storage.exists(sidecar):
+                storage.store_atomic(
+                    sidecar, _avro_schema_json(value_schema, topic).encode()
+                )
+    storage.delete(tmp)
     return sorted(finals)

@@ -126,24 +126,122 @@ class AttemptRegistry:
     def _path(self, topic: str) -> str:
         return os.path.join(self.directory, f"attempts-{topic}.json")
 
-    def load(self, topic: str) -> dict[str, int]:
+    def load(self, topic: str) -> dict:
+        """{"fps": {fingerprint: attempt}, "schemas": {attempt: schemaJson}}.
+        Accepts the legacy flat {fingerprint: attempt} shape (no stored
+        schemas — legacy attempts simply never receive subset merges)."""
         p = self._path(topic)
         if not os.path.exists(p):
-            return {}
+            return {"fps": {}, "schemas": {}}
         with open(p) as fh:
-            return json.load(fh)
+            raw = json.load(fh)
+        if "fps" in raw:
+            return raw
+        return {"fps": raw, "schemas": {}}
 
-    def assign(self, topic: str, fingerprints: list[str]) -> dict[str, int]:
-        """Attempt number for each fingerprint, allocating new ones in
-        first-seen order and persisting the updated mapping."""
+    def assign(
+        self, topic: str, fingerprints: list[tuple[str, str | None]]
+    ) -> tuple[dict[str, int], dict[str, str]]:
+        """Resolve (fingerprint, schemaJson) pairs to attempt numbers,
+        persisting the updated mapping. A NEW fingerprint whose schema is an
+        order-preserving subschema of an existing attempt's superset schema
+        joins that attempt (lowest wins) — the reference's subset-write rule
+        (CsvAvroConverter.kt:76-85) at file granularity; otherwise it
+        allocates the next number in first-seen order.
+
+        Returns (fingerprint -> attempt, attempt(str) -> schemaJson).
+        """
+        from pyspark.sql import types as T
+
+        from radar_output_restructure_spark.functions.schema_compat import (
+            is_subschema,
+        )
+
         state = self.load(topic)
-        nxt = max(state.values(), default=-1) + 1
-        for fp in fingerprints:
-            if fp not in state:
-                state[fp] = nxt
+        fps: dict[str, int] = state["fps"]
+        schemas: dict[str, str] = state["schemas"]
+
+        def parse(canon: str | None):
+            if not canon:
+                return None
+            try:
+                return T.StructType.fromJson(json.loads(canon))
+            except Exception:
+                return None
+
+        nxt = max(fps.values(), default=-1) + 1
+        for fp, canon in fingerprints:
+            if fp in fps:
+                continue
+            sub = parse(canon)
+            merged = None
+            if sub is not None:
+                for att in sorted(int(a) for a in schemas):
+                    sup = parse(schemas[str(att)])
+                    if sup is not None and is_subschema(sub, sup):
+                        merged = att
+                        break
+            if merged is not None:
+                fps[fp] = merged
+            else:
+                fps[fp] = nxt
+                if canon:
+                    schemas[str(nxt)] = canon
                 nxt += 1
         tmp = self._path(topic) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(state, fh, indent=0, sort_keys=True)
+            json.dump({"fps": fps, "schemas": schemas}, fh, sort_keys=True)
         os.replace(tmp, self._path(topic))
-        return state
+        return fps, schemas
+
+
+class SchemaFingerprintCache:
+    """Driver-side (path, mtime) -> canonical-schema cache with a JSON-lines
+    persistence file next to the manifest.
+
+    Fingerprinting a candidate list is O(files) metadata reads (parquet
+    footer / avro header, each O(KB) but ~1-10 ms of I/O latency apiece on an
+    object store). Two levers keep that off the critical path at scale:
+
+    * misses are fetched through a thread pool (I/O-bound, so Python threads
+      parallelize them), and
+    * hits are free across runs — reprocessed files (cleaner verification
+      passes, crash reruns, appends into an existing topic) never re-read
+      metadata unless the file's mtime changed, which is exactly the
+      manifest's own reprocess rule.
+    """
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        # .cache extension: the manifest treats *.jsonl in this directory as
+        # its own ledger segments
+        self._path = os.path.join(directory, "schema-fingerprints.cache")
+        self._cache: dict[tuple[str, int], str] = {}
+        if os.path.exists(self._path):
+            with open(self._path) as fh:
+                for line in fh:
+                    if line.strip():
+                        rec = json.loads(line)
+                        self._cache[(rec["p"], rec["m"])] = rec["c"]
+
+    def get_many(self, files, compute) -> dict[str, str]:
+        """Canonical schema string per path; `compute(path) -> str` fills
+        misses concurrently."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        misses = [f for f in files if (f.path, f.modified_ms) not in self._cache]
+        if misses:
+            workers = min(32, max(4, len(misses)))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                canons = list(pool.map(lambda f: compute(f.path), misses))
+            with open(self._path, "a") as fh:
+                for f, canon in zip(misses, canons):
+                    self._cache[(f.path, f.modified_ms)] = canon
+                    fh.write(
+                        json.dumps(
+                            {"p": f.path, "m": f.modified_ms, "c": canon}
+                        )
+                        + "\n"
+                    )
+        return {f.path: self._cache[(f.path, f.modified_ms)] for f in files}

@@ -177,8 +177,13 @@ def test_fingerprint_header_prefix(tmp_path):
     )
     plan = RestructurePlan.__new__(RestructurePlan)
     plan.config = cfg
-    canon = plan._schema_canon(p)
-    assert canon.startswith("key:struct<projectId:string,")
+    import json
+
+    from pyspark.sql import types as T
+
+    canon = T.StructType.fromJson(json.loads(plan._schema_canon(p)))
+    assert canon.fieldNames() == ["key", "value"]
+    assert canon["key"].dataType.fieldNames()[0] == "projectId"
 
 
 def test_native_avro_detection(spark):

@@ -102,3 +102,37 @@ def test_flatten_rendered_and_excluded(spark):
     assert row["d"] == "1.21322421E-15"
     assert row["g"] == "132101"
     assert row["m"] == "false"
+
+
+def test_flatten_header_derivation_single_job(spark):
+    """Map-key unions and array arities for ALL dynamic columns come from ONE
+    combined aggregate job, not one job per column (100-TB listing cost)."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.functions.flatten import flatten_columns
+
+    df = spark.createDataFrame(
+        [
+            Row(m1={"a": 1}, m2={"x": "u"}, a1=[1, 2, 3], a2=["p"],
+                v=Row(inner_m={"k": 2.0}, inner_a=[True, False])),
+            Row(m1={"b": 2}, m2={}, a1=[4], a2=[],
+                v=Row(inner_m={"j": 3.0}, inner_a=[True])),
+        ],
+        "m1 map<string,long>, m2 map<string,string>, a1 array<long>, "
+        "a2 array<string>, v struct<inner_m: map<string,double>, "
+        "inner_a: array<boolean>>",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("flatten-shape-test", "header derivation")
+    try:
+        cols = flatten_columns(df)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("flatten-shape-test")
+    # one combined aggregate (AQE may stage it as 2 jobs); the per-column
+    # regression would be >= 6 here (6 dynamic columns)
+    assert len(jobs) <= 2, f"expected one combined shape job, saw {len(jobs)}"
+    names = [df.select(c).columns[0] for c in cols]
+    assert "m1.a" in names and "m1.b" in names and "m2.x" in names
+    assert "a1.0" in names and "a1.2" in names and "a2.0" in names
+    assert "v.inner_m.k" in names and "v.inner_a.1" in names

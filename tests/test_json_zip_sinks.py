@@ -138,3 +138,62 @@ def test_legacy_partitionby_writer_paths(spark, tmp_path):
         ["pf_p", "pf_u", "pf_topic", "pf_bin"], fmt="csv", order_col="__pos",
     )
     assert open(finals[0]).read().splitlines() == ["v", "a", "b", "A", "B"]
+
+
+def test_hadoop_target_storage_roundtrip(spark, tmp_path):
+    """HadoopTargetStorage against the local FileSystem (file:// scheme) —
+    the same code path serves s3a:// / abfs:// through Hadoop config."""
+    from radar_output_restructure_spark.sinks.storage import HadoopTargetStorage
+
+    st = HadoopTargetStorage(spark)
+    root = str(tmp_path / "hstore")
+    st.makedirs(root + "/sub")
+    p = root + "/sub/a.txt"
+    assert not st.exists(p)
+    st.store_atomic(p, b"hello\x00world")
+    assert st.exists(p)
+    assert st.read(p) == b"hello\x00world"
+    st.store_atomic(p, b"replaced")  # overwrite-rename path
+    assert st.read(p) == b"replaced"
+    files = st.walk_files(root)
+    assert len(files) == 1 and files[0].endswith("/sub/a.txt")
+    st.delete(root)
+    assert not st.exists(p)
+    assert st.walk_files(root) == []
+
+
+def test_write_output_tree_with_hadoop_storage(spark, tmp_path):
+    """The native-writer finalize runs through a driver-side Hadoop storage
+    backend (the object-store path, exercised here on file://)."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.sinks.storage import HadoopTargetStorage
+    from radar_output_restructure_spark.sinks.writers import write_output_tree
+
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [Row(pf_p="p", pf_u="u", pf_topic="t", pf_bin="19700101_0100",
+             a=str(i), __pos=i) for i in range(5)]
+    )
+    finals = write_output_tree(
+        df, out, ["pf_p", "pf_u", "pf_topic", "pf_bin"], fmt="csv",
+        order_col="__pos", storage=HadoopTargetStorage(spark),
+    )
+    assert len(finals) == 1
+    lines = open(finals[0]).read().splitlines()
+    assert lines[0] == "a" and lines[1:] == ["0", "1", "2", "3", "4"]
+
+
+def test_direct_writer_rejects_driver_only_storage(spark, tmp_path):
+    import pytest as _pytest
+
+    from radar_output_restructure_spark.sinks.storage import HadoopTargetStorage
+    from radar_output_restructure_spark.sinks.writers import (
+        write_output_tree_direct,
+    )
+
+    df = spark.range(1).selectExpr("'x' as pf_bin", "cast(id as string) as a")
+    with _pytest.raises(ValueError, match="executor_safe"):
+        write_output_tree_direct(
+            df, str(tmp_path), ["pf_bin"], storage=HadoopTargetStorage(spark)
+        )

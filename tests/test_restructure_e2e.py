@@ -342,3 +342,81 @@ def test_crash_between_groups_no_duplicates(spark, tmp_path, monkeypatch):
     assert [os.path.basename(f) for f in finals] == ["19700101_0100_1.csv"]
     base = os.path.join(output_dir, "p", "u", "t", "19700101_0100.csv")
     assert len(open(base).read().splitlines()) == 2  # header + 1 row, no dup
+
+
+def test_schema_fingerprint_cache_no_rereads(spark, tmp_path):
+    """A second plan over the same files (cleaner verification / crash rerun)
+    reads zero parquet footers: fingerprints come from the (path, mtime)
+    cache persisted next to the manifest."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0, serverStatus="A", ipAddress=None))],
+        0, 0, 0, SERVER_STATUS_SCHEMA,
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    plan1 = RestructurePlan(spark, cfg)
+    files = plan1.list_candidate_files("t")
+    plan1._fingerprint_groups("t", files)
+
+    plan2 = RestructurePlan(spark, cfg)
+    calls = []
+    plan2._schema_canon = lambda path: calls.append(path) or "x"
+    groups = plan2._fingerprint_groups("t", files)
+    assert calls == [], "cached fingerprints must not re-read file metadata"
+    assert len(groups) == 1 and groups[0][0] == 0
+
+
+def test_subset_schema_writes_into_same_file(spark, tmp_path):
+    """Reference subset-write rule (CsvAvroConverterTest.kt subSchema /
+    differentOrder) at file granularity: a source file whose schema is an
+    order-preserving SUBSET of an earlier attempt's schema appends into the
+    SAME output file with empty cells; same names in a different order force
+    a new attempt suffix."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    full = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<time: double, status: string, battery: double>"
+    )
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0, status="A", battery=0.9))],
+        0, 0, 0, full,
+    )
+    # subset: value.battery missing entirely
+    subset = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<time: double, status: string>"
+    )
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3601.0, status="B"))],
+        0, 1, 1, subset,
+    )
+    # same field names, different order -> NOT a subset -> new attempt
+    reordered = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<status: string, time: double, battery: double>"
+    )
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(status="C", time=3602.0, battery=0.1))],
+        0, 2, 2, reordered,
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    names = sorted(os.path.basename(f) for f in finals)
+    assert names == ["19700101_0100.csv", "19700101_0100_1.csv"]
+    base = open(finals[0]).read().splitlines()
+    header = "key.projectId,key.userId,key.sourceId,value.time,value.status,value.battery"
+    assert base[0] == header
+    rows = sorted(base[1:])
+    # subset row null-fills battery with an empty cell, full row keeps 0.9
+    assert rows == ["p,u,s,3600.0,A,0.9", "p,u,s,3601.0,B,"]
+    reord = open(finals[1]).read().splitlines()
+    assert reord[0].endswith("value.status,value.time,value.battery")
+    assert reord[1] == "p,u,s,C,3602.0,0.1"
