@@ -168,6 +168,38 @@ def main() -> None:
             }
         )
     )
+    if "--compare" in sys.argv:
+        idx = sys.argv.index("--compare")
+        path = (
+            sys.argv[idx + 1]
+            if idx + 1 < len(sys.argv)
+            else os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+        )
+        _print_comparison(timings, path)
+
+
+def _print_comparison(timings: dict[str, float], baseline_path: str) -> None:
+    """Per-query regression report vs a recorded BENCH_r{N}.json (stderr —
+    stdout stays the single JSON contract line). Totals are contention-noisy;
+    per-query ratios are the meaningful signal (BASELINE.md §2b)."""
+    with open(baseline_path) as fh:
+        raw = json.load(fh)
+    base = raw.get("parsed", raw).get("queries", {})
+    print(f"\n-- vs {os.path.basename(baseline_path)} --", file=sys.stderr)
+    worst = 0.0
+    for name, now in timings.items():
+        then = base.get(name)
+        if not then:
+            print(f"{name:32s} {now:8.3f}s   (new)", file=sys.stderr)
+            continue
+        ratio = now / then
+        worst = max(worst, ratio)
+        flag = "  <-- REGRESSION" if ratio > 1.5 else ""
+        print(
+            f"{name:32s} {now:8.3f}s  base {then:8.3f}s  x{ratio:.2f}{flag}",
+            file=sys.stderr,
+        )
+    print(f"worst ratio: x{worst:.2f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""Distributed merge-asof join.
+
+For each left row, attach the latest right row whose timestamp is <= the
+left timestamp (backward direction, inclusive), per join key — the
+time-series enrichment primitive (sensor calibration lookup, latest-state
+join, point-in-time features for training data).
+
+Spark has no ASOF JOIN operator; the naive formulations both fail at scale:
+
+* inequality join + row_number: a range join explodes to O(|L| x |R|) per
+  key before the filter;
+* per-key collect + python merge: not distributed.
+
+The scalable plan is the classic union-merge: UNION both sides with a side
+marker, ONE hash shuffle on the key, then a per-key window ordered by
+(ts, side) carries the right side's payload forward with
+last_value(ignoreNulls). Cost is a single shuffle + per-key sort —
+O(n log n) in the partition, zero join blow-up, AQE-skew-splittable like any
+window. Right rows sort BEFORE left rows on timestamp ties, so an exactly
+simultaneous right row matches (inclusive semantics, same as DuckDB/pandas
+`ASOF JOIN` / `merge_asof`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: float | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Every column of `right` except the keys/timestamp joins the output as
+    `<prefix><name>`; the matched right timestamp is `<prefix>ts`. Rows with
+    no prior right row (or none within `tolerance_s`) get nulls.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in set(on) and c != right_ts]
+
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # right sorts first on ts ties (inclusive)
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    )
+    l_marked = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rts"].dataType).alias("__rts"),
+        *[
+            F.lit(None).cast(r.schema[f"__p_{c}"].dataType).alias(f"__p_{c}")
+            for c in payload
+        ],
+    )
+    # right rows gain left's other columns as nulls; they are filtered back
+    # out after the window pass
+    unioned = l_marked.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    matched: Column = F.col("__m_ts").isNotNull()
+    if tolerance_s is not None:
+        matched = matched & (
+            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
+            <= int(tolerance_s * 1_000_000)
+        )
+    result_cols = [F.col(c) for c in left.columns]
+    result_cols.append(
+        F.when(matched, F.col("__m_ts")).alias(f"{prefix}{right_ts}")
+    )
+    result_cols += [
+        F.when(matched, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+        for c in payload
+    ]
+    return out.select(*result_cols)

@@ -101,22 +101,12 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> Dat
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    threshold: float = 0.2,
-    max_shingle_df: int | None = None,
+def _jaccard_from_exploded(
+    ex: DataFrame, threshold: float, max_token_df: int | None
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: pairs with J >= threshold.
-
-    At scale pass `max_shingle_df` to drop stop-shingles before the self-join
-    (skew cap); the testdata corpus is small enough to skip it.
-    """
-    ex = _exploded_shingles(df, text_col, id_col, k)
-    if max_shingle_df:
-        hot = ex.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+    """Inverted-index Jaccard join over an exploded (doc, shingle) frame."""
+    if max_token_df:
+        hot = ex.groupBy("shingle").count().filter(F.col("count") > max_token_df)
         ex = ex.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     # the shingle table feeds three branches (sizes + both self-join sides);
     # materialize it once — the standard persist-before-inverted-index-join.
@@ -148,6 +138,60 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard similarity join: pairs with J >= threshold.
+
+    At scale pass `max_shingle_df` to drop stop-shingles before the self-join
+    (skew cap); the testdata corpus is small enough to skip it.
+    """
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    return _jaccard_from_exploded(ex, threshold, max_shingle_df)
+
+
+def char_ngrams_from_norm(norm: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of a MATERIALIZED normalized-text column
+    (same bound-column rule as shingles_from_words: an inline expression
+    would re-evaluate per gram under the interpreted lambda)."""
+    ln = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1)))
+    gram = lambda i: F.substring(norm, i, n)  # noqa: E731
+    return F.when(ln >= n, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup join — catches intra-word edits and
+    boundary shifts that word shingles miss. Same inverted-index plan as
+    jaccard_pairs; char grams are denser than word shingles, so the
+    `max_gram_df` stop-gram cap matters at a smaller corpus size.
+    """
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "__norm"
+        ),
+    )
+    ex = w.select(
+        "doc", F.explode(char_ngrams_from_norm(F.col("__norm"), n)).alias("shingle")
+    )
+    return _jaccard_from_exploded(ex, threshold, max_gram_df)
 
 
 def jaccard_for_pairs(

@@ -728,3 +728,30 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("l2.l_quantity"), 0).cast("long").alias("sum_qty"))
     )
+
+
+@register(
+    "asof_last_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+           r.ts AS asof_ts, r.value AS asof_value
+    FROM events l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join: every event enriched with the user's
+    most recent purchase at that moment (point-in-time feature join). The
+    operator is the union-merge plan — one shuffle on user_id, a per-key
+    window carries the purchase payload forward; no range-join explosion
+    (operators/asof.py)."""
+    from radar_output_restructure_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on="user_id")

@@ -238,3 +238,50 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equal."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return X.unigram_logprob_score(docs)
+
+
+@register(
+    "char_ngram_jaccard_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id AS doc,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc, substr(s, CAST(i AS INT), 5) AS g
+      FROM norm, UNNEST(range(1, greatest(length(s) - 4, 0) + 1)) AS t(i)
+      WHERE length(s) >= 5
+    ),
+    kept AS (
+      SELECT doc, g FROM grams
+      WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 50)
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM kept GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b USING (g)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = inter.doc_a
+    JOIN sizes sb ON sb.doc = inter.doc_b
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.4
+    """,
+)
+def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs with a stop-gram cap (df>50
+    dropped) — char grams catch intra-word edits word shingles miss; the cap
+    is the skew lever that keeps the inverted-index self-join bucketed at
+    100 TB (common English 5-grams would otherwise pair everything)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        char_ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return char_ngram_jaccard_pairs(
+        docs, n=5, threshold=0.4, max_gram_df=50
+    )
