@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "session_windows_events",
     "hourly_event_counts",
     "multimodal_features",
+    # round-2 additions
+    "asof_last_purchase",
+    "rolling_1h_user_stats",
+    "doc_tfidf_top_terms",
+    "char_ngram_jaccard_docs",
+    "stratified_sample_docs",
 ]
 
 

@@ -227,3 +227,57 @@ def unigram_logprob_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("nll").alias("nll_micro"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(doc, term, rank, score_micro): top-k TF-IDF terms per document —
+    keyword extraction for corpus curation / topic tagging.
+
+    Plan: one token explode -> (doc, term) tf aggregation; document
+    frequencies reduce from THAT frame (vocab-sized, never a second corpus
+    scan); N folds in as a global window over the df frame exactly like the
+    unigram-NLL total. score = tf * ln(N/df) in integer micro-units so
+    ranking ties break identically everywhere; rank ties break (score desc,
+    term asc), deterministic.
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    # tf feeds three branches (docfreq, N, the scored join) — materialize it
+    # once so the corpus is tokenized exactly one time
+    tf = (
+        tokens.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_frame = tf.select("doc").distinct().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("df")) * 1_000_000
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", "rank", "score_micro")
+    )

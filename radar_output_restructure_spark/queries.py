@@ -755,3 +755,27 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "value"
     )
     return asof_join(left, right, on="user_id")
+
+
+@register(
+    "rolling_1h_user_stats",
+    """
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_3600s,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+             AS cents_3600s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's activity over the preceding hour (inclusive
+    RANGE frame) — one shuffle + per-key sort, no self-join
+    (operators/timeseries.py)."""
+    from radar_output_restructure_spark.operators.timeseries import (
+        rolling_window_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return rolling_window_stats(ev, keys="user_id").drop("value")

@@ -285,3 +285,65 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_ngram_jaccard_pairs(
         docs, n=5, threshold=0.4, max_gram_df=50
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    tf AS (SELECT doc, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc) AS n FROM tf),
+    scored AS (
+      SELECT doc, term,
+             CAST(round(tf * ln(n * 1.0 / df) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN df_ USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc
+                                   ORDER BY score_micro DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc, term, rank, score_micro FROM ranked WHERE rank <= 3
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document, deterministic (score desc, term
+    asc) ties — keyword extraction for corpus curation; one corpus
+    tokenization, vocab-sized reductions (operators/text.tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.tfidf_top_terms(docs, k=3)
+
+
+_SAMPLE_RATES = {"en": 500, "de": 200, "fr": 200, "es": 200, "zh": 100}
+_SQL_SAMPLE_HASH = X.md5_horner_sql("CAST(doc_id AS STRING)")
+_SQL_SAMPLE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{b}' THEN {r}" for b, r in sorted(_SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+
+@register(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ({_SQL_SAMPLE_HASH}) % 1000 < {_SQL_SAMPLE_CASE}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: keep iff 53-bit id-hash %% 1000 <
+    the stratum's rate. Map-only, no RNG state, stable under corpus growth —
+    the curation sampler (operators/curation.stratified_sample)."""
+    from radar_output_restructure_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return stratified_sample(docs, _SAMPLE_RATES).select("doc_id", "lang")

@@ -189,3 +189,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True)
     pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return duplicate_clusters(pairs)
+
+
+@register(
+    "dedup_survivors_docs",
+    f"""
+    WITH RECURSIVE sh AS ({SQL_SHINGLES}),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
+    ),
+    labels AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc),
+    removed AS (SELECT doc FROM labels WHERE doc <> cluster)
+    SELECT d.doc_id AS doc FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc FROM removed)
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL: the corpus minus every non-canonical member of each
+    duplicate cluster (canonical = min doc id). The removal list is
+    cluster-sized, so it broadcasts into an anti-join — the corpus itself
+    never shuffles (operators/curation.near_dup_survivors)."""
+    from radar_output_restructure_spark.operators.curation import (
+        near_dup_survivors,
+    )
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        duplicate_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return near_dup_survivors(docs, duplicate_clusters(pairs)).select(
+        F.col("doc_id").alias("doc")
+    )

@@ -154,3 +154,83 @@ def test_jaccard_stop_shingle_cap(spark):
     }
     assert (1, 2) in capped           # exact duplicates survive the cap
     assert capped < uncapped          # hot-shingle-only pairs dropped
+
+
+def test_rolling_window_boundary_inclusive(spark):
+    """RANGE frame includes a row exactly window_s old (both ends closed)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.timeseries import (
+        rolling_window_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=t0, value=1.0),
+            Row(user_id=1, ts=t0 + datetime.timedelta(seconds=3600), value=2.0),
+            Row(user_id=1, ts=t0 + datetime.timedelta(seconds=3601), value=4.0),
+            Row(user_id=2, ts=t0, value=8.0),
+        ]
+    )
+    out = {
+        (r.user_id, r.ts): r
+        for r in rolling_window_stats(df, keys="user_id").collect()
+    }
+    exactly_1h = out[(1, t0 + datetime.timedelta(seconds=3600))]
+    assert exactly_1h.n_3600s == 2  # the row 3600 s earlier is INCLUDED
+    assert exactly_1h.cents_3600s == 300
+    just_past = out[(1, t0 + datetime.timedelta(seconds=3601))]
+    assert just_past.n_3600s == 2  # t0 row aged out (3601 s)
+    assert just_past.cents_3600s == 600
+    assert out[(2, t0)].n_3600s == 1  # keys isolated
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    """A document's keep/drop decision never changes when the corpus grows
+    (hash-of-id, not RNG or rank)."""
+    from radar_output_restructure_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    base = spark.range(200).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    grown = spark.range(400).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    rates = {"en": 500, "de": 250}
+    kept_base = {r.doc_id for r in stratified_sample(base, rates).collect()}
+    kept_grown = {r.doc_id for r in stratified_sample(grown, rates).collect()}
+    assert kept_base == {d for d in kept_grown if d < 200}
+    # rates roughly honored (hash-uniform; wide tolerance, deterministic)
+    n_en = sum(1 for d in kept_grown if d % 2 == 0)
+    assert 60 <= n_en <= 140  # 200 en docs at 50%
+
+
+def test_tfidf_rank_determinism(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple cherry"),
+            Row(doc_id=2, text="banana cherry cherry date"),
+            Row(doc_id=3, text="apple date date egg"),
+        ]
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc, []).append((r.rank, r.term, r.score_micro))
+    for doc, rows in by_doc.items():
+        ranks = [r[0] for r in sorted(rows)]
+        assert ranks == [1, 2]
+        scores = [r[2] for r in sorted(rows)]
+        assert scores[0] >= scores[1]
+    # doc 1: apple appears twice and in 2 docs; unique-ish terms win
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] in ("apple", "cherry")
