@@ -9,6 +9,7 @@ concept survives the engine swap:
 * compression.type                    -> gzip | zip | None
 * worker.maxFilesPerTopic /
   minimumFileAge / enable             -> listing limits
+* worker.numThreads                   -> concurrent topic processing
 * topics.<name>.*                     -> per-topic TopicConfig (exclude,
                                          excludeFromDelete, pathProperties.
                                          format, deduplication, excludeFields)
@@ -127,6 +128,7 @@ def load_config(path: str) -> AppConfig:
         topics=topics,
         max_files_per_topic=worker.get("maxFilesPerTopic"),
         minimum_file_age_s=float(worker.get("minimumFileAge", 60)),
+        num_threads=int(worker.get("numThreads", 1)),
     )
     return AppConfig(
         inputs=[str(p) for p in (paths.get("inputs") or [])],

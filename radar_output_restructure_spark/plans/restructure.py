@@ -94,6 +94,10 @@ class RestructureConfig:
     max_files_per_topic: int | None = None
     minimum_file_age_s: float = 0.0
     source_format: str = "parquet"  # avro on a real cluster
+    # worker.numThreads (config/WorkerConfig.kt:10): topics processed
+    # concurrently. Each topic is its own Spark job; concurrent driver
+    # threads keep the cluster busy while small topics list/commit.
+    num_threads: int = 1
     # G6: per-record target bucket (FormattedPathFactory.kt:51-60); None keeps
     # a single output root, matching the reference's local-storage behavior.
     bucket: BucketFormat | None = None
@@ -389,4 +393,18 @@ class RestructurePlan:
         return sorted(finals)
 
     def run(self) -> dict[str, list[str]]:
-        return {t: self.run_topic(t) for t in self.topics()}
+        """Process every topic; `num_threads > 1` runs topics concurrently
+        (the reference's worker pool, worker/RadarKafkaRestructure.kt). Spark
+        job submission is thread-safe; the manifest/fingerprint-cache appends
+        are lock-guarded, and per-topic state (attempt registries) is
+        per-file. FAIR scheduling lets short topics finish under long ones
+        (set spark.scheduler.mode=FAIR for strict fairness)."""
+        topics = self.topics()
+        n = max(1, int(self.config.num_threads or 1))
+        if n == 1 or len(topics) <= 1:
+            return {t: self.run_topic(t) for t in topics}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(n, len(topics))) as pool:
+            results = list(pool.map(self.run_topic, topics))
+        return dict(zip(topics, results))

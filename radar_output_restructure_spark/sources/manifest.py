@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -43,6 +44,7 @@ class ProcessedFileManifest:
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
         self._seq = 0  # intra-process append order within one timestamp tick
+        self._seq_lock = threading.Lock()  # topic-parallel runs share one manifest
 
     def _segments(self) -> list[str]:
         return sorted(
@@ -81,10 +83,12 @@ class ProcessedFileManifest:
         # segments sorted by name): nanosecond timestamp + per-instance
         # sequence keeps same-tick appends ordered; the uuid only guards
         # against two writers colliding (single-writer driver in practice)
-        self._seq += 1
+        with self._seq_lock:
+            self._seq += 1
+            seq = self._seq
         seg = os.path.join(
             self.directory,
-            f"{time.time_ns():020d}-{self._seq:08d}-{uuid.uuid4().hex[:8]}.jsonl",
+            f"{time.time_ns():020d}-{seq:08d}-{uuid.uuid4().hex[:8]}.jsonl",
         )
         tmp = seg + ".tmp"
         with open(tmp, "w") as fh:
@@ -218,6 +222,7 @@ class SchemaFingerprintCache:
         # its own ledger segments
         self._path = os.path.join(directory, "schema-fingerprints.cache")
         self._cache: dict[tuple[str, int], str] = {}
+        self._lock = threading.Lock()  # topic-parallel runs share the cache
         if os.path.exists(self._path):
             with open(self._path) as fh:
                 for line in fh:
@@ -230,18 +235,25 @@ class SchemaFingerprintCache:
         misses concurrently."""
         from concurrent.futures import ThreadPoolExecutor
 
-        misses = [f for f in files if (f.path, f.modified_ms) not in self._cache]
+        with self._lock:
+            misses = [
+                f for f in files if (f.path, f.modified_ms) not in self._cache
+            ]
         if misses:
             workers = min(32, max(4, len(misses)))
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 canons = list(pool.map(lambda f: compute(f.path), misses))
-            with open(self._path, "a") as fh:
-                for f, canon in zip(misses, canons):
-                    self._cache[(f.path, f.modified_ms)] = canon
-                    fh.write(
-                        json.dumps(
-                            {"p": f.path, "m": f.modified_ms, "c": canon}
+            with self._lock:
+                with open(self._path, "a") as fh:
+                    for f, canon in zip(misses, canons):
+                        self._cache[(f.path, f.modified_ms)] = canon
+                        fh.write(
+                            json.dumps(
+                                {"p": f.path, "m": f.modified_ms, "c": canon}
+                            )
+                            + "\n"
                         )
-                        + "\n"
-                    )
-        return {f.path: self._cache[(f.path, f.modified_ms)] for f in files}
+        with self._lock:
+            return {
+                f.path: self._cache[(f.path, f.modified_ms)] for f in files
+            }

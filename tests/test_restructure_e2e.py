@@ -420,3 +420,29 @@ def test_subset_schema_writes_into_same_file(spark, tmp_path):
     reord = open(finals[1]).read().splitlines()
     assert reord[0].endswith("value.status,value.time,value.battery")
     assert reord[1] == "p,u,s,C,3602.0,0.1"
+
+
+def test_multi_topic_parallel_run(spark, tmp_path):
+    """num_threads > 1 processes topics concurrently with correct results and
+    a consistent shared manifest (rerun is a no-op for every topic)."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    for i, topic in enumerate(["t_alpha", "t_beta", "t_gamma", "t_delta"]):
+        _write_fixture(
+            spark, input_dir, topic,
+            [Row(key=Row(projectId="p", userId=f"u{i}", sourceId="s"),
+                 value=Row(time=3600.0 + j, serverStatus=f"S{j}", ipAddress=None))
+             for j in range(3)],
+            0, 0, 2, SERVER_STATUS_SCHEMA,
+        )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, num_threads=4
+    )
+    finals = RestructurePlan(spark, cfg).run()
+    assert sorted(finals) == ["t_alpha", "t_beta", "t_delta", "t_gamma"]
+    for topic, paths in finals.items():
+        assert len(paths) == 1
+        assert len(open(paths[0]).read().splitlines()) == 4  # header + 3
+    # shared manifest consistent: nothing left to process
+    assert RestructurePlan(spark, cfg).run() == {
+        t: [] for t in ["t_alpha", "t_beta", "t_delta", "t_gamma"]
+    }

@@ -117,3 +117,50 @@ def test_session_windows_streaming_state(spark, tmp_path):
     # the first session (2 events) closed when the 4000s event arrived;
     # the second stays open in state awaiting timeout
     assert [(r.user_id, r.n_events) for r in rows] == [(1, 2)]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered records within the watermark are dropped exactly once;
+    state stays bounded by the watermark horizon."""
+    import datetime
+    import glob
+    import os
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.streaming.windows import streaming_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(event_id=1, ts=t0, v="a"),
+        Row(event_id=2, ts=t0 + datetime.timedelta(minutes=1), v="b"),
+        Row(event_id=1, ts=t0, v="a"),  # duplicate delivery
+        Row(event_id=3, ts=t0 + datetime.timedelta(minutes=2), v="c"),
+        Row(event_id=2, ts=t0 + datetime.timedelta(minutes=1), v="b"),  # dup
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, v string"
+    ).parquet(src)
+    deduped = streaming_dedup(stream, keys=("event_id",))
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    )
+    assert got == [1, 2, 3]
+
+    # batch fallback keeps the same contract
+    batch = spark.createDataFrame(rows)
+    assert streaming_dedup(batch).count() == 3

@@ -234,3 +234,92 @@ def test_tfidf_rank_determinism(spark):
     # doc 1: apple appears twice and in 2 docs; unique-ish terms win
     top1 = sorted(by_doc[1])[0]
     assert top1[1] in ("apple", "cherry")
+
+
+def _make_wav(freq_hz: float, seconds: float = 0.5, rate: int = 8000) -> bytes:
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    samples = (0.5 * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    import struct as _struct
+
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * width).ljust(
+        (width * 3 + 3) & ~3, b"\x00"
+    )
+    pixels = row * height
+    header_size = 14 + 40
+    file_size = header_size + len(pixels)
+    return (
+        b"BM"
+        + _struct.pack("<IHHI", file_size, 0, 0, header_size)
+        + _struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+        + pixels
+    )
+
+
+def test_wav_audio_features_real_decode(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    wav = _make_wav(440.0)
+    meta = decode_wav(wav)
+    assert meta["sample_rate"] == 8000 and meta["channels"] == 1
+    assert abs(meta["duration_s"] - 0.5) < 1e-6
+    # a 0.5-amplitude sine has RMS ~0.3536 and peak ~0.5
+    assert 0.34 < meta["rms"] < 0.36 and 0.49 <= meta["peak"] <= 0.51
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=_make_wav(220.0 * (i + 1))) for i in range(4)]
+    )
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    assert len(rows) == 4
+    assert all(abs(r.duration_s - 0.5) < 1e-6 for r in rows.values())
+    assert all(0.3 < r.rms < 0.4 for r in rows.values())
+
+
+def test_bmp_image_features_real_decode(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+    )
+
+    bmp = _make_bmp(16, 9, (200, 100, 50))
+    meta = decode_image(bmp)
+    assert (meta["width"], meta["height"]) == (16, 9)
+    assert (meta["mean_r"], meta["mean_g"], meta["mean_b"]) == (200.0, 100.0, 50.0)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=_make_bmp(8 + i, 4, (10 * i, 20, 30)))
+         for i in range(3)]
+    )
+    rows = {r.doc_id: r for r in image_features(df).collect()}
+    assert rows[2].width == 10 and rows[2].mean_r == 20.0
+
+
+def test_decode_image_unsupported_codec_raises():
+    import pytest as _pytest
+
+    from radar_output_restructure_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
