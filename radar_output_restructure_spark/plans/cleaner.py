@@ -81,16 +81,17 @@ class SourceDataCleaner:
             _t, part, off_from, _off_to = meta
             parsed.append((path, part, off_from))
             max_offset[part] = max(max_offset.get(part, -1), off_from)
+        src = self.plan.source_storage
         out = []
         for path, part, off_from in parsed:
-            if not os.path.exists(path):
+            if not src.exists(path):
                 continue
             if off_from >= max_offset[part]:  # later offset must exist
                 continue
             mtime = committed[path]
             if mtime > cutoff_ms:
                 continue
-            if int(os.stat(path).st_mtime * 1000) > mtime:  # modified since commit
+            if src.mtime_ms(path) > mtime:  # modified since commit
                 continue
             out.append(FileEntry(path, mtime))
         return sorted(out, key=lambda f: f.path)
@@ -149,7 +150,8 @@ class SourceDataCleaner:
     def _target_rows(self, target_paths: list[str]) -> DataFrame:
         """(target_path, time_str) for every row of the touched target files."""
         cfg = self.config
-        existing = [p for p in target_paths if os.path.exists(p)]
+        tgt = self.plan.target_storage
+        existing = [p for p in target_paths if tgt.exists(p)]
         if not existing:
             return self.spark.createDataFrame(
                 [], "target_path string, time_str string"
@@ -200,7 +202,7 @@ class SourceDataCleaner:
         deleted, revoked = [], []
         for f in files:
             if verdict.get(f.path):
-                os.remove(f.path)  # S15
+                self.plan.source_storage.delete(f.path)  # S15
                 deleted.append(f.path)
             else:
                 self.plan.manifest.revoke([f])  # T7 revocation

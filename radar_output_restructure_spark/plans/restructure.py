@@ -117,12 +117,18 @@ class RestructurePlan:
                 time_bin_format=config.time_bin_format,
                 custom_params=config.path_params,
             )
-        self.manifest = ProcessedFileManifest(
-            os.path.join(config.output_dir, "offsets")
-        )
-        self.attempts = AttemptRegistry(os.path.join(config.output_dir, "offsets"))
+        # S2/S3/S14: source and target backends resolve by URI scheme —
+        # plain paths stay on the fast local-FS implementation; s3a://,
+        # abfs://, hdfs://, file:// route through the Hadoop FileSystem.
+        from radar_output_restructure_spark.sinks.storage import storage_for
+
+        self.source_storage = storage_for(config.input_dir, spark)
+        self.target_storage = storage_for(config.output_dir, spark)
+        offsets_dir = os.path.join(config.output_dir, "offsets")
+        self.manifest = ProcessedFileManifest(offsets_dir, self.target_storage)
+        self.attempts = AttemptRegistry(offsets_dir, self.target_storage)
         self.schema_cache = SchemaFingerprintCache(
-            os.path.join(config.output_dir, "offsets")
+            offsets_dir, self.target_storage
         )
 
     # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
@@ -132,18 +138,17 @@ class RestructurePlan:
 
         root = os.path.join(self.config.input_dir, topic)
         entries: list[FileEntry] = []
-        now = _time.time()
-        for dirpath, _dirs, files in os.walk(root):
-            if "+tmp" in dirpath:
+        now_ms = _time.time() * 1000
+        for path, mtime_ms, size in sorted(
+            self.source_storage.walk_file_status(root)
+        ):
+            if "+tmp" in path:
                 continue
-            for name in sorted(files):
-                full = os.path.join(dirpath, name)
-                st = os.stat(full)
-                if st.st_size == 0:  # zero-length guard, P7
-                    continue
-                if now - st.st_mtime < self.config.minimum_file_age_s:  # P5
-                    continue
-                entries.append(FileEntry(full, int(st.st_mtime * 1000)))
+            if size == 0:  # zero-length guard, P7
+                continue
+            if now_ms - mtime_ms < self.config.minimum_file_age_s * 1000:  # P5
+                continue
+            entries.append(FileEntry(path, mtime_ms))
         entries = self.manifest.prune(entries)  # P4/J1 anti-join
         if self.config.max_files_per_topic:  # O2
             entries = entries[: self.config.max_files_per_topic]
@@ -153,13 +158,13 @@ class RestructurePlan:
         """Topic discovery (S5): directories that contain partition dirs."""
         root = self.config.input_dir
         found = []
-        for name in sorted(os.listdir(root)):
-            full = os.path.join(root, name)
+        for name in self.source_storage.list_dirs(root):
             cfg = self.config.topics.get(name)
             if cfg and cfg.exclude:  # P6
                 continue
-            if os.path.isdir(full) and any(
-                d.startswith("partition=") for d in os.listdir(full)
+            if any(
+                d.startswith("partition=")
+                for d in self.source_storage.list_dirs(os.path.join(root, name))
             ):
                 found.append(name)
         return found
@@ -282,18 +287,22 @@ class RestructurePlan:
         if self.config.source_format == "avro":
             from radar_output_restructure_spark.sources import avro_io
 
-            with open(path, "rb") as fh:
+            with self.source_storage.open_seekable(path) as fh:
                 head = fh.read(64 * 1024)  # header is metadata-only
-            try:
-                schema, _, _, _ = avro_io.read_header(head)
-            except EOFError:  # pathological schema larger than the prefix
-                schema, _, _, _ = avro_io.read_header(path)
+                try:
+                    schema, _, _, _ = avro_io.read_header(head)
+                except EOFError:  # pathological schema larger than the prefix
+                    fh.seek(0)
+                    schema, _, _, _ = avro_io.read_header(fh.read(-1))
             struct, _ = avro_io.avro_to_spark_type(schema)
             return struct.json()
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(pq.read_schema(path)).json()
+        # pyarrow takes any seekable file-like: local handle or the
+        # driver-side Hadoop stream adapter (footer-sized reads only)
+        with self.source_storage.open_seekable(path) as fh:
+            return from_arrow_schema(pq.read_schema(fh)).json()
 
     def _fingerprint_groups(
         self, topic: str, files: list[FileEntry]
@@ -374,17 +383,29 @@ class RestructurePlan:
             flat, part_cols = self.transform(df, topic)
             value_schema = sup if sup is not None else df.drop(*meta_cols).schema
             group = [f for g in fp_groups for f in g]
-            finals += write_output_tree_direct(
-                flat,
-                cfg.output_dir,
-                part_cols,
+            write_kwargs = dict(
                 fmt=cfg.output_format,
                 compression=cfg.compression,
                 extension=(f"_{attempt}" if attempt else "") + ext0,
                 topic_col="pf_topic",
                 value_schema=value_schema if attempt == 0 else None,
                 order_col=ORDER_COLS,
+                storage=self.target_storage,
             )
+            if self.target_storage.executor_safe:
+                finals += write_output_tree_direct(
+                    flat, cfg.output_dir, part_cols, **write_kwargs
+                )
+            else:
+                # object-store target: executors can't reach the driver-side
+                # Hadoop handle, so use the native Spark writer + driver
+                # finalize (server-side renames through the connector).
+                # Unique tmp dir: topic-parallel runs must not share one.
+                finals += write_output_tree(
+                    flat, cfg.output_dir, part_cols,
+                    tmp_dir=f"{cfg.output_dir.rstrip('/')}+tmp-{topic}-{attempt}",
+                    **write_kwargs,
+                )
             # Write-then-commit (T2) PER fingerprint group: the reference
             # commits accounting per file batch (worker loop), so a crash
             # exposes only the in-flight batch. Committing once per topic

@@ -347,3 +347,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return stratified_sample(docs, _SAMPLE_RATES).select("doc_id", "lang")
+
+
+@register(
+    "doc_pack_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_NTOK} AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((c - n_tokens) // 2000 AS BIGINT) AS chunk_id
+    FROM cum
+    """,
+)
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-chunk packing: sequential first-fit of documents into
+    2000-token context budgets, packed independently PER LANGUAGE stratum —
+    the per-stratum window keeps packing parallel across partitions instead
+    of one global sequential pass (the scale problem with naive packing).
+    chunk_id = exclusive-prefix-tokens div budget, deterministic in doc_id
+    order."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    n_tok = X.token_count(F.col("text")).alias("n_tokens")
+    toks = docs.select("doc_id", "lang", n_tok)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(
+            f"CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"div 2000 AS BIGINT)"
+        ).alias("chunk_id"),
+    )

@@ -29,8 +29,22 @@ import shutil
 import uuid
 
 
+def storage_for(path: str, spark=None) -> "TargetStorage":
+    """Pick the backend by URI scheme: `s3a://`, `abfs://`, `hdfs://`,
+    `file://` route through the Hadoop FileSystem (needs the SparkSession's
+    JVM); plain paths use the local filesystem directly."""
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"{path!r} has a filesystem scheme; a SparkSession is "
+                "required to resolve it through Hadoop"
+            )
+        return HadoopTargetStorage(spark)
+    return LocalTargetStorage()
+
+
 class TargetStorage:
-    """Six-method storage surface the writers are built on."""
+    """Storage surface the engine (writers, listings, ledgers) is built on."""
 
     #: safe to pickle into executor tasks (the direct writer requires it)
     executor_safe = False
@@ -52,6 +66,24 @@ class TargetStorage:
 
     def walk_files(self, root: str) -> list[str]:
         """Every file path under root (recursive); [] when root is absent."""
+        raise NotImplementedError
+
+    # -- source-side listing surface (S2/S3: the reference's SourceStorage) --
+
+    def walk_file_status(self, root: str) -> list[tuple[str, int, int]]:
+        """(path, mtime_ms, size) for every file under root (recursive)."""
+        raise NotImplementedError
+
+    def list_dirs(self, root: str) -> list[str]:
+        """Names (not paths) of the immediate subdirectories of root."""
+        raise NotImplementedError
+
+    def mtime_ms(self, path: str) -> int:
+        raise NotImplementedError
+
+    def open_seekable(self, path: str):
+        """Binary file-like with read/seek/tell — what pyarrow needs for a
+        parquet footer read without fetching the whole object."""
         raise NotImplementedError
 
 
@@ -91,6 +123,86 @@ class LocalTargetStorage(TargetStorage):
         for dirpath, _dirs, files in os.walk(root):
             out += [os.path.join(dirpath, f) for f in files]
         return out
+
+    def walk_file_status(self, root: str) -> list[tuple[str, int, int]]:
+        out: list[tuple[str, int, int]] = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                st = os.stat(full)
+                out.append((full, int(st.st_mtime * 1000), st.st_size))
+        return out
+
+    def list_dirs(self, root: str) -> list[str]:
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+
+    def mtime_ms(self, path: str) -> int:
+        return int(os.stat(path).st_mtime * 1000)
+
+    def open_seekable(self, path: str):
+        return open(path, "rb")
+
+
+class _JvmSeekableFile:
+    """Python file-like over a Hadoop FSDataInputStream (driver-side py4j).
+    Each read is one JVM round-trip — metadata-read sized, not data-path."""
+
+    mode = "rb"
+
+    def __init__(self, jvm, fs, jpath):
+        self._stream = fs.open(jpath)
+        self._size = fs.getFileStatus(jpath).getLen()
+        self._jvm = jvm
+        self.closed = False
+
+    def size(self) -> int:
+        return self._size
+
+    def read(self, n: int = -1) -> bytes:
+        remaining = self._size - self.tell()
+        if n is None or n < 0 or n > remaining:
+            n = remaining
+        if n <= 0:
+            return b""
+        # commons-io (on Spark's classpath) returns the filled byte[] —
+        # py4j copies Java byte[] RETURN values back as Python bytes
+        return bytes(
+            self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                self._stream, n
+            )
+        )
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos = self.tell() + pos
+        elif whence == 2:
+            pos = self._size + pos
+        self._stream.seek(pos)
+        return pos
+
+    def tell(self) -> int:
+        return self._stream.getPos()
+
+    def seekable(self) -> bool:
+        return True
+
+    def readable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class HadoopTargetStorage(TargetStorage):
@@ -155,11 +267,41 @@ class HadoopTargetStorage(TargetStorage):
             fs.delete(jpath, True)
 
     def walk_files(self, root: str) -> list[str]:
+        return [p for p, _m, _s in self.walk_file_status(root)]
+
+    def walk_file_status(self, root: str) -> list[tuple[str, int, int]]:
         fs, jpath = self._fs_path(root)
         if not fs.exists(jpath):
             return []
-        out: list[str] = []
+        out: list[tuple[str, int, int]] = []
         it = fs.listFiles(jpath, True)
         while it.hasNext():
-            out.append(it.next().getPath().toString())
+            st = it.next()
+            # local-FS URIs normalize to plain paths so they compare equal
+            # with the scan's normalized source_file column; object-store
+            # schemes (s3a://, abfs://) pass through
+            p = st.getPath().toString()
+            if p.startswith("file:"):
+                p = "/" + p[5:].lstrip("/")
+            out.append(
+                (p, int(st.getModificationTime()), int(st.getLen()))
+            )
         return out
+
+    def list_dirs(self, root: str) -> list[str]:
+        fs, jpath = self._fs_path(root)
+        if not fs.exists(jpath):
+            return []
+        return sorted(
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isDirectory()
+        )
+
+    def mtime_ms(self, path: str) -> int:
+        fs, jpath = self._fs_path(path)
+        return int(fs.getFileStatus(jpath).getModificationTime())
+
+    def open_seekable(self, path: str):
+        fs, jpath = self._fs_path(path)
+        return _JvmSeekableFile(self._jvm, fs, jpath)

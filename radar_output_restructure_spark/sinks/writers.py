@@ -305,6 +305,12 @@ def write_output_tree(
     HadoopTargetStorage for s3a://, abfs://, hdfs:// targets (driver-side
     renames/reads through the cluster's Hadoop connectors).
     """
+    if compression == "zip":
+        raise ValueError(
+            "zip is a direct-writer feature (single-entry archives need the "
+            "per-file python writer); use compression='gzip' or the direct "
+            "writer with an executor-safe storage backend"
+        )
     if extension is None:
         extension = {"csv": ".csv", "json": ".json"}[fmt] + (
             ".gz" if compression == "gzip" else ""
@@ -325,17 +331,24 @@ def write_output_tree(
             *partition_cols, *order_cols
         ).drop(*order_cols)
     writer = shuffled.write.mode("overwrite").partitionBy(*partition_cols)
-    if fmt == "csv":
+    if compression:
+        writer = writer.option("compression", compression)
+    data_cols = [c for c in shuffled.columns if c not in set(partition_cols)]
+    if fmt == "json" and data_cols == ["line"]:
+        # the plan pre-renders each record to ONE JSON-lines string; the text
+        # writer emits it verbatim (writer.json would double-encode)
+        writer.text(tmp)
+    elif fmt == "csv":
         # escape='"' => RFC4180 doubled quotes, matching the reference's opencsv
-        writer = (
+        (
             writer.option("header", True)
             .option("nullValue", "")
             .option("emptyValue", "")
             .option("escape", '"')
+            .csv(tmp)
         )
-    if compression:
-        writer = writer.option("compression", compression)
-    getattr(writer, fmt)(tmp)
+    else:
+        getattr(writer, fmt)(tmp)
 
     gzipped = compression == "gzip"
     has_header = fmt == "csv"

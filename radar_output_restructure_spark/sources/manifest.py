@@ -40,30 +40,35 @@ class FileEntry:
 
 
 class ProcessedFileManifest:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, storage=None):
+        from radar_output_restructure_spark.sinks.storage import (
+            LocalTargetStorage,
+        )
+
         self.directory = directory
-        os.makedirs(directory, exist_ok=True)
+        self.storage = storage if storage is not None else LocalTargetStorage()
+        self.storage.makedirs(directory)
         self._seq = 0  # intra-process append order within one timestamp tick
         self._seq_lock = threading.Lock()  # topic-parallel runs share one manifest
 
     def _segments(self) -> list[str]:
         return sorted(
-            os.path.join(self.directory, f)
-            for f in os.listdir(self.directory)
-            if f.endswith(".jsonl")
+            p for p in self.storage.walk_files(self.directory)
+            if p.endswith(".jsonl")
         )
 
     def load(self) -> dict[str, int]:
         """path -> last committed mtime (latest entry wins, tombstones drop)."""
         state: dict[str, int] = {}
         for seg in self._segments():
-            with open(seg) as fh:
-                for line in fh:
-                    rec = json.loads(line)
-                    if rec.get("op") == "revoke":
-                        state.pop(rec["path"], None)
-                    else:
-                        state[rec["path"]] = rec["modified_ms"]
+            for line in self.storage.read(seg).decode().splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("op") == "revoke":
+                    state.pop(rec["path"], None)
+                else:
+                    state[rec["path"]] = rec["modified_ms"]
         return state
 
     def prune(self, files: list[FileEntry]) -> list[FileEntry]:
@@ -90,11 +95,14 @@ class ProcessedFileManifest:
             self.directory,
             f"{time.time_ns():020d}-{seq:08d}-{uuid.uuid4().hex[:8]}.jsonl",
         )
-        tmp = seg + ".tmp"
-        with open(tmp, "w") as fh:
-            for f in files:
-                fh.write(json.dumps({"op": op, "path": f.path, "modified_ms": f.modified_ms}) + "\n")
-        os.replace(tmp, seg)  # atomic publish, like the reference's temp->move
+        body = "".join(
+            json.dumps({"op": op, "path": f.path, "modified_ms": f.modified_ms})
+            + "\n"
+            for f in files
+        )
+        # atomic publish, like the reference's temp->move; segment-per-append
+        # needs no native append support, so object stores work unchanged
+        self.storage.store_atomic(seg, body.encode())
 
     def commit(self, files: list[FileEntry]) -> None:
         self._append("commit", files)
@@ -108,7 +116,7 @@ class ProcessedFileManifest:
         segments = self._segments()
         self._append("commit", [FileEntry(p, m) for p, m in sorted(state.items())])
         for seg in segments:
-            os.remove(seg)
+            self.storage.delete(seg)
 
 
 class AttemptRegistry:
@@ -123,9 +131,14 @@ class AttemptRegistry:
     across runs keep landing in the matching `_N` file.
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, storage=None):
+        from radar_output_restructure_spark.sinks.storage import (
+            LocalTargetStorage,
+        )
+
         self.directory = directory
-        os.makedirs(directory, exist_ok=True)
+        self.storage = storage if storage is not None else LocalTargetStorage()
+        self.storage.makedirs(directory)
 
     def _path(self, topic: str) -> str:
         return os.path.join(self.directory, f"attempts-{topic}.json")
@@ -135,10 +148,9 @@ class AttemptRegistry:
         Accepts the legacy flat {fingerprint: attempt} shape (no stored
         schemas — legacy attempts simply never receive subset merges)."""
         p = self._path(topic)
-        if not os.path.exists(p):
+        if not self.storage.exists(p):
             return {"fps": {}, "schemas": {}}
-        with open(p) as fh:
-            raw = json.load(fh)
+        raw = json.loads(self.storage.read(p).decode())
         if "fps" in raw:
             return raw
         return {"fps": raw, "schemas": {}}
@@ -192,10 +204,10 @@ class AttemptRegistry:
                 if canon:
                     schemas[str(nxt)] = canon
                 nxt += 1
-        tmp = self._path(topic) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"fps": fps, "schemas": schemas}, fh, sort_keys=True)
-        os.replace(tmp, self._path(topic))
+        self.storage.store_atomic(
+            self._path(topic),
+            json.dumps({"fps": fps, "schemas": schemas}, sort_keys=True).encode(),
+        )
         return fps, schemas
 
 
@@ -215,20 +227,24 @@ class SchemaFingerprintCache:
       manifest's own reprocess rule.
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, storage=None):
+        from radar_output_restructure_spark.sinks.storage import (
+            LocalTargetStorage,
+        )
+
         self.directory = directory
-        os.makedirs(directory, exist_ok=True)
+        self.storage = storage if storage is not None else LocalTargetStorage()
+        self.storage.makedirs(directory)
         # .cache extension: the manifest treats *.jsonl in this directory as
         # its own ledger segments
         self._path = os.path.join(directory, "schema-fingerprints.cache")
         self._cache: dict[tuple[str, int], str] = {}
         self._lock = threading.Lock()  # topic-parallel runs share the cache
-        if os.path.exists(self._path):
-            with open(self._path) as fh:
-                for line in fh:
-                    if line.strip():
-                        rec = json.loads(line)
-                        self._cache[(rec["p"], rec["m"])] = rec["c"]
+        if self.storage.exists(self._path):
+            for line in self.storage.read(self._path).decode().splitlines():
+                if line.strip():
+                    rec = json.loads(line)
+                    self._cache[(rec["p"], rec["m"])] = rec["c"]
 
     def get_many(self, files, compute) -> dict[str, str]:
         """Canonical schema string per path; `compute(path) -> str` fills
@@ -244,15 +260,15 @@ class SchemaFingerprintCache:
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 canons = list(pool.map(lambda f: compute(f.path), misses))
             with self._lock:
-                with open(self._path, "a") as fh:
-                    for f, canon in zip(misses, canons):
-                        self._cache[(f.path, f.modified_ms)] = canon
-                        fh.write(
-                            json.dumps(
-                                {"p": f.path, "m": f.modified_ms, "c": canon}
-                            )
-                            + "\n"
-                        )
+                for f, canon in zip(misses, canons):
+                    self._cache[(f.path, f.modified_ms)] = canon
+                # whole-file rewrite (object stores have no append); the
+                # cache is metadata-sized, one line per known file
+                body = "".join(
+                    json.dumps({"p": p, "m": m, "c": c}) + "\n"
+                    for (p, m), c in sorted(self._cache.items())
+                )
+                self.storage.store_atomic(self._path, body.encode())
         with self._lock:
             return {
                 f.path: self._cache[(f.path, f.modified_ms)] for f in files

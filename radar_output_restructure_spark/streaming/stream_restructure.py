@@ -70,16 +70,22 @@ def streaming_restructure(
             "source_file", "file_modified", "kafka_partition",
             "offset_from", "offset_to",
         ).schema
-        write_output_tree_direct(
-            flat,
-            cfg.output_dir,
-            part_cols,
+        kwargs = dict(
             fmt=cfg.output_format,
             compression=cfg.compression,
             topic_col="pf_topic",
             value_schema=value_schema,
             order_col=ORDER_COLS,
+            storage=plan.target_storage,
         )
+        if plan.target_storage.executor_safe:
+            write_output_tree_direct(flat, cfg.output_dir, part_cols, **kwargs)
+        else:
+            from radar_output_restructure_spark.sinks.writers import (
+                write_output_tree,
+            )
+
+            write_output_tree(flat, cfg.output_dir, part_cols, **kwargs)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

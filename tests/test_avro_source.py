@@ -175,8 +175,11 @@ def test_fingerprint_header_prefix(tmp_path):
         input_dir=input_dir, output_dir=str(tmp_path / "out"),
         source_format="avro",
     )
+    from radar_output_restructure_spark.sinks.storage import LocalTargetStorage
+
     plan = RestructurePlan.__new__(RestructurePlan)
     plan.config = cfg
+    plan.source_storage = LocalTargetStorage()
     import json
 
     from pyspark.sql import types as T

@@ -446,3 +446,35 @@ def test_multi_topic_parallel_run(spark, tmp_path):
     assert RestructurePlan(spark, cfg).run() == {
         t: [] for t in ["t_alpha", "t_beta", "t_delta", "t_gamma"]
     }
+
+
+def test_pipeline_with_hadoop_scheme_uris(spark, tmp_path):
+    """input/output as file:// URIs route listing, fingerprints, ledger, and
+    writes through the Hadoop FileSystem backends — the exact code path an
+    s3a:// or abfs:// deployment uses (only the scheme differs)."""
+    input_dir = "file://" + str(tmp_path / "in")
+    output_dir = "file://" + str(tmp_path / "out")
+    _write_fixture(
+        spark, str(tmp_path / "in"), "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0 + i, serverStatus=f"S{i}", ipAddress=None))
+         for i in range(4)],
+        0, 0, 3, SERVER_STATUS_SCHEMA,
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    plan = RestructurePlan(spark, cfg)
+    from radar_output_restructure_spark.sinks.storage import HadoopTargetStorage
+
+    assert isinstance(plan.source_storage, HadoopTargetStorage)
+    assert isinstance(plan.target_storage, HadoopTargetStorage)
+    assert plan.topics() == ["t"]
+    finals = plan.run()["t"]
+    assert len(finals) == 1
+    local = str(tmp_path / "out" / "p" / "u" / "t" / "19700101_0100.csv")
+    assert os.path.exists(local)
+    lines = open(local).read().splitlines()
+    assert lines[0].startswith("key.projectId") and len(lines) == 5
+    sidecar = str(tmp_path / "out" / "p" / "u" / "t" / "schema-t.json")
+    assert os.path.exists(sidecar)
+    # ledger lives behind the same scheme; rerun is a no-op
+    assert RestructurePlan(spark, cfg).run() == {"t": []}
