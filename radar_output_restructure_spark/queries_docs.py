@@ -386,3 +386,83 @@ def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div 2000 AS BIGINT)"
         ).alias("chunk_id"),
     )
+
+
+@register(
+    "curation_pipeline_docs",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             {_SQL_NTOK} AS n_tokens,
+             {_SQL_NPUNCT} AS n_punct,
+             {_SQL_NSTOP} AS n_stop,
+             {_SQL_FP} AS fp,
+             {_SQL_LANG_SCORES}
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+             round((least(n_tokens / 100.0, 1.0)
+                    + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 5,
+                                   1.0))
+                    + least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 1.0))
+                   / 3, 6) AS quality,
+             greatest(s_en, s_de, s_fr, s_es) AS best
+      FROM f
+    ),
+    langed AS (
+      SELECT *, CASE WHEN best = 0 THEN 'und' {_SQL_LANG_CASE} END AS lang_pred
+      FROM scored
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical
+        FROM langed
+      ) WHERE doc_id = canonical
+    ),
+    kept AS (
+      SELECT * FROM deduped
+      WHERE lang_pred <> 'und'
+        AND quality >= 0.55
+        AND n_tokens BETWEEN 20 AND 500
+        AND ({_SQL_SAMPLE_HASH}) % 1000 <
+            CASE lang_pred WHEN 'en' THEN 700 ELSE 400 END
+    )
+    SELECT lang_pred, count(*) AS n_docs,
+           CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY lang_pred
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE Catalyst plan: analyze (tokens,
+    quality, language, fingerprint — map-only) -> exact-dedup canonical
+    filter (one window on the fingerprint) -> quality/language/length gates
+    -> deterministic stratified sample (map-only hash) -> per-language kept
+    stats. Composes the individual operators; the optimizer collapses it to
+    two shuffles (dedup window + final agg)."""
+    from pyspark.sql import Window
+
+    from radar_output_restructure_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    analyzed = X.analyze_documents(docs)
+    canonical = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    deduped = (
+        analyzed.withColumn("__canon", canonical)
+        .filter(F.col("doc_id") == F.col("__canon"))
+        .filter(
+            (F.col("lang_pred") != "und")
+            & (F.col("quality") >= 0.55)
+            & F.col("n_tokens").between(20, 500)
+        )
+    )
+    sampled = stratified_sample(
+        deduped, {"en": 700}, bucket_col="lang_pred", default_rate=400
+    )
+    return sampled.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+    )
