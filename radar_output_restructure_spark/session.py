@@ -48,18 +48,14 @@ def get_spark(
 
 
 def avro_supported(spark: SparkSession) -> bool:
-    """True when the spark-avro module is on the classpath.
+    """True when the spark-avro DataSource jar is on the classpath.
 
-    The reference reads Kafka-sink Avro container files
-    (util/GenericRecordReader.kt:11-43). On a real cluster we ship
-    org.apache.spark:spark-avro; the pip pyspark used for local tests does not
-    bundle it, so the topic-tree source falls back to parquet fixtures with
-    identical layout semantics.
-    """
-    try:
-        spark.read.format("avro")
-        # Format resolution is lazy; force it with a schema-less load of nothing.
-        spark._jvm.org.apache.spark.sql.avro.functions  # noqa: SLF001
-        return True
-    except Exception:
-        return False
+    Avro works EITHER way: with the jar, `read_topic_tree` uses the native
+    DataSource; without it (pip pyspark), the distributed pure-Python
+    container reader in sources/avro_io.py takes over. This predicate only
+    reports which path is active."""
+    from radar_output_restructure_spark.sources.kafka_tree import (
+        has_native_avro,
+    )
+
+    return has_native_avro(spark)

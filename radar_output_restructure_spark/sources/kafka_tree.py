@@ -138,6 +138,10 @@ def _read_avro_tree_python(spark: SparkSession, load) -> DataFrame:
                 pdf["path"], pdf["modificationTime"], pdf["content"]
             ):
                 _, records = avro_io.read_container(bytes(content))
+                if not records:
+                    # header-only flush: an empty pandas frame would type
+                    # struct columns float64, which Arrow rejects
+                    continue
                 frame = pd.DataFrame(
                     {n: [rec.get(n) for rec in records] for n in names}
                 )

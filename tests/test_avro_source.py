@@ -195,3 +195,16 @@ def test_native_avro_detection(spark):
     # this container has no spark-avro jar; on a real cluster this is True
     # and read_topic_tree uses the native DataSource instead
     assert has_native_avro(spark) in (True, False)
+
+
+def test_empty_avro_container(spark, tmp_path):
+    """A header-only container (flush with zero records) reads as zero rows
+    without breaking the scan or the pipeline."""
+    input_dir = str(tmp_path / "in")
+    _write_avro_fixture(input_dir, "status", [], 0, 5, 5)
+    _write_avro_fixture(
+        input_dir, "status", [_status_rec("p", "u", 1.0, "S")], 0, 6, 6
+    )
+    df = read_topic_tree(spark, input_dir, topic="status", file_format="avro")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].offset_from == 6

@@ -105,3 +105,37 @@ def test_cleaner_json_target_verification(spark, tmp_path):
     cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
     result = cleaner.run_topic("t")
     assert result["deleted"] == [f0] and result["revoked"] == []
+
+
+def test_cleaner_gzip_json_target_verification(spark, tmp_path):
+    """gzip-compressed JSON-lines targets verify through spark.read.text's
+    native gzip decode; extracted sources delete, compression intact."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir,
+        output_format="json", compression="gzip",
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    assert all(f.endswith(".json.gz") for f in finals)
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
+    assert not os.path.exists(f0)
+    # targets untouched and still valid gzip JSON-lines
+    import gzip as _gzip
+    import json as _json
+
+    rows = [
+        _json.loads(line)
+        for f in finals
+        if os.path.exists(f)
+        for line in _gzip.open(f, "rt").read().splitlines()
+    ]
+    assert len(rows) == 5 and all("value" in r for r in rows)

@@ -155,3 +155,79 @@ def test_avro_container_round_trip_property(tmp_path_factory, records, codec, sy
     assert schema == _AVRO_VALUE_SCHEMA
     assert out == records
     os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
+# subset-schema compatibility (functions/schema_compat.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+_LEAF_TYPES = [T.StringType(), T.LongType(), T.DoubleType(), T.BooleanType()]
+
+
+@st.composite
+def _struct_and_subset(draw):
+    """A random 2-level struct plus a subset made by deleting fields
+    (order preserved)."""
+    n = draw(st.integers(2, 6))
+    fields = []
+    for i in range(n):
+        if draw(st.booleans()):
+            inner = T.StructType(
+                [
+                    T.StructField(f"c{j}", draw(st.sampled_from(_LEAF_TYPES)))
+                    for j in range(draw(st.integers(1, 3)))
+                ]
+            )
+            fields.append(T.StructField(f"f{i}", inner))
+        else:
+            fields.append(
+                T.StructField(f"f{i}", draw(st.sampled_from(_LEAF_TYPES)))
+            )
+    sup = T.StructType(fields)
+
+    def prune(struct):
+        kept = []
+        for f in struct.fields:
+            if not draw(st.booleans()):
+                continue
+            if isinstance(f.dataType, T.StructType):
+                sub_inner = prune(f.dataType)
+                if sub_inner.fields:
+                    kept.append(T.StructField(f.name, sub_inner))
+            else:
+                kept.append(f)
+        return T.StructType(kept)
+
+    return sup, prune(sup)
+
+
+@given(pair=_struct_and_subset())
+@settings(max_examples=80, deadline=None)
+def test_pruned_schema_is_always_subschema(pair):
+    from radar_output_restructure_spark.functions.schema_compat import (
+        is_subschema,
+    )
+
+    sup, sub = pair
+    assert is_subschema(sub, sup)
+    assert is_subschema(sup, sup)  # reflexive
+    # a superset is never a subschema of a strict subset
+    if len(sub.fields) < len(sup.fields):
+        assert not is_subschema(sup, sub)
+
+
+@given(pair=_struct_and_subset())
+@settings(max_examples=40, deadline=None)
+def test_reordered_fields_are_not_subschema(pair):
+    from radar_output_restructure_spark.functions.schema_compat import (
+        is_subschema,
+    )
+
+    sup, _ = pair
+    if len(sup.fields) < 2:
+        return
+    reordered = T.StructType(list(reversed(sup.fields)))
+    # reversal of >=2 distinct-name fields breaks the order-preserving rule
+    assert not is_subschema(reordered, sup)
