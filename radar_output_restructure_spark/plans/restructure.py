@@ -304,6 +304,23 @@ class RestructurePlan:
         with self.source_storage.open_seekable(path) as fh:
             return from_arrow_schema(pq.read_schema(fh)).json()
 
+    def _schema_canon_safe(self, path: str) -> str | None:
+        """None for files whose metadata cannot be parsed (truncated upload,
+        wrong format). The reference logs per-file errors and continues
+        (worker/RestructureWorker.kt:105-111); skipped files stay
+        uncommitted, so the next run retries them once repaired. The schema
+        read doubles as the corruption probe for both formats — magic bytes
+        and footer/header structure are validated before any executor work."""
+        try:
+            return self._schema_canon(path)
+        except Exception as exc:
+            import logging
+
+            logging.getLogger(__name__).error(
+                "skipping unreadable source file %s: %s", path, exc
+            )
+            return None
+
     def _fingerprint_groups(
         self, topic: str, files: list[FileEntry]
     ) -> list[tuple[int, str | None, list[list[FileEntry]]]]:
@@ -320,7 +337,11 @@ class RestructurePlan:
         """
         import hashlib
 
-        canons = self.schema_cache.get_many(files, self._schema_canon)
+        canons = self.schema_cache.get_many(files, self._schema_canon_safe)
+        # unreadable files are absent from `canons`: left uncommitted for a
+        # retry next run, everything else proceeds (reference per-file
+        # error handling)
+        files = [f for f in files if f.path in canons]
         by_fp: dict[str, list[FileEntry]] = {}
         fp_canon: dict[str, str] = {}
         order: list[str] = []

@@ -247,8 +247,10 @@ class SchemaFingerprintCache:
                     self._cache[(rec["p"], rec["m"])] = rec["c"]
 
     def get_many(self, files, compute) -> dict[str, str]:
-        """Canonical schema string per path; `compute(path) -> str` fills
-        misses concurrently."""
+        """Canonical schema string per path; `compute(path) -> str | None`
+        fills misses concurrently. A None result (unreadable file) is
+        neither cached nor returned — the caller skips it, and a repaired
+        file recomputes next run."""
         from concurrent.futures import ThreadPoolExecutor
 
         with self._lock:
@@ -261,7 +263,8 @@ class SchemaFingerprintCache:
                 canons = list(pool.map(lambda f: compute(f.path), misses))
             with self._lock:
                 for f, canon in zip(misses, canons):
-                    self._cache[(f.path, f.modified_ms)] = canon
+                    if canon is not None:
+                        self._cache[(f.path, f.modified_ms)] = canon
                 # whole-file rewrite (object stores have no append); the
                 # cache is metadata-sized, one line per known file
                 body = "".join(
@@ -271,5 +274,7 @@ class SchemaFingerprintCache:
                 self.storage.store_atomic(self._path, body.encode())
         with self._lock:
             return {
-                f.path: self._cache[(f.path, f.modified_ms)] for f in files
+                f.path: self._cache[(f.path, f.modified_ms)]
+                for f in files
+                if (f.path, f.modified_ms) in self._cache
             }

@@ -478,3 +478,39 @@ def test_pipeline_with_hadoop_scheme_uris(spark, tmp_path):
     assert os.path.exists(sidecar)
     # ledger lives behind the same scheme; rerun is a no-op
     assert RestructurePlan(spark, cfg).run() == {"t": []}
+
+
+def test_corrupt_source_file_skipped_and_retried(spark, tmp_path):
+    """An unreadable source file (truncated/garbage) is logged and skipped —
+    good files process, the bad one stays uncommitted so a later run retries
+    it once repaired (reference per-file error handling,
+    RestructureWorker.kt:105-111)."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    good = _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0, serverStatus="A", ipAddress=None))],
+        0, 0, 0, SERVER_STATUS_SCHEMA,
+    )
+    bad = os.path.join(os.path.dirname(good), "t+0+1+1.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"this is not parquet at all" * 10)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    plan = RestructurePlan(spark, cfg)
+    finals = plan.run()["t"]
+    assert len(finals) == 1  # good file's output
+    assert len(open(finals[0]).read().splitlines()) == 2
+
+    # the corrupt file is still a candidate (uncommitted); repair it -> next
+    # run processes it and appends
+    plan2 = RestructurePlan(spark, cfg)
+    assert [f.path for f in plan2.list_candidate_files("t")] == [bad]
+    os.remove(bad)
+    _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3601.0, serverStatus="B", ipAddress=None))],
+        0, 1, 1, SERVER_STATUS_SCHEMA,
+    )
+    RestructurePlan(spark, cfg).run()
+    assert len(open(finals[0]).read().splitlines()) == 3
