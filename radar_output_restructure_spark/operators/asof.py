@@ -25,6 +25,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    """True when the type holds a MapType anywhere — maps are not orderable
+    in Spark, so they cannot serve as window-order tiebreaks."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def asof_join(
@@ -65,9 +78,20 @@ def asof_join(
     # right rows gain left's other columns as nulls; they are filtered back
     # out after the window pass
     unioned = l_marked.unionByName(r, allowMissingColumns=True)
+    # Tie determinism: when several RIGHT rows share (key, ts), the carried
+    # payload must not depend on partitioning/sort luck. Appending the
+    # payload columns themselves to the window order makes the winner the
+    # row with the greatest payload tuple — stable across runs. (Skip
+    # non-orderable map-typed columns; left rows are unaffected: __side=1
+    # already sorts them after every right row at the same ts.)
+    tiebreak = [
+        F.col(f"__p_{c}")
+        for c in payload
+        if not _contains_map(r.schema[f"__p_{c}"].dataType)
+    ]
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

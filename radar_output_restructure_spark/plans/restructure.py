@@ -291,7 +291,10 @@ class RestructurePlan:
                 head = fh.read(64 * 1024)  # header is metadata-only
                 try:
                     schema, _, _, _ = avro_io.read_header(head)
-                except EOFError:  # pathological schema larger than the prefix
+                except (EOFError, IndexError, KeyError):
+                    # pathological schema larger than the prefix: a truncated
+                    # buffer can surface as EOFError, IndexError (varint cut
+                    # mid-byte) or KeyError (metadata map cut mid-entry)
                     fh.seek(0)
                     schema, _, _, _ = avro_io.read_header(fh.read(-1))
             struct, _ = avro_io.avro_to_spark_type(schema)

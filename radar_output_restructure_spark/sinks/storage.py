@@ -233,14 +233,32 @@ class HadoopTargetStorage(TargetStorage):
         fs, jpath = self._fs_path(path)
         stream = fs.open(jpath)
         try:
-            out = bytearray()
             helper = self._jvm.org.apache.commons.io.IOUtils
             return bytes(helper.toByteArray(stream))
         finally:
             stream.close()
 
+    #: schemes with a real atomic rename — everything else (s3a, abfs, gs,
+    #: wasb, oss, ...) is an object store whose create()+close() is already a
+    #: single PUT that materializes atomically, like the reference's
+    #: S3TargetStorage overwrite PUT (target/S3TargetStorage.kt:47-154)
+    _RENAME_ATOMIC_SCHEMES = frozenset({"file", "hdfs", "viewfs", "", None})
+
     def store_atomic(self, path: str, data: bytes) -> None:
         fs, jpath = self._fs_path(path)
+        scheme = jpath.toUri().getScheme()
+        if scheme not in self._RENAME_ATOMIC_SCHEMES:
+            # Object store: one overwrite PUT, no delete/rename window during
+            # which the target is absent. The object flips old->new at close.
+            stream = fs.create(jpath, True)
+            try:
+                stream.write(bytearray(data))
+            finally:
+                stream.close()
+            return
+        # Real filesystem: tmp + rename is the atomic publish. rename() on
+        # HDFS fails onto an existing file, so delete first — safe here
+        # because rename itself is atomic and the tmp file is complete.
         tmp = self._jvm.org.apache.hadoop.fs.Path(
             f"{path}.tmp-{uuid.uuid4().hex}"
         )
@@ -249,8 +267,6 @@ class HadoopTargetStorage(TargetStorage):
             stream.write(bytearray(data))
         finally:
             stream.close()
-        # overwrite-rename: delete a pre-existing target first (rename on
-        # HDFS/S3A fails onto an existing file)
         if fs.exists(jpath):
             fs.delete(jpath, False)
         if not fs.rename(tmp, jpath):

@@ -26,6 +26,7 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -325,15 +326,46 @@ def write_output_tree_direct(
     # per-output-FILE (open/rename/sidecar), not per byte — a few MB of
     # rendered rows can fan out to thousands of files, and coalescing to one
     # partition serializes them (measured 3x slower at 7200 files). Scope-
-    # disable coalescing for just this action.
-    spark = df.sparkSession
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
+    # disable coalescing for just this action, reference-counted so
+    # topic-parallel threads (plans/restructure.py run()) can't interleave
+    # set/restore and leak the session conf.
+    with _aqe_coalesce_disabled(df.sparkSession):
         return sorted(r.path for r in result.collect())
-    finally:
-        spark.conf.set(key, prev)
+
+
+#: reference-counted scope-disable of AQE partition coalescing: the session
+#: conf is global, so concurrent direct-writer collects share one disable
+#: window; the first thread in saves the previous value, the last one out
+#: restores it.
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # session id -> (refcount, prev)
+
+
+class _aqe_coalesce_disabled:
+    _KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._sid = id(spark._jsparkSession)
+
+    def __enter__(self):
+        with _AQE_LOCK:
+            count, prev = _AQE_STATE.get(self._sid, (0, "true"))
+            if count == 0:
+                prev = self._spark.conf.get(self._KEY, "true")
+                self._spark.conf.set(self._KEY, "false")
+            _AQE_STATE[self._sid] = (count + 1, prev)
+        return self
+
+    def __exit__(self, *exc):
+        with _AQE_LOCK:
+            count, prev = _AQE_STATE[self._sid]
+            if count == 1:
+                self._spark.conf.set(self._KEY, prev)
+                del _AQE_STATE[self._sid]
+            else:
+                _AQE_STATE[self._sid] = (count - 1, prev)
+        return False
 
 
 def write_output_tree(

@@ -130,6 +130,9 @@ def _read_avro_tree_python(spark: SparkSession, load) -> DataFrame:
         ]
     )
     names = [f.name for f in record_type.fields]
+    import json
+
+    probe_canon = json.dumps(writer_schema, sort_keys=True)
 
     def decode(batches):
         for pdf in batches:
@@ -137,7 +140,18 @@ def _read_avro_tree_python(spark: SparkSession, load) -> DataFrame:
             for path, mtime, content in zip(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
             ):
-                _, records = avro_io.read_container(bytes(content))
+                file_schema, records = avro_io.read_container(bytes(content))
+                if json.dumps(file_schema, sort_keys=True) != probe_canon:
+                    # Mixed-schema scan must fail loudly: decoding against
+                    # the probe schema would silently drop extra fields and
+                    # null-fill missing ones. Callers group files by schema
+                    # fingerprint first (plans/restructure.py) and never hit
+                    # this; a raw read_topic_tree over a drifted topic does.
+                    raise ValueError(
+                        f"avro schema of {path!r} differs from the probe "
+                        "file's schema; group files by fingerprint (pass "
+                        "`paths` per schema group) before scanning"
+                    )
                 if not records:
                     # header-only flush: an empty pandas frame would type
                     # struct columns float64, which Arrow rejects

@@ -61,9 +61,22 @@ def load_table(
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     if spread:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if _scan_partitions(spark, df, path) < target:
             df = df.repartition(target)
     return df
+
+
+#: (session id, path, mtime_ns) -> scan partition count. getNumPartitions
+#: builds a full RDD conversion plan each call; the count only changes when
+#: the file or the session conf does, so cache it per (session, file).
+_SCAN_PARTS: dict[tuple[int, str, int], int] = {}
+
+
+def _scan_partitions(spark: SparkSession, df: DataFrame, path: str) -> int:
+    key = (id(spark._jsparkSession), path, os.stat(path).st_mtime_ns)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    return _SCAN_PARTS[key]
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

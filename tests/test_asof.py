@@ -59,3 +59,16 @@ def test_left_columns_preserved(spark):
     out = asof_join(left, right, on="k")
     assert out.columns == ["k", "ts", "x", "asof_ts", "asof_v"]
     assert out.count() == 4
+
+
+def test_right_timestamp_tie_is_deterministic(spark):
+    """Several RIGHT rows at the same (key, ts): the carried payload is the
+    greatest payload tuple, stable across partitionings (the window order
+    includes the payload columns as a tiebreak)."""
+    left = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01 10:00:00"), x=1)])
+    dup_ts = _ts("2024-01-01 09:30:00")
+    rows = [Row(k="a", ts=dup_ts, v=float(v)) for v in (7, 3, 9, 1, 5)]
+    for parts in (1, 2, 5):
+        right = spark.createDataFrame(rows).repartition(parts)
+        got = asof_join(left, right, on="k").collect()[0]
+        assert got.asof_v == 9.0, f"parts={parts}: {got}"

@@ -113,6 +113,30 @@ def test_read_topic_tree_avro_matches_metadata(spark, tmp_path):
             "offset_from", "offset_to"} <= set(df.columns)
 
 
+def test_mixed_schema_topic_fails_loudly(spark, tmp_path):
+    """A raw read_topic_tree over a topic whose files carry different writer
+    schemas must raise, not silently decode against one probe file's schema
+    (dropping extra fields / null-filling missing ones)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    input_dir = str(tmp_path / "in")
+    _write_avro_fixture(
+        input_dir, "status",
+        [_status_rec("p1", "u1", 1.0, "CONNECTED")], 0, 0, 0,
+    )
+    drifted = {
+        "type": "record", "name": "r2",
+        "fields": [{"name": "extra", "type": "long"}],
+    }
+    _write_avro_fixture(
+        input_dir, "status", [{"extra": 7}], 0, 1, 1, schema=drifted,
+    )
+    df = read_topic_tree(spark, input_dir, topic="status", file_format="avro")
+    with pytest.raises(PythonException, match="differs from the probe"):
+        df.collect()
+
+
 def test_restructure_pipeline_from_avro(spark, tmp_path):
     """Full e2e on real .avro input: exact-named CSVs, flattened headers,
     rerun no-op, schema-evolution attempt suffix via avro fingerprints."""
