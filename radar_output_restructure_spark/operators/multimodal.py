@@ -4,10 +4,12 @@ Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 `mapInPandas` signature, partition behavior — is real and tested. Decoding:
 
-* WAV (RIFF PCM) and uncompressed 24-bit BMP decode for REAL in pure
-  stdlib+numpy (`decode_wav`, `decode_bmp`) — audio duration/RMS/peak and
-  image dimensions/brightness come from actual samples/pixels.
-* JPEG/PNG/MP4 (`decode_image` on non-BMP magic) raise NotImplementedError:
+* WAV (RIFF PCM), uncompressed 24-bit BMP, and non-interlaced 8-bit PNG
+  (gray/RGB/RGBA, stdlib zlib inflate + full filter reconstruction) decode
+  for REAL in pure stdlib+numpy (`decode_wav`, `decode_bmp`, `decode_png`)
+  — audio duration/RMS/peak and image dimensions/brightness come from
+  actual samples/pixels.
+* JPEG/GIF/MP4 (`decode_image` on other magic) raise NotImplementedError:
   those codecs genuinely require PIL/libvips/ffmpeg, which are not in this
   container; the real impl drops into the same mapInPandas batch loop.
 * `extract_features` computes deterministic byte-level features (length,
@@ -109,15 +111,118 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> samples per pixel (8-bit depth; palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG (grayscale / gray+alpha / RGB /
+    RGBA) in pure stdlib+numpy: chunk walk, zlib inflate of the IDAT
+    stream, then full scanline filter reconstruction (None/Sub/Up/Average/
+    Paeth per the PNG spec §9). Returns the same feature dict as
+    `decode_bmp`; alpha is ignored for the channel means and grayscale
+    replicates into all three."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    channels = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+            channels = _PNG_CHANNELS.get(color)
+            if channels is None:
+                raise NotImplementedError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels  # bytes per scanline after the filter byte
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = lines[:, 0]
+    # Reconstruction is inherently sequential row-to-row (Up/Average/Paeth
+    # read the row above) but vectorizes across each row's pixels except the
+    # left-neighbor recurrence; rows are short relative to batch size and
+    # this loop is per-image inside an Arrow batch, so it stays cheap.
+    out = np.empty((height, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        cur = lines[y, 1:].astype(np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 1:  # Sub: per-byte-lane prefix sum mod 256
+            rec = np.cumsum(cur.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+        else:  # Average (3) / Paeth (4): left-recurrence, walk the row
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                elif f == 4:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(height, width, channels)
+    if channels <= 2:  # grayscale (+alpha): replicate into RGB
+        mean = float(px[:, :, 0].mean())
+        means = (mean, mean, mean)
+    else:  # RGB / RGBA: alpha (if any) excluded from the means
+        m = px[:, :, :3].reshape(-1, 3).mean(axis=0)
+        means = (float(m[0]), float(m[1]), float(m[2]))
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mean_r": round(means[0], 6),
+        "mean_g": round(means[1], 6),
+        "mean_b": round(means[2], 6),
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """Dispatch on magic bytes. BMP decodes for real; JPEG/PNG/GIF require
-    PIL/libvips (not in this container) and raise NotImplementedError —
-    the real implementation slots into the same mapInPandas batch loop."""
+    """Dispatch on magic bytes. BMP and PNG decode for real; JPEG/GIF
+    require PIL/libvips (not in this container) and raise
+    NotImplementedError — the real implementation slots into the same
+    mapInPandas batch loop."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     raise NotImplementedError(
-        "JPEG/PNG/GIF decoding requires PIL/libvips (not in container); "
-        "BMP and WAV decode natively"
+        "JPEG/GIF decoding requires PIL/libvips (not in container); "
+        "BMP, PNG and WAV decode natively"
     )
 
 

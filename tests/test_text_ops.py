@@ -322,4 +322,123 @@ def test_decode_image_unsupported_codec_raises():
     from radar_output_restructure_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0....")  # JPEG/JFIF magic
+
+
+def _make_png(px, channels: int, filters: list[int]) -> bytes:
+    """Reference PNG encoder (test-side): forward-filters each scanline with
+    the requested filter type per the spec, so the decoder must invert all of
+    None/Sub/Up/Average/Paeth to reproduce `px` (an HxWxC uint8 array)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    assert c == channels
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = px.reshape(h, w * c).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        line = np.empty(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = int(cur[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_golden():
+    """Round-trip a deterministic RGB image through every PNG filter type:
+    the decoder's reconstruction must reproduce the exact pixel means."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(10, 13, 3), dtype=np.uint8)
+    expect = px.reshape(-1, 3).mean(axis=0)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        png = _make_png(px, 3, filters)
+        meta = decode_png(png)
+        assert (meta["width"], meta["height"]) == (13, 10), filters
+        got = (meta["mean_r"], meta["mean_g"], meta["mean_b"])
+        assert np.allclose(got, expect, atol=1e-5), (filters, got, expect)
+    # decode_image dispatches on the PNG magic
+    assert decode_image(_make_png(px, 3, [4]))["width"] == 13
+
+
+def test_png_decode_rgba_and_grayscale():
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import decode_png
+
+    rgba = np.zeros((4, 5, 4), dtype=np.uint8)
+    rgba[:, :, 0] = 200
+    rgba[:, :, 1] = 100
+    rgba[:, :, 2] = 50
+    rgba[:, :, 3] = 17  # alpha must not leak into the channel means
+    meta = decode_png(_make_png(rgba, 4, [0, 1, 2, 3, 4]))
+    assert (meta["mean_r"], meta["mean_g"], meta["mean_b"]) == (200.0, 100.0, 50.0)
+
+    gray = np.full((3, 7, 1), 123, dtype=np.uint8)
+    meta = decode_png(_make_png(gray, 1, [2]))
+    assert meta["mean_r"] == meta["mean_g"] == meta["mean_b"] == 123.0
+    assert (meta["width"], meta["height"]) == (7, 3)
+
+
+def test_png_interlaced_rejected():
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from radar_output_restructure_spark.operators.multimodal import decode_png
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr))
+    )
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(png)
