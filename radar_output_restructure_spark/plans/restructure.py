@@ -104,7 +104,14 @@ class RestructureConfig:
 
 
 class RestructurePlan:
-    def __init__(self, spark: SparkSession, config: RestructureConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: RestructureConfig,
+        *,
+        source_storage=None,
+        target_storage=None,
+    ):
         self.spark = spark
         self.config = config
         # eager config validation (PathFormatter.kt:52-60 fails at startup,
@@ -120,10 +127,16 @@ class RestructurePlan:
         # S2/S3/S14: source and target backends resolve by URI scheme —
         # plain paths stay on the fast local-FS implementation; s3a://,
         # abfs://, hdfs://, file:// route through the Hadoop FileSystem.
+        # Explicit instances (e.g. an S3TargetStorage carrying endpoint /
+        # credential kwargs) override the scheme-based resolution.
         from radar_output_restructure_spark.sinks.storage import storage_for
 
-        self.source_storage = storage_for(config.input_dir, spark)
-        self.target_storage = storage_for(config.output_dir, spark)
+        self.source_storage = source_storage or storage_for(
+            config.input_dir, spark
+        )
+        self.target_storage = target_storage or storage_for(
+            config.output_dir, spark
+        )
         offsets_dir = os.path.join(config.output_dir, "offsets")
         self.manifest = ProcessedFileManifest(offsets_dir, self.target_storage)
         self.attempts = AttemptRegistry(offsets_dir, self.target_storage)

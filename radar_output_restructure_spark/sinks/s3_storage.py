@@ -1,0 +1,249 @@
+"""Executor-safe S3 object-store backend (SURVEY §2.1 S2/S14; reference
+target/S3TargetStorage.kt:47-154).
+
+`HadoopTargetStorage` reaches s3a:// through the driver JVM and therefore
+cannot serve the direct (executor-side) exact-name writer. This backend
+speaks the S3 API natively through boto3 and IS picklable: the constructor
+captures only plain configuration (bucket-agnostic client kwargs), and the
+boto3 client is built lazily once per process — driver or executor worker —
+so `write_output_tree_direct` can write straight to S3 from every task
+without a finalize pass, matching the reference's per-file PUT model.
+
+Semantics mirror the reference's S3TargetStorage:
+* `store_atomic*` publishes with a single PUT / multipart upload — the
+  object flips old->new atomically at completion, no delete/rename window
+  (S3TargetStorage.kt:47-154 does the same overwrite PUT).
+* writes spool through a disk-backed temp file, so staging a large append
+  stream costs disk, not memory; on error the spool is dropped and nothing
+  is published.
+* object stores have no directories: `makedirs` is a no-op, listings are
+  prefix scans, `list_dirs` uses delimiter common-prefixes.
+
+At 100 TB: every executor task holds one boto3 client (connection-pooled),
+uploads are multipart (bounded memory), and listing is paginated server-side
+— no driver bottleneck and no whole-listing materialization beyond the
+(manifest-sized) path list the planner already needs.
+
+boto3 is optional: importing this module is safe without it; constructing
+the storage raises with a clear message.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import contextmanager
+
+from radar_output_restructure_spark.sinks.storage import (
+    CHUNK_SIZE,
+    TargetStorage,
+)
+
+#: spool appends/uploads in memory up to this, then overflow to disk — the
+#: common case (one user-hour group) stays in RAM, a pathological hot bin
+#: degrades to disk instead of ballooning the executor heap
+_SPOOL_MAX = 8 << 20
+
+
+def parse_s3_url(path: str) -> tuple[str, str]:
+    """('bucket', 'key') from s3://bucket/key or s3a://bucket/key."""
+    scheme, rest = path.split("://", 1)
+    if scheme not in ("s3", "s3a", "s3n"):
+        raise ValueError(f"not an S3 url: {path!r}")
+    bucket, _, key = rest.partition("/")
+    return bucket, key
+
+
+class S3TargetStorage(TargetStorage):
+    """Picklable, executor-safe TargetStorage over the native S3 API.
+
+    `client_kwargs` go to `boto3.client("s3", **kwargs)` — endpoint_url,
+    region_name, credentials. Only plain values: the instance pickles into
+    Spark tasks and each process builds its own client on first use.
+    """
+
+    executor_safe = True
+
+    def __init__(self, **client_kwargs):
+        self._client_kwargs = client_kwargs
+        self._client = None
+
+    # -- pickling: ship config, never the client/socket pool --------------
+    def __getstate__(self):
+        return {"_client_kwargs": self._client_kwargs}
+
+    def __setstate__(self, state):
+        self._client_kwargs = state["_client_kwargs"]
+        self._client = None
+
+    @property
+    def client(self):
+        if self._client is None:
+            try:
+                import boto3
+            except ImportError as exc:  # pragma: no cover
+                raise ImportError(
+                    "S3TargetStorage requires boto3; use "
+                    "HadoopTargetStorage (driver-side, s3a://) when the "
+                    "AWS SDK is not installed"
+                ) from exc
+            self._client = boto3.client("s3", **self._client_kwargs)
+        return self._client
+
+    # -- target surface ---------------------------------------------------
+
+    def exists(self, path: str) -> bool:
+        bucket, key = parse_s3_url(path)
+        try:
+            self.client.head_object(Bucket=bucket, Key=key)
+            return True
+        except self.client.exceptions.ClientError as exc:
+            if exc.response["Error"]["Code"] in ("404", "NoSuchKey"):
+                return False
+            raise
+
+    def read(self, path: str) -> bytes:
+        bucket, key = parse_s3_url(path)
+        return self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
+
+    @contextmanager
+    def store_atomic_writer(self, path: str):
+        import tempfile
+
+        bucket, key = parse_s3_url(path)
+        with tempfile.SpooledTemporaryFile(max_size=_SPOOL_MAX) as spool:
+            yield spool
+            # only on clean exit: publish as one PUT/multipart upload —
+            # an exception above skips this and the spool just vanishes
+            spool.seek(0)
+            self.client.upload_fileobj(spool, bucket, key)
+
+    def open_read_chunks(self, path: str, chunk_size: int = CHUNK_SIZE):
+        """One streaming GET (not per-chunk range requests)."""
+        bucket, key = parse_s3_url(path)
+        body = self.client.get_object(Bucket=bucket, Key=key)["Body"]
+        try:
+            while True:
+                chunk = body.read(chunk_size)
+                if not chunk:
+                    return
+                yield chunk
+        finally:
+            body.close()
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def delete(self, path: str) -> None:
+        bucket, key = parse_s3_url(path)
+        if self.exists(path):
+            self.client.delete_object(Bucket=bucket, Key=key)
+            return
+        # prefix ("directory") delete, batched at the API's 1000-key limit
+        batch: list[dict] = []
+        for obj_key, _m, _s in self._list(bucket, _as_prefix(key)):
+            batch.append({"Key": obj_key})
+            if len(batch) == 1000:
+                self.client.delete_objects(
+                    Bucket=bucket, Delete={"Objects": batch}
+                )
+                batch = []
+        if batch:
+            self.client.delete_objects(Bucket=bucket, Delete={"Objects": batch})
+
+    def _list(self, bucket: str, prefix: str):
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                yield (
+                    obj["Key"],
+                    int(obj["LastModified"].timestamp() * 1000),
+                    int(obj["Size"]),
+                )
+
+    def walk_files(self, root: str) -> list[str]:
+        return [p for p, _m, _s in self.walk_file_status(root)]
+
+    def walk_file_status(self, root: str) -> list[tuple[str, int, int]]:
+        bucket, key = parse_s3_url(root)
+        scheme = root.split("://", 1)[0]
+        return [
+            (f"{scheme}://{bucket}/{k}", m, s)
+            for k, m, s in self._list(bucket, _as_prefix(key))
+        ]
+
+    def list_dirs(self, root: str) -> list[str]:
+        bucket, key = parse_s3_url(root)
+        paginator = self.client.get_paginator("list_objects_v2")
+        names: list[str] = []
+        for page in paginator.paginate(
+            Bucket=bucket, Prefix=_as_prefix(key), Delimiter="/"
+        ):
+            for cp in page.get("CommonPrefixes", []):
+                names.append(cp["Prefix"].rstrip("/").rsplit("/", 1)[-1])
+        return sorted(names)
+
+    def mtime_ms(self, path: str) -> int:
+        bucket, key = parse_s3_url(path)
+        head = self.client.head_object(Bucket=bucket, Key=key)
+        return int(head["LastModified"].timestamp() * 1000)
+
+    def open_seekable(self, path: str):
+        bucket, key = parse_s3_url(path)
+        head = self.client.head_object(Bucket=bucket, Key=key)
+        return _RangedS3File(self.client, bucket, key, int(head["ContentLength"]))
+
+
+def _as_prefix(key: str) -> str:
+    return key.rstrip("/") + "/" if key else ""
+
+
+class _RangedS3File(io.RawIOBase):
+    """Seekable read-only file over ranged GETs — what pyarrow/zipfile need
+    to read footers/central directories without fetching the whole object."""
+
+    def __init__(self, client, bucket: str, key: str, size: int):
+        self._client = client
+        self._bucket = bucket
+        self._key = key
+        self._size = size
+        self._pos = 0
+
+    def size(self) -> int:
+        return self._size
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        if whence == 1:
+            pos = self._pos + pos
+        elif whence == 2:
+            pos = self._size + pos
+        self._pos = max(0, pos)
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        remaining = self._size - self._pos
+        if n is None or n < 0 or n > remaining:
+            n = remaining
+        if n <= 0:
+            return b""
+        resp = self._client.get_object(
+            Bucket=self._bucket,
+            Key=self._key,
+            Range=f"bytes={self._pos}-{self._pos + n - 1}",
+        )
+        data = resp["Body"].read()
+        self._pos += len(data)
+        return data
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)

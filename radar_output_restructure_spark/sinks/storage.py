@@ -24,16 +24,38 @@ object-store connectors implement as upload + server-side copy).
 
 from __future__ import annotations
 
+import io
 import os
 import shutil
 import uuid
+from collections.abc import Iterable, Iterator
+from contextlib import contextmanager
+
+#: streaming-copy chunk size: large enough to amortize per-call overhead
+#: (one py4j round-trip per chunk on Hadoop backends), small enough that a
+#: concurrent writer pool keeps peak memory modest
+CHUNK_SIZE = 1 << 20
 
 
 def storage_for(path: str, spark=None) -> "TargetStorage":
-    """Pick the backend by URI scheme: `s3a://`, `abfs://`, `hdfs://`,
+    """Pick the backend by URI scheme. `s3://`/`s3a://` prefer the native
+    executor-safe boto3 backend (direct writer works) and fall back to the
+    driver-side Hadoop FileSystem when boto3 is absent; `abfs://`, `hdfs://`,
     `file://` route through the Hadoop FileSystem (needs the SparkSession's
     JVM); plain paths use the local filesystem directly."""
     if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme in ("s3", "s3a", "s3n"):
+            try:
+                import boto3  # noqa: F401
+
+                from radar_output_restructure_spark.sinks.s3_storage import (
+                    S3TargetStorage,
+                )
+
+                return S3TargetStorage()
+            except ImportError:
+                pass  # fall through to the Hadoop connector
         if spark is None:
             raise ValueError(
                 f"{path!r} has a filesystem scheme; a SparkSession is "
@@ -56,7 +78,30 @@ class TargetStorage:
         raise NotImplementedError
 
     def store_atomic(self, path: str, data: bytes) -> None:
+        self.store_atomic_stream(path, (data,))
+
+    def store_atomic_writer(self, path: str):
+        """Context manager yielding a writable binary stream; the full
+        content is published atomically on clean exit and discarded on
+        exception. The streaming form of `store_atomic`: appends that copy
+        a large existing target never hold it in memory."""
         raise NotImplementedError
+
+    def store_atomic_stream(self, path: str, chunks: Iterable[bytes]) -> None:
+        with self.store_atomic_writer(path) as fh:
+            for chunk in chunks:
+                fh.write(chunk)
+
+    def open_read_chunks(
+        self, path: str, chunk_size: int = CHUNK_SIZE
+    ) -> Iterator[bytes]:
+        """Yield the file's bytes in bounded chunks (streaming read)."""
+        with self.open_seekable(path) as fh:
+            while True:
+                chunk = fh.read(chunk_size)
+                if not chunk:
+                    return
+                yield chunk
 
     def makedirs(self, path: str) -> None:
         raise NotImplementedError
@@ -99,11 +144,12 @@ class LocalTargetStorage(TargetStorage):
         with open(path, "rb") as fh:
             return fh.read()
 
-    def store_atomic(self, path: str, data: bytes) -> None:
+    @contextmanager
+    def store_atomic_writer(self, path: str):
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         try:
             with open(tmp, "wb") as fh:
-                fh.write(data)
+                yield fh
             os.replace(tmp, path)
         finally:
             if os.path.exists(tmp):
@@ -205,6 +251,49 @@ class _JvmSeekableFile:
         self.close()
 
 
+class _JvmOutputFile:
+    """Writable binary file-like over a Hadoop FSDataOutputStream (py4j).
+    Non-seekable (object-store uploads are forward-only); each write is one
+    JVM round-trip, so callers stream CHUNK_SIZE-d chunks, not lines."""
+
+    mode = "wb"
+
+    def __init__(self, stream):
+        self._stream = stream
+        self.closed = False
+
+    def write(self, data: bytes) -> int:
+        self._stream.write(bytearray(data))
+        return len(data)
+
+    def flush(self) -> None:
+        self._stream.hflush()
+
+    def writable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    def tell(self) -> int:
+        raise io.UnsupportedOperation("tell on a forward-only upload stream")
+
+    def close(self) -> None:
+        if not self.closed:
+            self._stream.close()
+            self.closed = True
+
+    def abort(self) -> bool:
+        """Best-effort discard without publishing: s3a/abfs output streams
+        implement Hadoop's Abortable (cancels the multipart upload)."""
+        try:
+            self._stream.abort()
+            self.closed = True
+            return True
+        except Exception:
+            return False
+
+
 class HadoopTargetStorage(TargetStorage):
     """Driver-side storage over any Hadoop FileSystem scheme.
 
@@ -244,17 +333,26 @@ class HadoopTargetStorage(TargetStorage):
     #: S3TargetStorage overwrite PUT (target/S3TargetStorage.kt:47-154)
     _RENAME_ATOMIC_SCHEMES = frozenset({"file", "hdfs", "viewfs", "", None})
 
-    def store_atomic(self, path: str, data: bytes) -> None:
+    @contextmanager
+    def store_atomic_writer(self, path: str):
         fs, jpath = self._fs_path(path)
         scheme = jpath.toUri().getScheme()
         if scheme not in self._RENAME_ATOMIC_SCHEMES:
             # Object store: one overwrite PUT, no delete/rename window during
-            # which the target is absent. The object flips old->new at close.
-            stream = fs.create(jpath, True)
+            # which the target is absent. s3a/abfs buffer the upload (disk or
+            # multipart parts) and the object flips old->new only at close(),
+            # so streaming a copy of the OLD object into this writer is safe:
+            # the GET keeps serving the old object until the PUT completes.
+            # On error, Abortable.abort() cancels the upload unpublished.
+            out = _JvmOutputFile(fs.create(jpath, True))
             try:
-                stream.write(bytearray(data))
-            finally:
-                stream.close()
+                yield out
+            except BaseException:
+                if not out.abort():
+                    out.close()  # connector without abort: partial publish
+                    fs.delete(jpath, False)  # ...then best-effort removal
+                raise
+            out.close()
             return
         # Real filesystem: tmp + rename is the atomic publish. rename() on
         # HDFS fails onto an existing file, so delete first — safe here
@@ -262,11 +360,14 @@ class HadoopTargetStorage(TargetStorage):
         tmp = self._jvm.org.apache.hadoop.fs.Path(
             f"{path}.tmp-{uuid.uuid4().hex}"
         )
-        stream = fs.create(tmp, True)
+        out = _JvmOutputFile(fs.create(tmp, True))
         try:
-            stream.write(bytearray(data))
-        finally:
-            stream.close()
+            yield out
+        except BaseException:
+            out.close()
+            fs.delete(tmp, False)
+            raise
+        out.close()
         if fs.exists(jpath):
             fs.delete(jpath, False)
         if not fs.rename(tmp, jpath):

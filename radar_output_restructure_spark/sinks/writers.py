@@ -96,10 +96,15 @@ def _concat_into(
     storage: TargetStorage,
 ) -> None:
     """Append part files into dst (skipping their headers when dst exists),
-    publishing the result atomically through the storage backend."""
+    publishing the result atomically through the storage backend.
+
+    The pre-existing dst content — unbounded, it grows with every appended
+    run — is STREAMED chunk-by-chunk into the staged copy, never held in
+    memory. Only the new parts (bounded: each is one task's output for one
+    user-hour group) are materialized, because header-stripping and the
+    fresh-gzip-member compression need whole-part views."""
     exists = storage.exists(dst)
-    existing = storage.read(dst) if exists else b""
-    chunks: list[bytes] = []
+    new_chunks: list[bytes] = []
     skip_header = exists and has_header
     for part in parts:
         data = storage.read(part)
@@ -108,14 +113,20 @@ def _concat_into(
         if skip_header and data:
             nl = data.find(b"\n")
             data = data[nl + 1 :] if nl >= 0 else b""
-        chunks.append(data)
+        new_chunks.append(data)
         skip_header = has_header  # subsequent parts always drop the header
-    payload = b"".join(chunks)
+    payload = b"".join(new_chunks)
     if gzipped:
         # appended as a fresh member; gzip and the reference's
         # decompress-on-append both accept multi-member files
         payload = gzip.compress(payload)
-    storage.store_atomic(dst, existing + payload)
+
+    def chunks():
+        if exists:
+            yield from storage.open_read_chunks(dst)
+        yield payload
+
+    storage.store_atomic_stream(dst, chunks())
 
 
 _FMT_EXT = {"csv": ".csv", "json": ".json"}
@@ -132,27 +143,38 @@ def _store_payload(
     """Atomically store/append `payload` at `final` through the storage
     backend (the reference's FileCache store protocol: full new content is
     staged, then published atomically). gzip appends a new member; zip
-    (single-entry archive, level 7) is rewritten with old+new content."""
-    import io
+    (single-entry archive, level 7) is rewritten with old+new content.
+
+    The existing target is STREAMED, never materialized: plain/gzip appends
+    chunk-copy the old bytes into the staged file, and the zip rewrite pipes
+    the old entry's decompressed stream straight into the new archive's
+    entry stream (`ZipFile.open(mode="w")`). Peak memory is one copy chunk
+    plus the (group-bounded) new payload, independent of target size."""
+    import shutil
     import zipfile
 
     exists = storage.exists(final)
     if compression == "zip":
         entry = os.path.basename(final)[: -len(".zip")]
+        with storage.store_atomic_writer(final) as out, zipfile.ZipFile(
+            out, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
+        ) as zf, zf.open(entry, "w") as w:
+            if exists:
+                with storage.open_seekable(final) as old_fh, zipfile.ZipFile(
+                    old_fh
+                ) as old_zf, old_zf.open(old_zf.namelist()[0]) as r:
+                    shutil.copyfileobj(r, w, 1 << 20)
+            w.write(payload)
+        return
+    if compression == "gzip":
+        payload = gzip.compress(payload, 9)  # fresh member per append
+
+    def chunks():
         if exists:
-            with zipfile.ZipFile(io.BytesIO(storage.read(final))) as zf:
-                payload = zf.read(zf.namelist()[0]) + payload
-        buf = io.BytesIO()
-        with zipfile.ZipFile(
-            buf, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
-        ) as zf:
-            zf.writestr(entry, payload)
-        data = buf.getvalue()
-    else:
-        if compression == "gzip":
-            payload = gzip.compress(payload, 9)  # fresh member per append
-        data = (storage.read(final) if exists else b"") + payload
-    storage.store_atomic(final, data)
+            yield from storage.open_read_chunks(final)
+        yield payload
+
+    storage.store_atomic_stream(final, chunks())
 
 
 def write_output_tree_direct(
