@@ -59,6 +59,16 @@ def load_table(
     df = spark.read.parquet(path)
     for col in sorted(_nanos_ts_columns(path)):
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
+    # Micro-precision parquet timestamps without the UTC-adjusted flag arrive
+    # as TIMESTAMP_NTZ; normalize to TimestampType so every consumer sees one
+    # timestamp kind regardless of how the generator wrote the column. The
+    # session timezone is UTC (session.py), so the cast maps wall-clock values
+    # to the same epoch instants DuckDB sees reading the file natively.
+    import pyspark.sql.types as T
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if spread:
         target = spark.sparkContext.defaultParallelism
         if _scan_partitions(spark, df, path) < target:
