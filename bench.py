@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "doc_tfidf_top_terms",
     "char_ngram_jaccard_docs",
     "stratified_sample_docs",
+    # round-3 additions
+    "ann_ivf_trained_topk",
 ]
 
 

@@ -225,6 +225,116 @@ def ivf_cells(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Deterministic k-means codebook for the IVF coarse quantizer.
+
+    Lloyd iterations with every source of nondeterminism removed, so the
+    same data yields bit-identical centroids on any run, partitioning, or
+    engine (a DuckDB oracle reproduces it exactly):
+
+    * init — the k vectors with smallest (md5(id), id): the engine's
+      deterministic id-hash sampler (operators/curation.py uses the same
+      trick), standing in for random seeding; cell = rank in that order.
+    * assign — cosine affinity to each centroid rounded to 6 decimals,
+      ties to the lowest cell. Map-only: centroids enter the plan as
+      literal arrays (k * dims literals — fine to k ~ 64; at large k
+      switch to a broadcast table + max_by, same semantics).
+    * update — per-dimension sums of floor(value * 1e6) as LONGS: integer
+      addition is associative, so partial aggregation order cannot change
+      the result. New centroid micro = floor(sum * 1.0 / count) evaluated
+      in IEEE double (sums stay far below 2^53, so the division is exact
+      cross-engine). Empty cells keep their previous centroid.
+    * stop — early exit when the integer micro-vectors stop changing
+      (assignment is a pure function of centroids, so once they repeat the
+      remaining iterations are no-ops and early exit preserves equality
+      with a fixed-iteration oracle).
+
+    Per iteration: one map-only assignment pass + ONE groupBy on `cell`
+    (k rows out, map-side combined) + a k-row collect. At 100 TB that is
+    the minimum possible data movement for Lloyd's algorithm; k-means|| style
+    oversampling would only change the init, which is already O(k) here.
+
+    Returns (id_col int cell, vec_col array<double>) — feed directly to
+    `cosine_topk_ivf`. Reference analogue: none (the reference has no ANN);
+    this backs the training-data-pipeline ANN path (SURVEY §2 additions).
+    """
+    import math
+
+    spark = df.sparkSession
+    if dims is None:
+        first = df.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot train centroids on an empty frame")
+        dims = len(first[0])
+
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .collect()
+    )
+    # centroids as exact integer micros (the canonical representation)
+    cents: list[list[int]] = [
+        [int(math.floor(float(x) * 1e6)) for x in row.v] for row in seeds
+    ]
+
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    micro_sums = [
+        F.sum(
+            F.floor(F.element_at(F.col("v"), i).cast("double") * F.lit(1e6))
+        ).alias(f"s{i}")
+        for i in range(1, dims + 1)
+    ]
+    for _ in range(iters):
+        affs = []
+        for j, cm in enumerate(cents):
+            cvec = [m / 1e6 for m in cm]
+            cnorm = math.sqrt(_seq_sq_sum(cvec))
+            aff = F.round(
+                _dot(F.col("v"), F.array(*[F.lit(x) for x in cvec]))
+                / (_norm(F.col("v")) * F.lit(cnorm)),
+                6,
+            )
+            affs.append(F.struct(aff.alias("aff"), F.lit(-j).alias("nc")))
+        best = affs[0] if len(affs) == 1 else F.greatest(*affs)
+        assigned = src.withColumn("cell", -best["nc"])
+        stats = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("cnt"), *micro_sums)
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep previous
+        for row in stats:
+            new_cents[row.cell] = [
+                int(math.floor(row[f"s{i}"] * 1.0 / row.cnt))
+                for i in range(1, dims + 1)
+            ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+
+    return spark.createDataFrame(
+        [(j, [m / 1e6 for m in cm]) for j, cm in enumerate(cents)],
+        schema=f"{id_col} int, {vec_col} array<double>",
+    )
+
+
+def _seq_sq_sum(xs: list[float]) -> float:
+    """Left-to-right sum of squares — the same IEEE fold order as the SQL
+    list_sum the oracle uses, so the literal centroid norm matches it."""
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    return acc
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -369,3 +369,135 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         nprobe=NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-trained IVF: deterministic k-means codebook, then the same probe path
+# ---------------------------------------------------------------------------
+
+KM_ITERS = 3
+
+#: integer-micro quantization of an embedding (exact, associative sums)
+_SQL_KM_MICRO = (
+    "[CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) "
+    f"for i in range(1, {DIMS + 1})]"
+)
+#: micro-centroid back to double, elementwise
+_SQL_KM_DEQUANT = f"[cm[i] / 1000000.0 for i in range(1, {DIMS + 1})]"
+
+
+def _sql_kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as a CTE chain (no recursion needed —
+    `iters` is a fixed small constant). Mirrors
+    operators/similarity.train_ivf_centroids step for step: md5-ordered
+    seeds, 6-decimal cosine assignment with lowest-cell ties, exact
+    integer-micro sums, floor(sum * 1.0 / count) means, empty cells
+    carrying the previous centroid."""
+    ctes = [
+        f"""cent0 AS (
+      SELECT cell, cm FROM (
+        SELECT row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               {_SQL_KM_MICRO} AS cm
+        FROM embeddings
+      ) WHERE cell < {k}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""assign{t} AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY round(({_SQL_IVF_DOT}) / ({_SQL_IVF_VNORM} * {_SQL_IVF_CNORM}), 6) DESC,
+                          c.cell ASC) AS r
+        FROM (SELECT vec_id, embedding AS v FROM embeddings) s
+        CROSS JOIN (SELECT cell, {_SQL_KM_DEQUANT} AS centroid FROM cent{t - 1}) c
+      ) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{t} AS (
+      SELECT a.cell, d.i, count(*) AS cnt,
+             sum(CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s
+      FROM assign{t} a
+      JOIN embeddings e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {DIMS + 1})) AS i) d
+      GROUP BY a.cell, d.i
+    )"""
+        )
+        ctes.append(
+            f"""cent{t} AS (
+      SELECT cell, list(CAST(FLOOR(s * 1.0 / cnt) AS BIGINT) ORDER BY i) AS cm
+      FROM sums{t} GROUP BY cell
+      UNION ALL
+      SELECT p.cell, p.cm FROM cent{t - 1} p
+      WHERE p.cell NOT IN (SELECT DISTINCT cell FROM sums{t})
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _sql_trained_cells(source_filter: str, nprobe: int, iters: int) -> str:
+    return f"""
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY round(({_SQL_IVF_DOT}) / ({_SQL_IVF_VNORM} * {_SQL_IVF_CNORM}), 6) DESC,
+                          c.cell ASC) AS r
+        FROM (SELECT vec_id, embedding AS v FROM embeddings {source_filter}) s
+        CROSS JOIN (SELECT cell, {_SQL_KM_DEQUANT} AS centroid FROM cent{iters}) c
+      ) WHERE r <= {nprobe}
+    """
+
+
+@register(
+    "ann_ivf_trained_topk",
+    f"""
+    WITH {_sql_kmeans_ctes(N_CENTROIDS, KM_ITERS)},
+    corpus_cells AS ({_sql_trained_cells("", 1, KM_ITERS)}),
+    query_cells AS ({_sql_trained_cells(f"WHERE vec_id < {N_QUERIES}", NPROBE, KM_ITERS)}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM corpus_cells c JOIN query_cells q USING (cell)
+      WHERE c.vec_id != q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = neighbor_id
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained IVF-flat ANN: the codebook comes from deterministic
+    k-means (operators/similarity.train_ivf_centroids — md5-seeded init,
+    integer-micro Lloyd updates), then the standard home-cell index /
+    nprobe probe / exact re-rank. The oracle replays the identical
+    training arithmetic as unrolled SQL CTEs, so even the learned
+    centroids hash-match across engines."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(
+        emb, k=N_CENTROIDS, iters=KM_ITERS, dims=DIMS
+    )
+    return cosine_topk_ivf(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        centroids,
+        k=TOP_K,
+        nprobe=NPROBE,
+    )

@@ -442,3 +442,73 @@ def test_png_interlaced_rejected():
     )
     with _pytest.raises(NotImplementedError, match="interlaced"):
         decode_png(png)
+
+
+def test_train_ivf_centroids_recovers_clusters(spark):
+    """Three well-separated directions; k=3 k-means must land one centroid
+    per direction and assign deterministically."""
+    from radar_output_restructure_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    base = {0: [10.0, 0.0, 0.0, 1.0], 1: [0.0, 10.0, 0.0, 1.0], 2: [0.0, 0.0, 10.0, 1.0]}
+    rows = [
+        (i, [v + ((i * 7 + d) % 3) * 0.1 for d, v in enumerate(base[i % 3])])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, k=3, iters=5, dims=4)
+    got = {r.vec_id: r.embedding for r in cents.collect()}
+    assert sorted(got) == [0, 1, 2]
+    # each centroid points overwhelmingly along exactly one axis
+    axes = sorted(max(range(3), key=lambda d: c[d]) for c in got.values())
+    assert axes == [0, 1, 2]
+    for c in got.values():
+        dominant = max(c[:3])
+        assert dominant > 9.0 and sum(x > 5.0 for x in c[:3]) == 1
+        # micro quantization: every coordinate is an exact micro multiple
+        for x in c:
+            assert abs(x * 1e6 - round(x * 1e6)) < 1e-6
+
+
+def test_train_ivf_centroids_deterministic(spark):
+    from radar_output_restructure_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    import math
+
+    rows = [
+        (i, [math.sin(i * 13.7 + d) for d in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, (r.embedding for r in train_ivf_centroids(df, k=4, iters=3).collect())))
+    b = sorted(
+        map(
+            tuple,
+            (
+                r.embedding
+                for r in train_ivf_centroids(
+                    df.repartition(7), k=4, iters=3
+                ).collect()
+            ),
+        )
+    )
+    assert a == b  # bit-identical across partitionings
+
+
+def test_train_ivf_centroids_empty_cell_keeps_seed(spark):
+    """k greater than the number of distinct directions: starved cells must
+    keep their seed centroid instead of collapsing to zeros/NaN."""
+    from radar_output_restructure_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(10)] + [(100, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, k=4, iters=3, dims=2)
+    out = cents.collect()
+    assert len(out) == 4
+    for r in out:
+        assert all(x == x for x in r.embedding)  # no NaN
+        assert any(abs(x) > 1e-9 for x in r.embedding)  # no zero collapse
