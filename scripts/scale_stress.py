@@ -1,0 +1,257 @@
+#!/usr/bin/env python
+"""Scale stress self-test (VERDICT r2 item 2): tile the documents/embeddings
+tables Nx (default 10x), run the heaviest dedup/ANN queries at base and tiled
+scale, and check that (a) the physical plan SHAPE is identical — no new
+shuffles/joins appear with data volume — and (b) runtime grows near-linearly.
+
+Tiling is decorrelated so the WORKLOAD scales linearly by construction and
+any nonlinearity we measure is the engine's, not the data's:
+
+* documents: every token in tile t>0 gets a `~t` suffix — tiles share no
+  shingles/grams, so pair-finding output is exactly N x the base corpus's.
+* embeddings: tile t>0 flips coordinate signs by a deterministic per-tile
+  pattern. Sign flips preserve WITHIN-tile pairwise cosines exactly (the
+  sign squares away in a . b) while making CROSS-tile cosines behave like
+  random vectors, so near-dup output is exactly N x the base corpus's.
+
+Fixed-parameter LSH is the known exception: bucket occupancy grows with the
+corpus at fixed bit-width, so candidate pairs grow quadratically. The right
+operating rule at scale is bits ~ log2(n); `--lever` demonstrates it by
+re-running the embedding near-dup operator with log2(N) extra planes and
+showing the runtime drop. SCALE.md records all of it.
+
+Usage: python scripts/scale_stress.py [--tiles 10] [--base /root/testdata/sf0.1]
+           [--runs 2] [--md SCALE.md] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.explain_audit import audit  # noqa: E402
+
+HEAVY = [
+    "dedup_clusters_docs",
+    "minhash_lsh_pairs_docs",
+    "char_ngram_jaccard_docs",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+]
+
+ID_STRIDE = 10_000_000
+DIMS = 64
+
+
+def build_synth(base: str, tiles: int, out_dir: str) -> None:
+    """Tile documents/embeddings into `out_dir` (idempotent per (base, N))."""
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE tile AS SELECT unnest(range({tiles})) AS t")
+
+    docs_out = os.path.join(out_dir, "documents.parquet")
+    if not os.path.exists(docs_out):
+        con.execute(
+            f"""
+            COPY (
+              SELECT d.doc_id + t.t * {ID_STRIDE} AS doc_id,
+                     CASE WHEN t.t = 0 THEN d.text
+                          ELSE regexp_replace(d.text, '(\\S+)',
+                                              '\\1~' || CAST(t.t AS VARCHAR), 'g')
+                     END AS text,
+                     d.lang, d.source,
+                     CASE WHEN t.t = 0 THEN d.n_chars
+                          ELSE length(regexp_replace(d.text, '(\\S+)',
+                                      '\\1~' || CAST(t.t AS VARCHAR), 'g'))
+                     END AS n_chars
+              FROM '{base}/documents.parquet' d CROSS JOIN tile t
+            ) TO '{docs_out}' (FORMAT PARQUET)
+            """
+        )
+    emb_out = os.path.join(out_dir, "embeddings.parquet")
+    if not os.path.exists(emb_out):
+        flip = (
+            "[CAST(CASE WHEN t.t = 0 OR ((t.t * 31 + i * 7) % 2) = 0 "
+            "THEN e.embedding[i] ELSE -e.embedding[i] END AS FLOAT) "
+            f"for i in range(1, {DIMS + 1})]"
+        )
+        con.execute(
+            f"""
+            COPY (
+              SELECT e.vec_id + t.t * {ID_STRIDE} AS vec_id,
+                     {flip} AS embedding,
+                     e.label
+              FROM '{base}/embeddings.parquet' e CROSS JOIN tile t
+            ) TO '{emb_out}' (FORMAT PARQUET)
+            """
+        )
+
+
+def plan_shape(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    stats = audit(buf.getvalue())
+    stats.pop("pushed_filters", None)  # literal-bound filters may differ
+    return stats
+
+
+def timed(build, runs: int) -> float:
+    """Time plan construction AND execution (several heavy queries do real
+    driver-side work — candidate collects, k-means training — while the
+    DataFrame is being built; bench.py times the same span)."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=None)
+    ap.add_argument("--tiles", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="samples per point, min kept (first run pays "
+                         "JIT/codegen for wide plans — 3 reaches steady state)")
+    ap.add_argument("--md", default=None)
+    ap.add_argument("--lever", action="store_true",
+                    help="demonstrate the bits~log2(n) LSH lever at tiled scale")
+    args = ap.parse_args()
+    names = args.queries or HEAVY
+
+    synth_dir = f"/tmp/spark_graft_synth{args.tiles}"
+    build_synth(args.base, args.tiles, synth_dir)
+
+    import __spark_entry__ as entry_mod
+    from radar_output_restructure_spark import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entry_mod.queries()
+
+    rows = []
+    for name in names:
+        fn = registry[name]
+        shape_b = plan_shape(fn(spark, args.base))
+        shape_s = plan_shape(fn(spark, synth_dir))
+        t_b = timed(lambda: fn(spark, args.base), args.runs)
+        t_s = timed(lambda: fn(spark, synth_dir), args.runs)
+        ratio = t_s / t_b
+        rows.append({
+            "query": name,
+            "base_sec": round(t_b, 2),
+            "tiled_sec": round(t_s, 2),
+            "ratio": round(ratio, 2),
+            "per_tile": round(ratio / args.tiles, 2),
+            "plan_delta": {
+                k: (shape_b.get(k, 0), shape_s.get(k, 0))
+                for k in sorted(set(shape_b) | set(shape_s))
+                if shape_b.get(k, 0) != shape_s.get(k, 0)
+            },
+        })
+        print(json.dumps(rows[-1]))
+
+    lever = None
+    if args.lever:
+        from pyspark.sql import functions as F
+
+        from radar_output_restructure_spark.operators.similarity import (
+            _norm,
+            hyperplane_lsh_buckets,
+        )
+        from radar_output_restructure_spark.queries_sim import NUM_TABLES
+        from radar_output_restructure_spark.sources.tables import load_table
+
+        import math
+
+        extra = max(1, round(math.log2(args.tiles)))
+
+        def near_dup(sf_dir: str, planes: int):
+            emb = load_table(spark, sf_dir, "embeddings")
+            cb = hyperplane_lsh_buckets(
+                emb, num_planes=planes, num_tables=NUM_TABLES
+            )
+            cand = (
+                cb.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+                .join(cb.select(F.col("vec_id").alias("vec_b"), "table", "bucket"),
+                      ["table", "bucket"])
+                .filter(F.col("vec_a") < F.col("vec_b"))
+                .select("vec_a", "vec_b").distinct()
+            )
+            a = emb.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("qv"),
+                           _norm(F.col("embedding")).alias("na"))
+            b = emb.select(F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("cv"),
+                           _norm(F.col("embedding")).alias("nb"))
+            from radar_output_restructure_spark.operators.similarity import _dot
+            return (cand.join(a, "vec_a").join(b, "vec_b")
+                    .select("vec_a", "vec_b",
+                            (F.round(_dot(F.col("qv"), F.col("cv"))
+                                     / (F.col("na") * F.col("nb")), 6)).alias("sim"))
+                    .filter(F.col("sim") >= 0.98))
+
+        t_fixed = timed(lambda: near_dup(synth_dir, 4), args.runs)
+        t_scaled = timed(lambda: near_dup(synth_dir, 4 + extra), args.runs)
+        lever = {"planes_fixed": 4, "planes_scaled": 4 + extra,
+                 "tiled_sec_fixed": round(t_fixed, 2),
+                 "tiled_sec_scaled": round(t_scaled, 2),
+                 "speedup": round(t_fixed / t_scaled, 2)}
+        print(json.dumps({"lsh_lever": lever}))
+
+    if args.md:
+        with open(args.md, "w") as fh:
+            fh.write("# Scale stress (generated by scripts/scale_stress.py)\n\n")
+            fh.write(
+                f"Heaviest dedup/ANN queries at {args.base} vs a {args.tiles}x "
+                "decorrelated tiling\n(documents: per-tile token suffix; "
+                "embeddings: per-tile sign pattern — within-tile\nresults "
+                "identical, cross-tile independent, so the workload itself is "
+                "linear in N;\nsee the script docstring). `plan delta` lists "
+                "physical operators whose count\nchanges with data volume — "
+                "empty means the plan shape is scale-invariant.\n\n"
+            )
+            fh.write(f"local[{cpus}], best of {args.runs} runs per point.\n\n")
+            fh.write("| query | base s | tiled s | ratio | ratio/N | plan delta |\n")
+            fh.write("|---|---|---|---|---|---|\n")
+            for r in rows:
+                delta = ", ".join(
+                    f"{k}:{a}->{b}" for k, (a, b) in r["plan_delta"].items()
+                ) or "none"
+                fh.write(
+                    f"| {r['query']} | {r['base_sec']} | {r['tiled_sec']} | "
+                    f"x{r['ratio']} | x{r['per_tile']} | {delta} |\n"
+                )
+            if lever:
+                fh.write(
+                    "\n## Fixed-parameter LSH and the log2(n) lever\n\n"
+                    "`embedding_near_dup_pairs` uses 4 hyperplanes (16 buckets/"
+                    "table): at fixed\nbit-width, bucket occupancy grows with "
+                    "the corpus and candidate pairs grow\nquadratically. The "
+                    "operating rule at scale is planes ~ log2(n):\n\n"
+                    f"| planes | tiled s |\n|---|---|\n"
+                    f"| {lever['planes_fixed']} (fixed) | {lever['tiled_sec_fixed']} |\n"
+                    f"| {lever['planes_scaled']} (scaled with log2 N) | "
+                    f"{lever['tiled_sec_scaled']} |\n\n"
+                    f"Speedup x{lever['speedup']} from re-sizing buckets alone — "
+                    "no code change, the\noperator takes `num_planes` as a "
+                    "parameter.\n"
+                )
+        print(f"wrote {args.md}")
+
+
+if __name__ == "__main__":
+    main()

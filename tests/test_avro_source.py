@@ -232,3 +232,38 @@ def test_empty_avro_container(spark, tmp_path):
     df = read_topic_tree(spark, input_dir, topic="status", file_format="avro")
     rows = df.collect()
     assert len(rows) == 1 and rows[0].offset_from == 6
+
+
+def test_native_avro_parity_with_python_codec(spark, tmp_path):
+    """On a real cluster the spark-avro DataSource jar is the performance
+    path (sources/kafka_tree.py prefers it via has_native_avro); this
+    container has no jar, so the pure-Python codec is the only path pytest
+    normally exercises. When the jar IS present, the two readers must agree
+    row for row on the same container file — skip-marked off the capability
+    probe so the assertion runs wherever the jar exists."""
+    from radar_output_restructure_spark.sources.kafka_tree import (
+        has_native_avro,
+    )
+
+    input_dir = str(tmp_path / "in")
+    path = _write_avro_fixture(
+        input_dir, "status",
+        [_status_rec("p1", "u1", 1580219820.5, "CONNECTED", "10.0.0.1"),
+         _status_rec(None, "u2", 1580219821.0, None),
+         _status_rec("p2", "u3", 1580219822.25, "DISCONNECTED")],
+        0, 0, 2,
+    )
+    if not has_native_avro(spark):
+        pytest.skip(
+            "spark-avro jar not on classpath (jar-less container); "
+            "native/python parity runs on real clusters"
+        )
+    native = sorted(
+        spark.read.format("avro").load(path).collect(),
+        key=lambda r: r.value.time,
+    )
+    _schema, records = avro_io.read_container(path)
+    records.sort(key=lambda r: r["value"]["time"])
+    assert len(native) == len(records) == 3
+    for nrow, rec in zip(native, records):
+        assert nrow.asDict(recursive=True) == rec
