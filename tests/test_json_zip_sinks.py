@@ -162,6 +162,37 @@ def test_hadoop_target_storage_roundtrip(spark, tmp_path):
     assert st.walk_files(root) == []
 
 
+def test_hadoop_storage_streaming_writer_and_error_discard(spark, tmp_path):
+    """store_atomic_writer on the Hadoop backend (file:// = the rename-atomic
+    branch): streamed chunks publish atomically; an exception mid-write
+    leaves the previous content intact and no tmp litter. Completes the
+    backend matrix next to the Local and S3 variants of this test."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from radar_output_restructure_spark.sinks.storage import HadoopTargetStorage
+
+    st = HadoopTargetStorage(spark)
+    root = str(tmp_path / "hstream")
+    st.makedirs(root)
+    p = root + "/f.bin"
+    with st.store_atomic_writer(p) as fh:
+        fh.write(b"part1-")
+        fh.write(b"part2")
+    assert st.read(p) == b"part1-part2"
+    # chunked read round-trip
+    assert b"".join(st.open_read_chunks(p, 4)) == b"part1-part2"
+    with _pytest.raises(RuntimeError):
+        with st.store_atomic_writer(p) as fh:
+            fh.write(b"partial")
+            raise RuntimeError("mid-write crash")
+    assert st.read(p) == b"part1-part2"
+    # no tmp litter (Hadoop's local FS adds .crc checksum sidecars — fine)
+    visible = [n for n in _os.listdir(root) if not n.startswith(".")]
+    assert visible == ["f.bin"]
+
+
 def test_write_output_tree_with_hadoop_storage(spark, tmp_path):
     """The native-writer finalize runs through a driver-side Hadoop storage
     backend (the object-store path, exercised here on file://)."""
