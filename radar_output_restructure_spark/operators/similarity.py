@@ -143,6 +143,24 @@ def hyperplane_lsh_buckets(
     )
 
 
+def auto_num_planes(
+    n_vectors: int, target_bucket: int = 64, min_planes: int = 4
+) -> int:
+    """The planes ~ log2(n) operating rule as a function: enough hyperplane
+    bits that the EXPECTED bucket occupancy is ~`target_bucket`, never fewer
+    than `min_planes`. Candidate-pair work per table is sum(bucket^2)/2, so
+    holding occupancy constant keeps the bucket join LINEAR in corpus size;
+    fixed bits make it quadratic (measured 50x at a 10x tiling — SCALE.md).
+    Callers pass a cheap corpus-count estimate; recall lost to narrower
+    buckets is recovered with more tables (`num_tables`), which scales
+    linearly, not quadratically."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return min_planes
+    return max(min_planes, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -512,3 +512,19 @@ def test_train_ivf_centroids_empty_cell_keeps_seed(spark):
     for r in out:
         assert all(x == x for x in r.embedding)  # no NaN
         assert any(abs(x) > 1e-9 for x in r.embedding)  # no zero collapse
+
+
+def test_auto_num_planes_holds_occupancy():
+    from radar_output_restructure_spark.operators.similarity import (
+        auto_num_planes,
+    )
+
+    assert auto_num_planes(0) == 4
+    assert auto_num_planes(64) == 4  # fits one target bucket
+    assert auto_num_planes(2_000) == 5  # 2000/64 -> ceil(log2(31.2))
+    assert auto_num_planes(20_000) == 9
+    assert auto_num_planes(2_000_000) == 15
+    # occupancy stays within [target/2, target] as n grows
+    for n in (10**4, 10**6, 10**9):
+        b = auto_num_planes(n)
+        assert 32 <= n / (2**b) <= 64
