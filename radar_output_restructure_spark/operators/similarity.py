@@ -20,6 +20,8 @@ to 6 decimals with vec_id tiebreak to stay deterministic anyway.
 
 from __future__ import annotations
 
+from math import sqrt as math_sqrt
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,32 +217,81 @@ def ivf_cells(
     nprobe: int = 1,
 ) -> DataFrame:
     """(vec_id, cell, cell_rank): the `nprobe` nearest coarse cells per
-    vector, ranked by cosine to the (broadcast) centroid set.
+    vector, ranked by cosine to the centroid set.
 
     The IVF coarse quantizer: corpus vectors index with nprobe=1 (their one
     home cell); queries probe several. Determinism: cosine rounded to 6
-    decimals, centroid id breaks ties. At scale the corpus assignment is a
-    map-only broadcast loop written once and bucket-partitioned on disk by
-    `cell`, so probing reads only the matching buckets.
+    decimals, centroid id breaks ties.
+
+    MAP-ONLY by construction: a codebook is driver-small by definition
+    (k vectors — the same object every ANN system broadcasts), so it is
+    collected once and enters the plan as literal arrays. Ranking is
+    array_sort over the k (affinity, cell) structs + slice(nprobe) +
+    posexplode inside the projection — no crossJoin row blowup, no
+    corpus-wide shuffle, no Window sort. The previous formulation
+    (broadcast crossJoin + row_number window) shuffled corpus x k rows on
+    vec_id just to rank k values per vector; at 100 TB that shuffle IS the
+    job. Cells are then bucket-partitioned on disk so probes read only the
+    matching buckets.
     """
-    c = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+    cent_rows = sorted(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+        ).collect(),
+        key=lambda r: r.cell,
     )
-    scored = (
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(c))
-        .select(
-            "vec_id",
-            "cell",
-            F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("aff"),
-        )
+    cell_type = centroids.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__vn"),  # vector norm computed ONCE
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("vec_id", "cell", "cell_rank")
+    ranked = _codebook_ranked_cells(
+        F.col("__v"),
+        F.col("__vn"),
+        [[float(x) for x in row.centroid] for row in cent_rows],
+        [row.cell for row in cent_rows],
+        cell_type,
     )
+    top = F.slice(ranked, 1, nprobe)
+    return src.select("vec_id", F.posexplode(top)).select(
+        "vec_id",
+        F.col("col.cell").alias("cell"),
+        (F.col("pos") + 1).alias("cell_rank"),
+    )
+
+
+def _codebook_ranked_cells(
+    vec: Column, vnorm: Column, cents: list[list[float]], cells: list,
+    cell_type: str,
+) -> Column:
+    """array<struct(na, cell)> sorted by (cosine affinity DESC, cell ASC) —
+    the shared ranking core of `ivf_cells` and the k-means assignment.
+
+    The whole codebook enters the plan as THREE literal nodes (a nested
+    array, the norms, the cell ids) — not k*dims scalar literals, which
+    bloat analysis/optimization time linearly in the codebook size. The
+    ascending struct sort realizes the descending-affinity order via the
+    negated affinity `na` in the first field."""
+    cent_lit = F.lit(cents).cast("array<array<double>>")
+    norm_lit = F.lit([math_sqrt(_seq_sq_sum(c)) for c in cents]).cast(
+        "array<double>"
+    )
+    cell_lit = F.lit(cells).cast(f"array<{cell_type}>")
+    entries = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            (
+                -F.round(
+                    _dot(vec, F.element_at(cent_lit, i))
+                    / (vnorm * F.element_at(norm_lit, i)),
+                    6,
+                )
+            ).alias("na"),
+            F.element_at(cell_lit, i).alias("cell"),
+        ),
+    )
+    return F.array_sort(entries)
 
 
 def train_ivf_centroids(
@@ -261,9 +312,9 @@ def train_ivf_centroids(
       deterministic id-hash sampler (operators/curation.py uses the same
       trick), standing in for random seeding; cell = rank in that order.
     * assign — cosine affinity to each centroid rounded to 6 decimals,
-      ties to the lowest cell. Map-only: centroids enter the plan as
-      literal arrays (k * dims literals — fine to k ~ 64; at large k
-      switch to a broadcast table + max_by, same semantics).
+      ties to the lowest cell. Map-only: the codebook enters the plan as
+      three packed literal nodes (`_codebook_ranked_cells`), so expression
+      size is O(1) in k and no shuffle/window touches the corpus.
     * update — per-dimension sums of floor(value * 1e6) as LONGS: integer
       addition is associative, so partial aggregation order cannot change
       the result. New centroid micro = floor(sum * 1.0 / count) evaluated
@@ -303,7 +354,11 @@ def train_ivf_centroids(
         [int(math.floor(float(x) * 1e6)) for x in row.v] for row in seeds
     ]
 
-    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    src = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("__vn"),
+    )
     micro_sums = [
         F.sum(
             F.floor(F.element_at(F.col("v"), i).cast("double") * F.lit(1e6))
@@ -311,18 +366,14 @@ def train_ivf_centroids(
         for i in range(1, dims + 1)
     ]
     for _ in range(iters):
-        affs = []
-        for j, cm in enumerate(cents):
-            cvec = [m / 1e6 for m in cm]
-            cnorm = math.sqrt(_seq_sq_sum(cvec))
-            aff = F.round(
-                _dot(F.col("v"), F.array(*[F.lit(x) for x in cvec]))
-                / (_norm(F.col("v")) * F.lit(cnorm)),
-                6,
-            )
-            affs.append(F.struct(aff.alias("aff"), F.lit(-j).alias("nc")))
-        best = affs[0] if len(affs) == 1 else F.greatest(*affs)
-        assigned = src.withColumn("cell", -best["nc"])
+        ranked = _codebook_ranked_cells(
+            F.col("v"),
+            F.col("__vn"),
+            [[m / 1e6 for m in cm] for cm in cents],
+            list(range(len(cents))),
+            "int",
+        )
+        assigned = src.withColumn("cell", F.element_at(ranked, 1)["cell"])
         stats = (
             assigned.groupBy("cell")
             .agg(F.count(F.lit(1)).alias("cnt"), *micro_sums)
