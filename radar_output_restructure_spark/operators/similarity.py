@@ -116,33 +116,45 @@ def hyperplane_lsh_buckets(
     a ~0.4-cosine neighbor colliding with p per table is found with
     1-(1-p)^L overall. Table t uses planes [t*b, (t+1)*b).
 
-    The planes live in a tiny broadcast dimension table (one row per plane,
-    weights as an array) rather than unrolled literal expressions — keeps
-    the generated code inside the JVM's 64 KB method limit and the whole
-    computation in whole-stage codegen. vectors x planes is a map-side
-    broadcast nested loop; the bucket assembly is one partially-aggregated
-    groupBy per (vec, table).
+    The planes live in one packed nested-array literal rather than unrolled
+    scalar expressions (keeps the expression tree O(1) in planes x dims and
+    inside the JVM's 64 KB method limit); buckets assemble per row with
+    higher-order folds, so the operator is a pure projection.
     """
-    spark = df.sparkSession
-    plane_rows = [
-        (t, i, [float(_plane_weight(t * num_planes + i, d)) for d in range(dims)])
-        for t in range(num_tables)
-        for i in range(num_planes)
-    ]
-    planes = spark.createDataFrame(
-        plane_rows, schema="tbl int, plane int, w array<double>"
+    # The plane set is a constant: pack it as ONE nested literal
+    # (tables x planes x dims) and assemble each table's bucket per row with
+    # a Horner fold over the sign bits (msb-first: acc*2 + bit). MAP-ONLY —
+    # the previous broadcast-crossJoin + groupBy(vec, table) formulation
+    # shuffled corpus x tables rows just to sum bits that were computed in
+    # the same input partition; at 100 TB that shuffle was the whole cost
+    # of bucketing.
+    plane_lit = F.lit(
+        [
+            [
+                [float(_plane_weight(t * num_planes + i, d)) for d in range(dims)]
+                for i in range(num_planes)
+            ]
+            for t in range(num_tables)
+        ]
+    ).cast("array<array<array<double>>>")
+    v = F.col(vec_col)
+    entries = F.transform(
+        F.sequence(F.lit(1), F.lit(num_tables)),
+        lambda t: F.struct(
+            (t - 1).cast("int").alias("table"),
+            F.aggregate(
+                F.sequence(F.lit(num_planes), F.lit(1), F.lit(-1)),
+                F.lit(0),
+                lambda acc, i: acc * 2
+                + F.when(
+                    _dot(v, F.element_at(F.element_at(plane_lit, t), i))
+                    > 0,
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            ).cast("int").alias("bucket"),
+        ),
     )
-    proj = _dot(F.col(vec_col), F.col("w"))  # lambda form: tiny plane table, compile cost dominates
-    return (
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-        .crossJoin(F.broadcast(planes))
-        .withColumn(
-            "bit",
-            F.when(proj > 0, F.expr("shiftleft(1, plane)")).otherwise(F.lit(0)),
-        )
-        .groupBy("vec_id", F.col("tbl").alias("table"))
-        .agg(F.sum("bit").cast("int").alias("bucket"))
-    )
+    return df.select(F.col(id_col).alias("vec_id"), F.inline(entries))
 
 
 def auto_num_planes(
