@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     # round-3 additions
     "ann_ivf_trained_topk",
+    "doc_contamination",
+    "doc_repetition",
 ]
 
 

@@ -42,6 +42,130 @@ def stratified_sample(
     return df.filter(bucket_hash < rate)
 
 
+def contamination_scores(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct word k-grams that also occur anywhere in the eval set.
+
+    (id, n_grams, n_contaminated, contamination) for EVERY corpus document
+    (gram-less docs score 0.0). Filter on `contamination` to drop train
+    documents that leak evaluation data — the standard n-gram-overlap
+    decontamination pass every LLM data pipeline runs before training.
+
+    Scale design: the eval set is benchmark-sized (thousands of documents),
+    so its distinct-gram table broadcasts; corpus grams mark hits with a
+    broadcast LEFT join (map-side) and ONE map-side-combined groupBy(doc)
+    produces the counts — a single one-row-per-document shuffle, the same
+    budget as minhash_wide. No corpus-vs-corpus join exists anywhere.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        _exploded_shingles,
+    )
+
+    eval_grams = (
+        _exploded_shingles(eval_df, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ex = _exploded_shingles(corpus, text_col, id_col, k)
+    scored = (
+        ex.join(F.broadcast(eval_grams), "shingle", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    ids = corpus.select(F.col(id_col))
+    out = ids.join(scored, ids[id_col] == scored["doc"], "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_contaminated") * F.lit(1.0) / F.col("n_grams"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination"),
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's word
+    k-grams taken by its single most frequent k-gram (duplicates counted).
+
+    (id, n_grams, top_gram_count, repetition); repetitive boilerplate
+    (loops, lists, templated spam) scores high and is filtered on
+    `repetition`. MAP-ONLY: the gram array sorts per row and a higher-order
+    fold finds the longest equal-run — no explode, no shuffle, nothing
+    leaves the row. The exploded groupBy formulation this replaces is kept
+    in the oracle as the cross-engine reference semantics.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    words = F.col("__words")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest equal-run of the sorted gram array == max multiplicity
+    run = F.aggregate(
+        F.array_sort(F.col("__grams")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["cur"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    staged = df.select(
+        F.col(id_col), split_words(text_col).alias("__words")
+    ).select(F.col(id_col), grams.alias("__grams"))
+    return staged.select(
+        F.col(id_col),
+        F.size("__grams").cast("bigint").alias("n_grams"),
+        run.cast("bigint").alias("top_gram_count"),
+        F.when(
+            F.size("__grams") > 0,
+            F.round(run * F.lit(1.0) / F.size("__grams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
 def near_dup_survivors(
     df: DataFrame,
     clusters: DataFrame,

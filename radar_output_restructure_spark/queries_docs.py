@@ -349,6 +349,88 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, _SAMPLE_RATES).select("doc_id", "lang")
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination + repetition (Gopher-rule) filters
+# ---------------------------------------------------------------------------
+
+EVAL_SET_MAX_ID = 50  # documents standing in for a benchmark/eval corpus
+
+
+@register(
+    "doc_contamination",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    eg AS (SELECT DISTINCT shingle FROM sh WHERE doc < {EVAL_SET_MAX_ID}),
+    sc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN eg.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM sh LEFT JOIN eg USING (shingle)
+      GROUP BY doc
+    )
+    SELECT d.doc_id,
+           coalesce(sc.n_grams, 0) AS n_grams,
+           coalesce(sc.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN coalesce(sc.n_grams, 0) > 0
+                THEN round(sc.n_contaminated * 1.0 / sc.n_grams, 6)
+                ELSE 0.0 END AS contamination
+    FROM documents d LEFT JOIN sc ON sc.doc = d.doc_id
+    """,
+)
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination: fraction of each document's distinct
+    word trigrams that appear in the (broadcast-small) eval set — the
+    standard pre-training leak check. One map-side-combined groupBy(doc);
+    no corpus-vs-corpus join (operators/curation.contamination_scores)."""
+    from radar_output_restructure_spark.operators.curation import (
+        contamination_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return contamination_scores(
+        docs, docs.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+    )
+
+
+@register(
+    "doc_repetition",
+    r"""
+    WITH g AS (
+      SELECT doc_id AS doc, s AS gram
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS words
+            FROM documents) w,
+           unnest([array_to_string(words[i:i+1], ' ')
+                   for i in range(1, len(words))]) AS t(s)
+    ),
+    c AS (SELECT doc, gram, count(*) AS n FROM g GROUP BY doc, gram),
+    s AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc),
+    m AS (SELECT doc, CAST(max(n) AS BIGINT) AS top_gram_count
+          FROM c GROUP BY doc)
+    SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(m.top_gram_count, 0) AS top_gram_count,
+           CASE WHEN coalesce(s.n_grams, 0) > 0
+                THEN round(m.top_gram_count * 1.0 / s.n_grams, 6)
+                ELSE 0.0 END AS repetition
+    FROM documents d
+    LEFT JOIN s ON s.doc = d.doc_id
+    LEFT JOIN m ON m.doc = d.doc_id
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: share of a document's word bigrams
+    taken by its most frequent bigram. MAP-ONLY in Spark (per-row sort +
+    longest-equal-run fold — nothing leaves the row); the oracle states the
+    same semantics as the classic exploded groupBy
+    (operators/curation.repetition_scores)."""
+    from radar_output_restructure_spark.operators.curation import (
+        repetition_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return repetition_scores(docs)
+
+
 @register(
     "doc_pack_chunks",
     f"""

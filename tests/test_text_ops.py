@@ -528,3 +528,48 @@ def test_auto_num_planes_holds_occupancy():
     for n in (10**4, 10**6, 10**9):
         b = auto_num_planes(n)
         assert 32 <= n / (2**b) <= 64
+
+
+def test_contamination_scores(spark):
+    from radar_output_restructure_spark.operators.curation import (
+        contamination_scores,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),   # = eval doc
+            Row(doc_id=2, text="the quick brown cat sits still"),  # partial
+            Row(doc_id=3, text="completely unrelated words entirely"),
+            Row(doc_id=4, text="tiny"),                        # no trigrams
+        ]
+    )
+    eval_df = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps high")]
+    )
+    out = {r.doc_id: r for r in contamination_scores(corpus, eval_df).collect()}
+    assert out[1].contamination == 1.0          # every trigram leaked
+    assert out[1].n_grams == 3 and out[1].n_contaminated == 3
+    # doc 2 shares exactly "the quick brown" of its 4 trigrams
+    assert out[2].n_contaminated == 1 and out[2].contamination == 0.25
+    assert out[3].contamination == 0.0
+    assert out[4].n_grams == 0 and out[4].contamination == 0.0
+
+
+def test_repetition_scores(spark):
+    from radar_output_restructure_spark.operators.curation import (
+        repetition_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="buy now buy now buy now"),  # bigram loop
+            Row(doc_id=2, text="all words here are unique tokens"),
+            Row(doc_id=3, text="one"),  # single word -> no bigrams
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_scores(df).collect()}
+    # "buy now" appears 3x of 5 bigrams
+    assert out[1].n_grams == 5 and out[1].top_gram_count == 3
+    assert out[1].repetition == 0.6
+    assert out[2].top_gram_count == 1 and out[2].repetition == 0.2
+    assert out[3].n_grams == 0 and out[3].repetition == 0.0
