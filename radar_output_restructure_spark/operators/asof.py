@@ -48,13 +48,23 @@ def asof_join(
     right_ts: str = "ts",
     tolerance_s: float | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join, backward (default) or forward.
+
+    backward: latest right row with rts <= lts (point-in-time features).
+    forward:  earliest right row with rts >= lts (next-event lookups —
+    pandas merge_asof(direction="forward") / DuckDB `ASOF ... ON l.ts <=
+    r.ts`). The forward plan is the same union-merge with the per-key
+    window walked in DESCENDING timestamp order, so the carried right row
+    is always the smallest rts >= lts — still one shuffle, no range join.
 
     Every column of `right` except the keys/timestamp joins the output as
-    `<prefix><name>`; the matched right timestamp is `<prefix>ts`. Rows with
-    no prior right row (or none within `tolerance_s`) get nulls.
+    `<prefix><name>`; the matched right timestamp is `<prefix>ts`. Rows
+    with no matching right row (or none within `tolerance_s`) get nulls.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in set(on) and c != right_ts]
 
@@ -89,9 +99,12 @@ def asof_join(
         for c in payload
         if not _contains_map(r.schema[f"__p_{c}"].dataType)
     ]
+    ts_order = (
+        F.col("__ts").desc() if direction == "forward" else F.col("__ts").asc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__side", *tiebreak)
+        .orderBy(ts_order, F.col("__side").asc(), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -105,10 +118,10 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     matched: Column = F.col("__m_ts").isNotNull()
     if tolerance_s is not None:
-        matched = matched & (
-            F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
-            <= int(tolerance_s * 1_000_000)
-        )
+        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
+        if direction == "forward":
+            gap = -gap
+        matched = matched & (gap <= int(tolerance_s * 1_000_000))
     result_cols = [F.col(c) for c in left.columns]
     result_cols.append(
         F.when(matched, F.col("__m_ts")).alias(f"{prefix}{right_ts}")

@@ -758,6 +758,32 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_next_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
+           r.ts AS asof_ts, r.value AS asof_value
+    FROM events l
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-inclusive as-of join: every event enriched with the user's
+    NEXT purchase at-or-after that moment (time-to-conversion features).
+    Same union-merge plan as the backward join, window walked in
+    descending timestamp order (operators/asof.py direction='forward')."""
+    from radar_output_restructure_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts", "event_type", "value")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right, on="user_id", direction="forward")
+
+
+@register(
     "rolling_1h_user_stats",
     """
     SELECT event_id, user_id, ts,

@@ -72,3 +72,33 @@ def test_right_timestamp_tie_is_deterministic(spark):
         right = spark.createDataFrame(rows).repartition(parts)
         got = asof_join(left, right, on="k").collect()[0]
         assert got.asof_v == 9.0, f"parts={parts}: {got}"
+
+
+def test_forward_inclusive_and_nulls(spark):
+    """direction='forward': earliest right row at-or-after each left ts;
+    rows with no later right row get nulls; keys stay isolated."""
+    left, right = _frames(spark)
+    out = {r.x: r for r in asof_join(left, right, on="k", direction="forward").collect()}
+    assert out[3].asof_v == 10.0       # 09:00 -> next right at 09:30
+    assert out[1].asof_v == 20.0       # 10:00 -> exact tie matches (inclusive)
+    assert out[2].asof_v is None       # 10:05 -> nothing after
+    assert out[4].asof_v is None       # b: right at 09:59 is BEFORE 10:00
+
+
+def test_forward_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r.x: r
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_s=600
+        ).collect()
+    }
+    assert out[3].asof_v is None       # next right is 1800 s away > 600
+    assert out[1].asof_v == 20.0       # 0 s gap
+
+def test_direction_validation(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="k", direction="nearest")

@@ -231,3 +231,40 @@ def test_reordered_fields_are_not_subschema(pair):
     reordered = T.StructType(list(reversed(sup.fields)))
     # reversal of >=2 distinct-name fields breaks the order-preserving rule
     assert not is_subschema(reordered, sup)
+
+
+# ---------------------------------------------------------------------------
+# PNG decoder: spec round-trip against a forward-filtering reference encoder
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),   # width
+    st.integers(min_value=1, max_value=12),   # height
+    st.sampled_from([1, 2, 3, 4]),            # channels (gray/GA/RGB/RGBA)
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+def test_png_decoder_roundtrip_property(w, h, channels, filters, seed):
+    """decode_png must invert every PNG filter combination the encoder can
+    emit: channel means of the decoded image equal the source pixels' for
+    arbitrary sizes, channel counts, per-row filter choices, and content."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import decode_png
+    from tests.test_text_ops import _make_png
+
+    px = np.random.RandomState(seed % (2**31)).randint(
+        0, 256, size=(h, w, channels), dtype=np.uint8
+    )
+    meta = decode_png(_make_png(px, channels, filters))
+    assert (meta["width"], meta["height"]) == (w, h)
+    if channels <= 2:
+        m = float(px[:, :, 0].mean())
+        expect = (m, m, m)
+    else:
+        mm = px[:, :, :3].reshape(-1, 3).mean(axis=0)
+        expect = (float(mm[0]), float(mm[1]), float(mm[2]))
+    got = (meta["mean_r"], meta["mean_g"], meta["mean_b"])
+    assert np.allclose(got, expect, atol=1e-5), (got, expect)
