@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "ann_ivf_trained_topk",
     "doc_contamination",
     "doc_repetition",
+    "doc_sliding_chunks",
+    "asof_next_purchase",
 ]
 
 

@@ -166,6 +166,50 @@ def repetition_scores(
     )
 
 
+def sliding_chunks(
+    df: DataFrame,
+    window_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking: (id, chunk_idx, n_tokens,
+    chunk_text) — fixed token windows advancing by `stride` (overlap =
+    window - stride), the standard shape for embedding/retrieval corpora
+    and long-document training samples. The final window is allowed short;
+    every token lands in at least one chunk when stride <= window.
+
+    MAP-ONLY: one split per document, chunk slices assembled with
+    higher-order functions and inline-exploded — no shuffle, no UDF; the
+    output row count is sum(ceil(max(n-W,0)/S)) + docs, known up front.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    if stride <= 0 or window_tokens <= 0:
+        raise ValueError("window_tokens and stride must be positive")
+    staged = df.select(F.col(id_col), split_words(text_col).alias("__w"))
+    n = F.size("__w")
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - window_tokens, F.lit(0)) + (stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(window_tokens), n - c * stride)
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), c * stride + 1, window_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return staged.select(F.col(id_col), F.inline(chunks))
+
+
 def near_dup_survivors(
     df: DataFrame,
     clusters: DataFrame,

@@ -431,6 +431,43 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs)
 
 
+CHUNK_W = 64   # window tokens
+CHUNK_S = 48   # stride (overlap = 16)
+
+
+@register(
+    "doc_sliding_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, words, len(words) AS n FROM w)
+    SELECT doc_id,
+           CAST(c AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_W}, n - c * {CHUNK_S}) AS BIGINT) AS n_tokens,
+           array_to_string(
+             words[c * {CHUNK_S} + 1 : c * {CHUNK_S} + {CHUNK_W}], ' '
+           ) AS chunk_text
+    FROM sized,
+         unnest(range(1 + (greatest(n - {CHUNK_W}, 0) + {CHUNK_S - 1})
+                      // {CHUNK_S})) AS t(c)
+    """,
+)
+def q_doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for retrieval/training corpora: 64-token
+    windows advancing by 48 (16-token overlap), final window short. Map-only
+    HOF slices + inline explode, no shuffle
+    (operators/curation.sliding_chunks)."""
+    from radar_output_restructure_spark.operators.curation import (
+        sliding_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return sliding_chunks(docs, window_tokens=CHUNK_W, stride=CHUNK_S)
+
+
 @register(
     "doc_pack_chunks",
     f"""

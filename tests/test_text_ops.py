@@ -573,3 +573,51 @@ def test_repetition_scores(spark):
     assert out[1].repetition == 0.6
     assert out[2].top_gram_count == 1 and out[2].repetition == 0.2
     assert out[3].n_grams == 0 and out[3].repetition == 0.0
+
+
+def test_sliding_chunks(spark):
+    from radar_output_restructure_spark.operators.curation import (
+        sliding_chunks,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=words), Row(doc_id=2, text="a b"),
+         Row(doc_id=3, text="solo")]
+    )
+    out = sliding_chunks(df, window_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 10 tokens, W=4 S=3 -> ceil(6/3)+1 = 3 chunks, last is full here
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    # overlap: every token appears in at least one chunk
+    seen = set(t for r in c1 for t in r.chunk_text.split())
+    assert seen == set(words.split())
+    assert [(r.chunk_idx, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [
+        (0, 2, "a b")
+    ]
+    assert by_doc[3][0].chunk_text == "solo"
+    # short final window
+    out2 = {r.chunk_idx: r for r in
+            sliding_chunks(df.filter(F.col("doc_id") == 1),
+                           window_tokens=4, stride=4).collect()}
+    assert out2[2].n_tokens == 2 and out2[2].chunk_text == "w8 w9"
+
+
+def test_sliding_chunks_validation(spark):
+    import pytest
+
+    from radar_output_restructure_spark.operators.curation import (
+        sliding_chunks,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        sliding_chunks(df, window_tokens=0)
+    with pytest.raises(ValueError):
+        sliding_chunks(df, stride=0)
