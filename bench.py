@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_sliding_chunks",
     "asof_next_purchase",
+    "doc_bigram_logprob",
 ]
 
 

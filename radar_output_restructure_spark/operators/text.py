@@ -229,6 +229,79 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bigrams, nll_micro): corpus-bigram negative log likelihood
+    with add-1 smoothing — the next step up from `unigram_logprob_score`
+    as a perplexity-style quality filter (catches scrambled/boilerplate
+    text the unigram model scores as fluent).
+
+    P(w_i | w_{i-1}) = (c(bigram)+1) / (c_prefix(w_{i-1}) + V), prefix
+    counts from the same bigram stream (so probabilities normalize exactly)
+    and V = full-stream distinct tokens. Per-bigram values round to integer
+    MICRO-nats before summing — order-independent, engine-exact.
+
+    Scale design — this operator deliberately exercises the path the
+    unigram filter avoids: the bigram table grows ~quadratically with
+    vocabulary and is NOT broadcastable at 100 TB, so doc-bigrams join it
+    with a plain hash shuffle on the bigram key (AQE skew-split handles
+    hot bigrams). The prefix-count and V tables stay vocab-sized and
+    broadcast. Three map-side-combined aggregations + one shuffle join —
+    the minimum for a bigram LM without approximation.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    w = df.select(F.col(id_col).alias("doc"), split_words(text_col).alias("__w"))
+    n = F.size("__w")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(F.col("__w"), i, 2)).alias("bigram"),
+                F.element_at(F.col("__w"), i).alias("prev"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bigram:string,prev:string>>"))
+    bg = w.select("doc", F.inline(pairs))
+
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    cu = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("np"))
+    vocab = (
+        w.select(F.explode("__w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    v_scalar = vocab.agg(F.count(F.lit(1)).alias("v"))
+
+    nll = F.round(
+        -F.log(
+            (F.col("nb") + 1) / (F.col("np") + F.col("v")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        bg.join(cb, "bigram")  # shuffle hash join: bigram table is corpus-scale
+        .join(F.broadcast(cu), "prev")
+        .crossJoin(F.broadcast(v_scalar))
+        .select("doc", nll.alias("nll"))
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("nll_micro"),
+    )
+    ids = df.select(F.col(id_col))
+    out = ids.join(per_doc, ids[id_col] == per_doc["doc"], "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("nll_micro"), F.lit(0)).alias("nll_micro"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

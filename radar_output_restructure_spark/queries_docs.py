@@ -431,6 +431,49 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs)
 
 
+@register(
+    "doc_bigram_logprob",
+    r"""
+    WITH w AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS words
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc, array_to_string(words[i:i+1], ' ') AS bigram,
+             words[i] AS prev
+      FROM w, unnest(range(1, len(words))) AS t(i)
+    ),
+    cb AS (SELECT bigram, count(*) AS nb FROM bg GROUP BY bigram),
+    cu AS (SELECT prev, count(*) AS np FROM bg GROUP BY prev),
+    v AS (SELECT count(DISTINCT s) AS v
+          FROM (SELECT unnest(words) AS s FROM w)),
+    scored AS (
+      SELECT bg.doc,
+             CAST(round(-ln((cb.nb + 1) * 1.0 / (cu.np + v.v)) * 1000000)
+                  AS BIGINT) AS nll
+      FROM bg JOIN cb USING (bigram) JOIN cu USING (prev) CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(nll) AS BIGINT) AS nll_micro
+      FROM scored GROUP BY doc
+    )
+    SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.nll_micro, 0) AS nll_micro
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+    """,
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram NLL with add-1 smoothing (integer micro-nats) — the
+    perplexity filter's bigram upgrade. Deliberately exercises the
+    non-broadcastable-LM-table path: doc bigrams hash-join the bigram count
+    table on the bigram key; prefix counts and V broadcast
+    (operators/text.bigram_logprob_score)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.bigram_logprob_score(docs)
+
+
 CHUNK_W = 64   # window tokens
 CHUNK_S = 48   # stride (overlap = 16)
 

@@ -621,3 +621,27 @@ def test_sliding_chunks_validation(spark):
         sliding_chunks(df, window_tokens=0)
     with pytest.raises(ValueError):
         sliding_chunks(df, stride=0)
+
+
+def test_bigram_logprob_score(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),   # predictable: a->b always
+            Row(doc_id=2, text="a c"),       # rare continuation
+            Row(doc_id=3, text="solo"),      # no bigrams
+        ]
+    )
+    out = {r.doc_id: r for r in X.bigram_logprob_score(df).collect()}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    assert out[3].n_bigrams == 0 and out[3].nll_micro == 0
+    # corpus: bigrams = [a b, b a, a b, a c]; prefixes a:3 b:1; V=4 (a,b,c,solo)
+    # P(b|a) = (2+1)/(3+4); per-bigram nll in micro-nats
+    nll_ab = round(-math.log(3 / 7) * 1e6)
+    nll_ba = round(-math.log((1 + 1) / (1 + 4)) * 1e6)
+    nll_ac = round(-math.log((1 + 1) / (3 + 4)) * 1e6)
+    assert out[1].nll_micro == 2 * nll_ab + nll_ba
+    assert out[2].nll_micro == nll_ab * 0 + nll_ac  # doc2 = just "a c"
+    # predictable text scores lower NLL per bigram than the rare one
+    assert out[1].nll_micro / 3 < out[2].nll_micro
