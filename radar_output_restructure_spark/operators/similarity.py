@@ -366,11 +366,18 @@ def train_ivf_centroids(
         [int(math.floor(float(x) * 1e6)) for x in row.v] for row in seeds
     ]
 
+    # Lloyd re-reads the corpus every iteration: persist the projected
+    # training frame (id, vector, norm) once instead of re-scanning and
+    # re-normalizing per iteration — the standard Spark iterative-ML
+    # pattern (MLlib's KMeans does the same). MEMORY_AND_DISK spills
+    # gracefully when the corpus outgrows executor memory.
+    from pyspark import StorageLevel
+
     src = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("__vn"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     micro_sums = [
         F.sum(
             F.floor(F.element_at(F.col("v"), i).cast("double") * F.lit(1e6))
@@ -400,6 +407,7 @@ def train_ivf_centroids(
         if new_cents == cents:
             break
         cents = new_cents
+    src.unpersist()
 
     return spark.createDataFrame(
         [(j, [m / 1e6 for m in cm]) for j, cm in enumerate(cents)],
