@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "doc_sliding_chunks",
     "asof_next_purchase",
     "doc_bigram_logprob",
+    "doc_redact_pii",
 ]
 
 

@@ -229,6 +229,46 @@ def unigram_logprob_score(
     )
 
 
+#: (pattern, replacement) chain for PII scrubbing. Patterns restrict
+#: themselves to the regex subset Java and RE2 interpret identically
+#: (character classes, +/{n,}, alternation — no backrefs/lookaround), so a
+#: SQL oracle reproduces the scrub byte-for-byte. Order matters: emails
+#: before digit runs (an email may contain digits), URLs before both.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9][0-9 .-]{5,}[0-9]", "<NUM>"),  # phone/account-number shapes
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_redactions, clean_text): PII scrubbing — URLs, emails, and
+    long digit/phone shapes replaced with typed placeholder tokens, the
+    standard pre-training privacy pass.
+
+    MAP-ONLY: a fixed chain of regexp_replace Column expressions, fully
+    inside codegen (no UDF, no shuffle). n_redactions counts matches
+    BEFORE scrubbing (per pattern, on the text as the previous patterns
+    left it — the same text each replacement actually sees, so the count
+    equals the placeholders inserted).
+    """
+    counts = []
+    clean = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(clean, F.lit(pat), 0)))
+        clean = F.regexp_replace(clean, pat, repl)
+    n_red = counts[0]
+    for c in counts[1:]:
+        n_red = n_red + c
+    return df.select(
+        F.col(id_col),
+        n_red.cast("bigint").alias("n_redactions"),
+        clean.alias("clean_text"),
+    )
+
+
 def bigram_logprob_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

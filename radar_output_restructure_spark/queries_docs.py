@@ -431,6 +431,39 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_scores(docs)
 
 
+def _sql_redact_chain() -> tuple[str, str]:
+    """(count_expr, clean_expr) mirroring operators/text.PII_PATTERNS —
+    generated from the same pattern list so both engines scrub and count
+    the exact same text states."""
+    clean = "text"
+    counts = []
+    for pat, repl in X.PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({clean}, '{pat}'))")
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return " + ".join(counts), clean
+
+
+_SQL_RED_COUNT, _SQL_RED_CLEAN = _sql_redact_chain()
+
+
+@register(
+    "doc_redact_pii",
+    f"""
+    SELECT doc_id,
+           CAST({_SQL_RED_COUNT} AS BIGINT) AS n_redactions,
+           {_SQL_RED_CLEAN} AS clean_text
+    FROM documents
+    """,
+)
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: URLs, emails, and long digit/phone shapes replaced
+    with typed placeholders; map-only regexp chain inside codegen, no UDF
+    (operators/text.redact_pii). Patterns restrict themselves to the
+    Java/RE2-identical regex subset so the oracle scrubs byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.redact_pii(docs)
+
+
 @register(
     "doc_bigram_logprob",
     r"""

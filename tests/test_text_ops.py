@@ -645,3 +645,20 @@ def test_bigram_logprob_score(spark):
     assert out[2].nll_micro == nll_ab * 0 + nll_ac  # doc2 = just "a c"
     # predictable text scores lower NLL per bigram than the rare one
     assert out[1].nll_micro / 3 < out[2].nll_micro
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail me at jo.doe+x@site-a.org or visit "
+                               "https://x.io/a?b=1 call 555-123 4567 ok"),
+            Row(doc_id=2, text="clean text no pii at all"),
+            Row(doc_id=3, text="two mails a@b.co c@d.org and 123456789"),
+        ]
+    )
+    out = {r.doc_id: r for r in X.redact_pii(df).collect()}
+    assert out[1].clean_text == "mail me at <EMAIL> or visit <URL> call <NUM> ok"
+    assert out[1].n_redactions == 3
+    assert out[2].n_redactions == 0 and out[2].clean_text == out[2].clean_text
+    assert out[3].clean_text == "two mails <EMAIL> <EMAIL> and <NUM>"
+    assert out[3].n_redactions == 3
