@@ -198,16 +198,23 @@ def unigram_logprob_score(
     noise, or wrong-language).
 
     Two aggregations over the token stream: (1) corpus unigram counts
-    (groupBy token — map-side combined, the classic word-count), broadcast
+    (groupBy token — map-side combined, the classic word-count), joined
     back; (2) per-doc sum of -ln p(token). Per-token values round to integer
     MICRO-nats before summing so the result is order-independent and
     engine-exact (float accumulation is not).
 
+    Scale design: the unigram table is VOCAB-sized — unbounded in the
+    corpus — so the tokens⋈freqs join carries NO explicit broadcast hint.
+    At small scale AQE converts it to a broadcast join adaptively; at
+    web-corpus scale it degrades gracefully to a shuffle hash join on the
+    token key (AQE skew-split handles Zipfian hot tokens) instead of
+    OOMing the driver on an always-honored broadcast.
+
     The corpus token total folds into the freqs side as a global window over
-    the VOCAB-sized frame (sum of tf), not a separate `tokens.count()` — that
+    the vocab-sized frame (sum of tf), not a separate `tokens.count()` — that
     saved pass was a full corpus scan for one scalar. The single-partition
-    window exchange is over data that is about to be broadcast anyway, so it
-    adds no new scalability constraint.
+    window exchange is over the vocab-sized frame only, so it adds no new
+    scalability constraint.
     """
     from pyspark.sql import Window
 
@@ -221,7 +228,7 @@ def unigram_logprob_score(
         -F.log(F.col("tf") / total.cast("double")) * 1_000_000
     ).cast("long")
     scored = tokens.join(
-        F.broadcast(freqs.select("tok", nll_micro.alias("nll"))), "tok"
+        freqs.select("tok", nll_micro.alias("nll")), "tok"
     ).select("doc", "nll")
     return scored.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -286,8 +293,10 @@ def bigram_logprob_score(
     unigram filter avoids: the bigram table grows ~quadratically with
     vocabulary and is NOT broadcastable at 100 TB, so doc-bigrams join it
     with a plain hash shuffle on the bigram key (AQE skew-split handles
-    hot bigrams). The prefix-count and V tables stay vocab-sized and
-    broadcast. Three map-side-combined aggregations + one shuffle join —
+    hot bigrams). The prefix-count table is vocab-sized — also unbounded —
+    so it too joins without a broadcast hint (AQE broadcasts adaptively
+    when it fits). Only the 1-row V scalar keeps an explicit broadcast.
+    Three map-side-combined aggregations + two shuffle-or-adaptive joins —
     the minimum for a bigram LM without approximation.
     """
     from radar_output_restructure_spark.operators.dedup_scale import (
@@ -325,7 +334,7 @@ def bigram_logprob_score(
     ).cast("long")
     scored = (
         bg.join(cb, "bigram")  # shuffle hash join: bigram table is corpus-scale
-        .join(F.broadcast(cu), "prev")
+        .join(cu, "prev")  # vocab-sized: no hint, AQE broadcasts iff it fits
         .crossJoin(F.broadcast(v_scalar))
         .select("doc", nll.alias("nll"))
     )
@@ -357,6 +366,11 @@ def tfidf_top_terms(
     unigram-NLL total. score = tf * ln(N/df) in integer micro-units so
     ranking ties break identically everywhere; rank ties break (score desc,
     term asc), deterministic.
+
+    The docfreq table is vocab-sized (unbounded in the corpus), so the
+    tf⋈docfreq join carries no broadcast hint — AQE broadcasts it only
+    when it actually fits; otherwise it hash-shuffles on the term key.
+    Only the 1-row N scalar keeps an explicit broadcast.
     """
     from pyspark.sql import Window
 
@@ -374,7 +388,7 @@ def tfidf_top_terms(
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_frame = tf.select("doc").distinct().agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
+        tf.join(docfreq, "term")  # vocab-sized: no hint, AQE decides
         .crossJoin(F.broadcast(n_frame))
         .select(
             "doc",
