@@ -216,10 +216,10 @@ NUM_PLANES = 4
 NUM_TABLES = 10
 
 
-def _sql_bucket(vec: str, table: int) -> str:
+def _sql_bucket(vec: str, table: int, num_planes: int = NUM_PLANES) -> str:
     planes = []
-    for i in range(NUM_PLANES):
-        p = table * NUM_PLANES + i
+    for i in range(num_planes):
+        p = table * num_planes + i
         terms = ["0.0"]
         for d in range(DIMS):
             w = _plane_weight(p, d)
@@ -229,11 +229,20 @@ def _sql_bucket(vec: str, table: int) -> str:
     return " + ".join(planes)
 
 
-_SQL_BUCKETS_UNION = "\n      UNION ALL\n".join(
-    f"      SELECT vec_id, {t} AS tbl, {_sql_bucket('embedding', t)} AS bucket"
-    " FROM embeddings"
-    for t in range(NUM_TABLES)
-)
+def sql_buckets_union(
+    num_planes: int = NUM_PLANES, num_tables: int = NUM_TABLES
+) -> str:
+    """The multi-table LSH bucket CTE body, parameterized so auto-sized
+    plane counts (auto_num_planes) reuse the same generated-weights SQL."""
+    return "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl,"
+        f" {_sql_bucket('embedding', t, num_planes)} AS bucket"
+        " FROM embeddings"
+        for t in range(num_tables)
+    )
+
+
+_SQL_BUCKETS_UNION = sql_buckets_union()
 
 
 @register(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from radar_output_restructure_spark.operators.similarity import (
+    auto_num_planes,
     cosine,
     hyperplane_lsh_buckets,
 )
@@ -22,6 +23,7 @@ from radar_output_restructure_spark.queries_sim import (
     _SQL_QNORM,
     NUM_PLANES,
     NUM_TABLES,
+    sql_buckets_union,
 )
 from radar_output_restructure_spark.queries_docs import SQL_SHINGLES
 from radar_output_restructure_spark.sources.tables import load_table
@@ -82,38 +84,14 @@ def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_COSINE = 0.4
 
 
-@register(
-    "embedding_near_dup_pairs",
-    f"""
-    WITH b AS (
-{_SQL_BUCKETS_UNION}
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-      FROM b a JOIN b c USING (tbl, bucket)
-      WHERE a.vec_id < c.vec_id
-    ),
-    sims AS (
-      SELECT vec_a, vec_b,
-             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
-      FROM cand
-      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
-      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
-    )
-    SELECT vec_a, vec_b, sim FROM sims WHERE sim >= {NEAR_DUP_COSINE}
-    """,
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: hyperplane-LSH bucket
-    candidates over the WHOLE corpus, exact cosine verification — the
+def _near_dup_from_buckets(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Bucket-collision candidates -> exact cosine verification >= threshold.
+
+    Shared body of the fixed-plane and auto-plane near-dup queries: the
     embedding analog of MinHash near-dup (candidates per bucket, never
     all-pairs)."""
     from radar_output_restructure_spark.operators.similarity import _dot, _norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cb = hyperplane_lsh_buckets(
-        emb, num_planes=NUM_PLANES, num_tables=NUM_TABLES
-    )
     cand = (
         cb.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
         .join(
@@ -148,6 +126,82 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= NEAR_DUP_COSINE)
     )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH b AS (
+{_SQL_BUCKETS_UNION}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c USING (tbl, bucket)
+      WHERE a.vec_id < c.vec_id
+    ),
+    sims AS (
+      SELECT vec_a, vec_b,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, sim FROM sims WHERE sim >= {NEAR_DUP_COSINE}
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: hyperplane-LSH bucket
+    candidates over the WHOLE corpus, exact cosine verification."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = hyperplane_lsh_buckets(
+        emb, num_planes=NUM_PLANES, num_tables=NUM_TABLES
+    )
+    return _near_dup_from_buckets(emb, cb)
+
+
+#: embeddings rows at the driver's FIXED sf0.01 correctness gate; the static
+#: oracle SQL must pre-bake the plane count the Spark side derives at runtime
+#: (auto_num_planes(count)), so it is generated for this gate cardinality.
+AUTO_GATE_N = 500
+AUTO_GATE_PLANES = auto_num_planes(AUTO_GATE_N)
+
+
+@register(
+    "embedding_near_dup_pairs_auto",
+    f"""
+    WITH b AS (
+{sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c USING (tbl, bucket)
+      WHERE a.vec_id < c.vec_id
+    ),
+    sims AS (
+      SELECT vec_a, vec_b,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, sim FROM sims WHERE sim >= {NEAR_DUP_COSINE}
+    """,
+)
+def q_embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE near-dup configuration: plane count derived from the
+    corpus cardinality (auto_num_planes holds expected bucket occupancy
+    constant, keeping the bucket self-join LINEAR in corpus size — the
+    fixed-plane variant's candidate set grows quadratically). This is the
+    configuration a 100 TB run should use; the fixed-plane query remains as
+    the small-corpus/high-recall reference point.
+
+    The Spark side computes n with a cheap parquet count; the DuckDB oracle
+    pre-bakes auto_num_planes(500) because the driver's gate always runs at
+    sf0.01 (500 embeddings) and oracle SQL is registered statically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = auto_num_planes(emb.count())
+    cb = hyperplane_lsh_buckets(emb, num_planes=planes, num_tables=NUM_TABLES)
+    return _near_dup_from_buckets(emb, cb)
 
 
 @register(
