@@ -122,12 +122,20 @@ def main() -> int:
             print(f"{name}: NOT REGISTERED")
             n_fail += 1
             continue
-        sdf = queries[name](spark, args.sf).toPandas()
-        if name not in oracles:
-            print(f"{name}: no oracle (rows-only) -> {len(sdf)} rows")
-            n_noracle += 1
+        # per-query isolation: one raising query must not mask the rest of
+        # the registry (the whole-gate abort is how a single bug hid three
+        # queries from an entire round's correctness file)
+        try:
+            sdf = queries[name](spark, args.sf).toPandas()
+            if name not in oracles:
+                print(f"{name}: no oracle (rows-only) -> {len(sdf)} rows")
+                n_noracle += 1
+                continue
+            odf = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            n_fail += 1
             continue
-        odf = con.execute(oracles[name]).df()
         print(f"{name}: spark={len(sdf)} oracle={len(odf)}")
         if compare(name, sdf, odf):
             print("  OK")
