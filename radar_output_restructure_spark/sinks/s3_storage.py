@@ -53,26 +53,92 @@ def parse_s3_url(path: str) -> tuple[str, str]:
     return bucket, key
 
 
+#: fs.s3a credential providers whose semantics the boto3 default chain (plus
+#: the translated static/session keys below) reproduces. Anything else —
+#: AssumedRoleCredentialProvider, custom classes — carries behavior boto3
+#: cannot honor from Hadoop conf alone, so `storage_for` keeps those
+#: deployments on the Hadoop connector.
+_TRANSLATABLE_PROVIDERS = (
+    "",
+    "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider",
+    "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider",
+    "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+    "com.amazonaws.auth.DefaultAWSCredentialsProviderChain",
+    "software.amazon.awssdk.auth.credentials.DefaultCredentialsProvider",
+)
+
+
+def s3_kwargs_from_hadoop_conf(spark) -> tuple[dict, bool, bool]:
+    """(client_kwargs, path_style, translatable) from the session's
+    `fs.s3a.*` configuration.
+
+    Existing s3a deployments keep credentials/endpoints (MinIO, custom
+    regions, static keys) in Hadoop conf; silently ignoring that and using
+    boto3's default chain would change which account/endpoint the engine
+    writes to the moment boto3 happens to be installed. The common keys
+    translate 1:1; a non-default credentials provider is reported as NOT
+    translatable so the caller can stay on the Hadoop connector, which
+    honors the full conf.
+    """
+    conf = spark._jsc.hadoopConfiguration()
+
+    def get(key: str) -> str:
+        return conf.get(key, "") or ""
+
+    kwargs: dict = {}
+    endpoint = get("fs.s3a.endpoint")
+    if endpoint and endpoint != "s3.amazonaws.com":
+        if "://" not in endpoint:
+            scheme = (
+                "https"
+                if get("fs.s3a.connection.ssl.enabled").lower() != "false"
+                else "http"
+            )
+            endpoint = f"{scheme}://{endpoint}"
+        kwargs["endpoint_url"] = endpoint
+    if get("fs.s3a.endpoint.region"):
+        kwargs["region_name"] = get("fs.s3a.endpoint.region")
+    if get("fs.s3a.access.key"):
+        kwargs["aws_access_key_id"] = get("fs.s3a.access.key")
+    if get("fs.s3a.secret.key"):
+        kwargs["aws_secret_access_key"] = get("fs.s3a.secret.key")
+    if get("fs.s3a.session.token"):
+        kwargs["aws_session_token"] = get("fs.s3a.session.token")
+    path_style = get("fs.s3a.path.style.access").lower() == "true"
+    providers = get("fs.s3a.aws.credentials.provider")
+    translatable = all(
+        p.strip() in _TRANSLATABLE_PROVIDERS for p in providers.split(",")
+    )
+    return kwargs, path_style, translatable
+
+
 class S3TargetStorage(TargetStorage):
     """Picklable, executor-safe TargetStorage over the native S3 API.
 
     `client_kwargs` go to `boto3.client("s3", **kwargs)` — endpoint_url,
     region_name, credentials. Only plain values: the instance pickles into
     Spark tasks and each process builds its own client on first use.
+    `path_style=True` forces path-style addressing (MinIO and most
+    self-hosted endpoints), mirroring `fs.s3a.path.style.access`.
     """
 
     executor_safe = True
 
-    def __init__(self, **client_kwargs):
+    def __init__(self, path_style: bool = False, **client_kwargs):
         self._client_kwargs = client_kwargs
+        self._path_style = path_style
         self._client = None
 
     # -- pickling: ship config, never the client/socket pool --------------
     def __getstate__(self):
-        return {"_client_kwargs": self._client_kwargs}
+        return {
+            "_client_kwargs": self._client_kwargs,
+            "_path_style": self._path_style,
+        }
 
     def __setstate__(self, state):
         self._client_kwargs = state["_client_kwargs"]
+        self._path_style = state.get("_path_style", False)
         self._client = None
 
     @property
@@ -86,7 +152,12 @@ class S3TargetStorage(TargetStorage):
                     "HadoopTargetStorage (driver-side, s3a://) when the "
                     "AWS SDK is not installed"
                 ) from exc
-            self._client = boto3.client("s3", **self._client_kwargs)
+            kwargs = dict(self._client_kwargs)
+            if self._path_style:
+                from botocore.config import Config
+
+                kwargs["config"] = Config(s3={"addressing_style": "path"})
+            self._client = boto3.client("s3", **kwargs)
         return self._client
 
     # -- target surface ---------------------------------------------------

@@ -39,10 +39,17 @@ CHUNK_SIZE = 1 << 20
 
 def storage_for(path: str, spark=None) -> "TargetStorage":
     """Pick the backend by URI scheme. `s3://`/`s3a://` prefer the native
-    executor-safe boto3 backend (direct writer works) and fall back to the
-    driver-side Hadoop FileSystem when boto3 is absent; `abfs://`, `hdfs://`,
-    `file://` route through the Hadoop FileSystem (needs the SparkSession's
-    JVM); plain paths use the local filesystem directly."""
+    executor-safe boto3 backend (direct writer works), constructed from the
+    session's `fs.s3a.*` Hadoop configuration (endpoint, region, static/
+    session keys, path-style) so existing s3a deployments keep talking to
+    the same endpoint/account they configured; when the conf names a
+    credentials provider boto3 cannot reproduce (assumed roles, custom
+    classes) — or boto3 is absent — the driver-side Hadoop FileSystem
+    connector serves the path instead, honoring the full conf. `abfs://`,
+    `hdfs://`, `file://` route through the Hadoop FileSystem (needs the
+    SparkSession's JVM); plain paths use the local filesystem directly.
+    Callers needing exact control pass an explicit storage instance
+    (RestructureConfig.source_storage / target_storage)."""
     if "://" in path:
         scheme = path.split("://", 1)[0]
         if scheme in ("s3", "s3a", "s3n"):
@@ -51,9 +58,17 @@ def storage_for(path: str, spark=None) -> "TargetStorage":
 
                 from radar_output_restructure_spark.sinks.s3_storage import (
                     S3TargetStorage,
+                    s3_kwargs_from_hadoop_conf,
                 )
 
-                return S3TargetStorage()
+                if spark is None:
+                    return S3TargetStorage()
+                kwargs, path_style, translatable = s3_kwargs_from_hadoop_conf(
+                    spark
+                )
+                if translatable:
+                    return S3TargetStorage(path_style=path_style, **kwargs)
+                # fall through: Hadoop connector honors the exotic provider
             except ImportError:
                 pass  # fall through to the Hadoop connector
         if spark is None:
@@ -327,36 +342,44 @@ class HadoopTargetStorage(TargetStorage):
         finally:
             stream.close()
 
-    #: schemes with a real atomic rename — everything else (s3a, abfs, gs,
-    #: wasb, oss, ...) is an object store whose create()+close() is already a
-    #: single PUT that materializes atomically, like the reference's
-    #: S3TargetStorage overwrite PUT (target/S3TargetStorage.kt:47-154)
-    _RENAME_ATOMIC_SCHEMES = frozenset({"file", "hdfs", "viewfs", "", None})
+    #: S3-family connectors have DEFERRED-VISIBILITY writes: create() starts
+    #: a (multipart) upload that becomes the object only at close(), GETs
+    #: keep serving the old object until then, and the stream implements
+    #: Hadoop's Abortable. Only these may safely write the FINAL key while a
+    #: reader streams the old content — the reference's overwrite-PUT
+    #: semantics (target/S3TargetStorage.kt:47-154).
+    _DEFERRED_VISIBILITY_SCHEMES = frozenset({"s3", "s3a", "s3n"})
 
     @contextmanager
     def store_atomic_writer(self, path: str):
         fs, jpath = self._fs_path(path)
         scheme = jpath.toUri().getScheme()
-        if scheme not in self._RENAME_ATOMIC_SCHEMES:
-            # Object store: one overwrite PUT, no delete/rename window during
-            # which the target is absent. s3a/abfs buffer the upload (disk or
-            # multipart parts) and the object flips old->new only at close(),
-            # so streaming a copy of the OLD object into this writer is safe:
-            # the GET keeps serving the old object until the PUT completes.
-            # On error, Abortable.abort() cancels the upload unpublished.
+        if scheme in self._DEFERRED_VISIBILITY_SCHEMES:
+            # One overwrite PUT, no delete/rename window during which the
+            # target is absent. On error, Abortable.abort() cancels the
+            # upload unpublished; if abort is unavailable the stream is
+            # deliberately NOT closed — an incomplete multipart upload never
+            # materializes (bucket lifecycle rules reap it), whereas close()
+            # would publish the partial object over the old one.
             out = _JvmOutputFile(fs.create(jpath, True))
             try:
                 yield out
             except BaseException:
-                if not out.abort():
-                    out.close()  # connector without abort: partial publish
-                    fs.delete(jpath, False)  # ...then best-effort removal
+                out.abort()
                 raise
             out.close()
             return
-        # Real filesystem: tmp + rename is the atomic publish. rename() on
-        # HDFS fails onto an existing file, so delete first — safe here
-        # because rename itself is atomic and the tmp file is complete.
+        # Everything else — real filesystems (file/hdfs/viewfs, atomic
+        # rename) AND non-S3 object stores (abfs/gs/wasb/oss) — stages to a
+        # temp key. abfs in particular TRUNCATES the destination the moment
+        # create(overwrite) opens it, so writing the final key directly
+        # would corrupt the read-old-while-appending flow the writers use;
+        # staging keeps the old object intact until the complete new one
+        # publishes, and any failure leaves it untouched. ADLS Gen2 rename
+        # is an atomic metadata op; flat-namespace stores copy+delete, which
+        # still isolates failures to the temp key. rename() onto an existing
+        # file fails on HDFS, so the old target is deleted first — after the
+        # staged file is complete.
         tmp = self._jvm.org.apache.hadoop.fs.Path(
             f"{path}.tmp-{uuid.uuid4().hex}"
         )
@@ -364,7 +387,8 @@ class HadoopTargetStorage(TargetStorage):
         try:
             yield out
         except BaseException:
-            out.close()
+            if not out.abort():
+                out.close()
             fs.delete(tmp, False)
             raise
         out.close()

@@ -156,9 +156,12 @@ def _store_payload(
     exists = storage.exists(final)
     if compression == "zip":
         entry = os.path.basename(final)[: -len(".zip")]
+        # force_zip64: the writer stream is non-seekable, so zipfile cannot
+        # patch the header when the combined old+new entry crosses 4 GiB —
+        # exactly the unbounded-append case this streaming path exists for
         with storage.store_atomic_writer(final) as out, zipfile.ZipFile(
             out, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
-        ) as zf, zf.open(entry, "w") as w:
+        ) as zf, zf.open(entry, "w", force_zip64=True) as w:
             if exists:
                 with storage.open_seekable(final) as old_fh, zipfile.ZipFile(
                     old_fh
