@@ -103,9 +103,9 @@ class SourceDataCleaner:
         routing + rendering plan the writer ran, grouped per attempt."""
         cfg = self.config
         parts: list[DataFrame] = []
-        ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + (
-            ".gz" if cfg.compression == "gzip" else ""
-        )
+        ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + {
+            "gzip": ".gz", "zip": ".zip", None: ""
+        }.get(cfg.compression, "")
         for attempt, _schema_json, fp_groups in self.plan._fingerprint_groups(
             topic, files
         ):
@@ -147,6 +147,73 @@ class SourceDataCleaner:
             out = out.unionByName(p)
         return out
 
+    def _zip_target_rows(self, existing: list[str]) -> DataFrame:
+        """(target_path, time_str) from single-entry zip targets.
+
+        Spark's text/csv readers don't decode zip, so the archives load as
+        whole binary files (they are group-bounded — one user-hour of rows)
+        and an Arrow-batched mapInPandas unwraps the single entry, mirroring
+        the writer's codec (sinks/writers.py ZIP_LEVEL) and the reference's
+        read-back-through-the-compression-factory verification
+        (cleaner/TimestampFileCache.kt:39-51, compression/ZipCompression.kt:
+        10-26). CSV rows parse in the UDF (python csv matches the writer's
+        RFC4180 quoting; the `value.time` index comes from each file's own
+        header); JSON rows come back as raw lines so the SAME
+        get_json_object expression as the uncompressed path extracts the
+        time token — json round-trips through a float would re-render it.
+        """
+        import pandas as pd
+
+        fmt = self.config.output_format
+        bin_df = self.spark.read.format("binaryFile").load(existing)
+
+        def unzip(batches):
+            import csv as csvmod
+            import io as iomod
+            import re as remod
+            import zipfile
+
+            for pdf in batches:
+                paths: list[str] = []
+                vals: list[str | None] = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    with zipfile.ZipFile(iomod.BytesIO(bytes(content))) as zf:
+                        raw = zf.read(zf.namelist()[0])
+                    text = raw.decode("utf-8")
+                    p = remod.sub("^file:/+", "/", str(path))
+                    lines = text.splitlines()
+                    if fmt == "json":
+                        for line in lines:
+                            if line:
+                                paths.append(p)
+                                vals.append(line)
+                    else:
+                        rows = list(csvmod.reader(iomod.StringIO(text)))
+                        if not rows:
+                            continue
+                        header, body = rows[0], rows[1:]
+                        try:
+                            ti = header.index("value.time")
+                        except ValueError:
+                            ti = -1
+                        for row in body:
+                            paths.append(p)
+                            vals.append(
+                                row[ti] if 0 <= ti < len(row) else None
+                            )
+                yield pd.DataFrame({"target_path": paths, "payload": vals})
+
+        rows = bin_df.select("path", "content").mapInPandas(
+            unzip, "target_path string, payload string"
+        )
+        if fmt == "json":
+            time_str = F.get_json_object(F.col("payload"), "$.value.time")
+        else:
+            time_str = F.col("payload")
+        return rows.select(
+            "target_path", time_str.cast("string").alias("time_str")
+        )
+
     def _target_rows(self, target_paths: list[str]) -> DataFrame:
         """(target_path, time_str) for every row of the touched target files."""
         cfg = self.config
@@ -156,6 +223,8 @@ class SourceDataCleaner:
             return self.spark.createDataFrame(
                 [], "target_path string, time_str string"
             )
+        if cfg.compression == "zip":
+            return self._zip_target_rows(existing)
         if cfg.output_format == "json":
             df = self.spark.read.text(existing)
             time_str = F.get_json_object(F.col("value"), "$.value.time")
@@ -196,8 +265,6 @@ class SourceDataCleaner:
 
     def run_topic(self, topic: str) -> dict[str, list[str]]:
         files = self.candidate_files(topic)
-        if self.config.compression == "zip":
-            return {"deleted": [], "revoked": []}  # conservative: cannot re-read
         verdict = self.verify_topic(topic, files)
         deleted, revoked = [], []
         for f in files:

@@ -139,3 +139,51 @@ def test_cleaner_gzip_json_target_verification(spark, tmp_path):
         for line in _gzip.open(f, "rt").read().splitlines()
     ]
     assert len(rows) == 5 and all("value" in r for r in rows)
+
+
+def test_cleaner_zip_csv_target_verification(spark, tmp_path):
+    """zip-compressed CSV targets re-read through the writer's single-entry
+    codec (reference cleaner/TimestampFileCache.kt:39-51 +
+    compression/ZipCompression.kt:10-26): extracted sources delete instead
+    of the old conservative no-op."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, compression="zip"
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    assert all(f.endswith(".csv.zip") for f in finals)
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
+    assert not os.path.exists(f0)
+
+
+def test_cleaner_zip_json_revokes_on_missing_target(spark, tmp_path):
+    """zip verification is a real check, not a rubber stamp: a sabotaged
+    (deleted) zip target revokes the source file instead of deleting it."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir,
+        output_format="json", compression="zip",
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    target = [f for f in finals if f.endswith("19700101_0100.json.zip")][0]
+    os.remove(target)
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [] and result["revoked"] == [f0]
+    assert os.path.exists(f0)
