@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "asof_next_purchase",
     "doc_bigram_logprob",
     "doc_redact_pii",
+    # round-4 additions
+    "embedding_near_dup_pairs_auto",
 ]
 
 
@@ -247,6 +249,22 @@ def main() -> None:
         "spread_max_over_min": spread,
     }
     print(json.dumps(result))
+    # Self-contained artifact (VERDICT r3 item 8: the driver captures a tail
+    # buffer of stdout and r3's shipped BENCH json arrived truncated): the
+    # same JSON always lands in a file next to the repo so every round's
+    # numbers survive regardless of how stdout is collected.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        ),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # stdout already carried the contract line
     if "--compare" in sys.argv:
         idx = sys.argv.index("--compare")
         path = (

@@ -45,6 +45,7 @@ HEAVY = [
     "minhash_lsh_pairs_docs",
     "char_ngram_jaccard_docs",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_auto",
     "ann_ivf_topk",
 ]
 
@@ -241,7 +242,12 @@ def main() -> None:
                     "`embedding_near_dup_pairs` uses 4 hyperplanes (16 buckets/"
                     "table): at fixed\nbit-width, bucket occupancy grows with "
                     "the corpus and candidate pairs grow\nquadratically. The "
-                    "operating rule at scale is planes ~ log2(n):\n\n"
+                    "operating rule at scale is planes ~ log2(n), and that\n"
+                    "configuration is oracle-gated as "
+                    "`embedding_near_dup_pairs_auto` (plane count\nfrom "
+                    "auto_num_planes(corpus count) — its stress row above is "
+                    "the headline\nnear-dup story; the fixed-plane row is the "
+                    "known-quadratic reference point):\n\n"
                     f"| planes | tiled s |\n|---|---|\n"
                     f"| {lever['planes_fixed']} (fixed) | {lever['tiled_sec_fixed']} |\n"
                     f"| {lever['planes_scaled']} (scaled with log2 N) | "

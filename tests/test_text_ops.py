@@ -662,3 +662,52 @@ def test_redact_pii(spark):
     assert out[2].n_redactions == 0 and out[2].clean_text == out[2].clean_text
     assert out[3].clean_text == "two mails <EMAIL> <EMAIL> and <NUM>"
     assert out[3].n_redactions == 3
+
+
+def test_auto_num_planes_caps_at_31():
+    from radar_output_restructure_spark.operators.similarity import (
+        auto_num_planes,
+    )
+
+    # bigint bucket assembly is exact up to 31 bits; the cap keeps the
+    # advertised 1e12-vector scale (log2 would say 34) from overflowing
+    assert auto_num_planes(10**12) == 31
+    assert auto_num_planes(2**40) == 31
+
+
+def test_plane_family_decorrelated():
+    """The md5 plane family must not repeat weight vectors (the former
+    linear-congruential family was periodic mod 7 — only SEVEN distinct
+    hyperplanes at any configured width, silently correlating every table
+    and capping bucket diversity)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        _plane_weight,
+    )
+
+    vecs = {
+        tuple(_plane_weight(p, d) for d in range(64)) for p in range(40)
+    }
+    assert len(vecs) == 40
+    # weights stay in the documented [-3, 3] band
+    assert all(
+        -3 <= _plane_weight(p, d) <= 3 for p in range(8) for d in range(8)
+    )
+
+
+def test_lsh_bucket_schema_and_range(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + d) % 5 - 2) for d in range(16)])
+         for i in range(20)]
+    )
+    out = hyperplane_lsh_buckets(df, num_planes=6, dims=16, num_tables=3)
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    rows = out.collect()
+    assert len(rows) == 20 * 3
+    assert all(0 <= r.bucket < 2**6 for r in rows)
+    assert {r.table for r in rows} == {0, 1, 2}
