@@ -268,6 +268,58 @@ def cosine_topk_lsh(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _round6_spark(a):
+    """Vectorized replica of Spark's `round(x, 6)` on DOUBLE:
+    BigDecimal.valueOf(x) — the shortest decimal representation — quantized
+    HALF_UP (away from zero). The fast path floor(|x|*1e6 + 0.5) computes
+    the same integer except when the IEEE `*1e6` lands within ~1e-7 of a
+    .5 boundary, where scaling error could cross the boundary the exact
+    decimal doesn't; those few candidates re-round through Python Decimal
+    (repr(float) emits the identical shortest decimal as Java's
+    Double.toString, so the arithmetic is bit-for-bit Spark's)."""
+    import numpy as np
+
+    absx = np.abs(a)
+    scaled = absx * 1e6
+    fast = np.floor(scaled + 0.5)
+    frac = scaled - np.floor(scaled)
+    risky = np.abs(frac - 0.5) < 1e-7
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat_a = absx.ravel()
+        flat_fast = fast.ravel()
+        for i in np.where(risky.ravel())[0]:
+            flat_fast[i] = float(
+                Decimal(repr(float(flat_a[i])))
+                .scaleb(6)
+                .to_integral_value(rounding=ROUND_HALF_UP)
+            )
+        fast = flat_fast.reshape(a.shape)
+    return np.sign(a) * fast / 1e6
+
+
+def _codebook_affinities(x, cents, cnorms):
+    """(n, k) rounded cosine affinities of batch `x` to the codebook —
+    the SHARED exact arithmetic of `ivf_cells` and the k-means assignment.
+
+    Accumulation is sequential over DIMENSIONS (acc += x_d * c_d), the
+    identical left-to-right IEEE fold as the Column-expression form and the
+    SQL oracle's list_sum — never a blocked BLAS matmul, whose different
+    rounding could flip a ranking."""
+    import numpy as np
+
+    n, dims = x.shape
+    dots = np.zeros((n, cents.shape[0]))
+    self_dot = np.zeros(n)
+    for d in range(dims):
+        xd = x[:, d]
+        dots = dots + xd[:, None] * cents[:, d]
+        self_dot = self_dot + xd * xd
+    vn = np.sqrt(self_dot)
+    return _round6_spark(dots / (vn[:, None] * cnorms))
+
+
 def ivf_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -280,77 +332,59 @@ def ivf_cells(
 
     The IVF coarse quantizer: corpus vectors index with nprobe=1 (their one
     home cell); queries probe several. Determinism: cosine rounded to 6
-    decimals, centroid id breaks ties.
+    decimals (Spark-exact HALF_UP, `_round6_spark`), centroid id breaks
+    ties (stable argsort over ascending cell order).
 
-    MAP-ONLY by construction: a codebook is driver-small by definition
+    MAP-ONLY and Arrow-vectorized: a codebook is driver-small by definition
     (k vectors — the same object every ANN system broadcasts), so it is
-    collected once and enters the plan as literal arrays. Ranking is
-    array_sort over the k (affinity, cell) structs + slice(nprobe) +
-    posexplode inside the projection — no crossJoin row blowup, no
-    corpus-wide shuffle, no Window sort. The previous formulation
-    (broadcast crossJoin + row_number window) shuffled corpus x k rows on
-    vec_id just to rank k values per vector; at 100 TB that shuffle IS the
-    job. Cells are then bucket-partitioned on disk so probes read only the
-    matching buckets.
+    collected once and ships inside the mapInPandas closure; each batch
+    ranks against it with numpy using the oracle's exact fold order
+    (`_codebook_affinities`). History of this plan: broadcast crossJoin +
+    row_number window (shuffled corpus x k rows — at 100 TB that shuffle IS
+    the job), then packed-literal array_sort HOFs (map-only but interpreted
+    — the k x dims fold per row dominated the ANN bench the same way the
+    LSH folds did). Cells are then bucket-partitioned on disk so probes
+    read only the matching buckets.
     """
+    import numpy as np
+    import pandas as pd
+
     cent_rows = sorted(
         centroids.select(
             F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
         ).collect(),
         key=lambda r: r.cell,
     )
+    cells = [row.cell for row in cent_rows]
+    cent_lists = [[float(x) for x in row.centroid] for row in cent_rows]
+    cents = np.array(cent_lists, dtype=np.float64)
+    cnorms = np.array([math_sqrt(_seq_sq_sum(c)) for c in cent_lists])
     cell_type = centroids.schema[id_col].dataType.simpleString()
-    src = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col)).alias("__vn"),  # vector norm computed ONCE
-    )
-    ranked = _codebook_ranked_cells(
-        F.col("__v"),
-        F.col("__vn"),
-        [[float(x) for x in row.centroid] for row in cent_rows],
-        [row.cell for row in cent_rows],
-        cell_type,
-    )
-    top = F.slice(ranked, 1, nprobe)
-    return src.select("vec_id", F.posexplode(top)).select(
-        "vec_id",
-        F.col("col.cell").alias("cell"),
-        (F.col("pos") + 1).alias("cell_rank"),
-    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    take = min(nprobe, len(cells))
+    cells_arr = np.array(cells)
 
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            aff = _codebook_affinities(x, cents, cnorms)
+            order = np.argsort(-aff, axis=1, kind="stable")[:, :take]
+            n = x.shape[0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), take),
+                    "cell": cells_arr[order].reshape(-1),
+                    "cell_rank": np.tile(
+                        np.arange(1, take + 1, dtype=np.int32), n
+                    ),
+                }
+            )
 
-def _codebook_ranked_cells(
-    vec: Column, vnorm: Column, cents: list[list[float]], cells: list,
-    cell_type: str,
-) -> Column:
-    """array<struct(na, cell)> sorted by (cosine affinity DESC, cell ASC) —
-    the shared ranking core of `ivf_cells` and the k-means assignment.
-
-    The whole codebook enters the plan as THREE literal nodes (a nested
-    array, the norms, the cell ids) — not k*dims scalar literals, which
-    bloat analysis/optimization time linearly in the codebook size. The
-    ascending struct sort realizes the descending-affinity order via the
-    negated affinity `na` in the first field."""
-    cent_lit = F.lit(cents).cast("array<array<double>>")
-    norm_lit = F.lit([math_sqrt(_seq_sq_sum(c)) for c in cents]).cast(
-        "array<double>"
-    )
-    cell_lit = F.lit(cells).cast(f"array<{cell_type}>")
-    entries = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cents))),
-        lambda i: F.struct(
-            (
-                -F.round(
-                    _dot(vec, F.element_at(cent_lit, i))
-                    / (vnorm * F.element_at(norm_lit, i)),
-                    6,
-                )
-            ).alias("na"),
-            F.element_at(cell_lit, i).alias("cell"),
-        ),
-    )
-    return F.array_sort(entries)
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(assign, f"vec_id {id_type}, cell {cell_type}, cell_rank int")
 
 
 def train_ivf_centroids(
@@ -370,10 +404,13 @@ def train_ivf_centroids(
     * init — the k vectors with smallest (md5(id), id): the engine's
       deterministic id-hash sampler (operators/curation.py uses the same
       trick), standing in for random seeding; cell = rank in that order.
-    * assign — cosine affinity to each centroid rounded to 6 decimals,
-      ties to the lowest cell. Map-only: the codebook enters the plan as
-      three packed literal nodes (`_codebook_ranked_cells`), so expression
-      size is O(1) in k and no shuffle/window touches the corpus.
+    * assign — cosine affinity to each centroid rounded to 6 decimals
+      (Spark-exact, `_round6_spark`), ties to the lowest cell. Map-only and
+      Arrow-vectorized: the codebook ships in the mapInPandas closure and
+      each batch assigns + partially aggregates in numpy with the oracle's
+      exact fold order (`_codebook_affinities`) — no shuffle or window
+      touches the corpus, and the per-task partials (k rows each) reduce
+      driver-side.
     * update — per-dimension sums of floor(value * 1e6) as LONGS: integer
       addition is associative, so partial aggregation order cannot change
       the result. New centroid micro = floor(sum * 1.0 / count) evaluated
@@ -384,9 +421,10 @@ def train_ivf_centroids(
       remaining iterations are no-ops and early exit preserves equality
       with a fixed-iteration oracle).
 
-    Per iteration: one map-only assignment pass + ONE groupBy on `cell`
-    (k rows out, map-side combined) + a k-row collect. At 100 TB that is
-    the minimum possible data movement for Lloyd's algorithm; k-means|| style
+    Per iteration: one map-only assignment-and-partial-sum pass whose
+    output is k rows PER TASK, reduced on the driver (tasks x k x dims
+    longs — megabytes at thousand-executor scale). At 100 TB that is the
+    minimum possible data movement for Lloyd's algorithm; k-means|| style
     oversampling would only change the init, which is already O(k) here.
 
     Returns (id_col int cell, vec_col array<double>) — feed directly to
@@ -414,43 +452,57 @@ def train_ivf_centroids(
     ]
 
     # Lloyd re-reads the corpus every iteration: persist the projected
-    # training frame (id, vector, norm) once instead of re-scanning and
-    # re-normalizing per iteration — the standard Spark iterative-ML
-    # pattern (MLlib's KMeans does the same). MEMORY_AND_DISK spills
-    # gracefully when the corpus outgrows executor memory.
+    # training frame once instead of re-scanning per iteration — the
+    # standard Spark iterative-ML pattern (MLlib's KMeans does the same).
+    # MEMORY_AND_DISK spills gracefully when the corpus outgrows executor
+    # memory.
+    import numpy as np
+    import pandas as pd
     from pyspark import StorageLevel
 
-    src = df.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        _norm(F.col(vec_col)).alias("__vn"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    micro_sums = [
-        F.sum(
-            F.floor(F.element_at(F.col("v"), i).cast("double") * F.lit(1e6))
-        ).alias(f"s{i}")
-        for i in range(1, dims + 1)
-    ]
+    src = df.select(F.col(vec_col).alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    k = len(cents)
     for _ in range(iters):
-        ranked = _codebook_ranked_cells(
-            F.col("v"),
-            F.col("__vn"),
-            [[m / 1e6 for m in cm] for cm in cents],
-            list(range(len(cents))),
-            "int",
-        )
-        assigned = src.withColumn("cell", F.element_at(ranked, 1)["cell"])
-        stats = (
-            assigned.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("cnt"), *micro_sums)
-            .collect()
-        )
+        cent_lists = [[m / 1e6 for m in cm] for cm in cents]
+        c_arr = np.array(cent_lists, dtype=np.float64)
+        c_norms = np.array([math.sqrt(_seq_sq_sum(c)) for c in cent_lists])
+
+        def partials(batches, c_arr=c_arr, c_norms=c_norms):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                aff = _codebook_affinities(x, c_arr, c_norms)
+                cell = np.argsort(-aff, axis=1, kind="stable")[:, 0]
+                cnt = np.bincount(cell, minlength=k).astype(np.int64)
+                micro = np.floor(x * 1e6).astype(np.int64)  # (n, dims)
+                sums = np.zeros((k, micro.shape[1]), dtype=np.int64)
+                np.add.at(sums, cell, micro)
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(k, dtype=np.int32),
+                        "cnt": cnt,
+                        "sums": list(sums),
+                    }
+                )
+
+        stats = src.mapInPandas(
+            partials, "cell int, cnt long, sums array<long>"
+        ).toPandas()
+        counts = np.zeros(k, dtype=np.int64)
+        totals = np.zeros((k, dims), dtype=np.int64)
+        for _i, row in stats.iterrows():
+            counts[row["cell"]] += row["cnt"]
+            totals[row["cell"]] += np.asarray(row["sums"], dtype=np.int64)
         new_cents = [list(c) for c in cents]  # empty cells keep previous
-        for row in stats:
-            new_cents[row.cell] = [
-                int(math.floor(row[f"s{i}"] * 1.0 / row.cnt))
-                for i in range(1, dims + 1)
-            ]
+        for j in range(k):
+            if counts[j] > 0:
+                new_cents[j] = [
+                    int(math.floor(int(totals[j, i]) * 1.0 / int(counts[j])))
+                    for i in range(dims)
+                ]
         if new_cents == cents:
             break
         cents = new_cents
