@@ -40,11 +40,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: scripts/check_oracles.py locally.
 _GATE_TAIL = ("embedding_norms", "jaccard_pairs_docs", "asof_next_purchase")
 
+#: New-this-round additions ordered after the long-established queries (but
+#: before the expendable tail) so a truncating gate drops breadth extensions
+#: before it drops anything a prior round already certified.
+_GATE_LATE = ("corpus_vocabulary_docs", "embedding_quantize")
+
 
 def _gate_order(d: dict) -> dict:
-    head = {k: v for k, v in d.items() if k not in _GATE_TAIL}
+    deferred = set(_GATE_TAIL) | set(_GATE_LATE)
+    head = {k: v for k, v in d.items() if k not in deferred}
+    late = {k: d[k] for k in _GATE_LATE if k in d}
     tail = {k: d[k] for k in _GATE_TAIL if k in d}
-    return {**head, **tail}
+    return {**head, **late, **tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -387,6 +387,51 @@ def ivf_cells(
     ).mapInPandas(assign, f"vec_id {id_type}, cell {cell_type}, cell_rank int")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """(vec_id, dim, q, scale): symmetric per-vector int8 quantization —
+    the storage/bandwidth reduction pass an embedding corpus runs before
+    ANN indexing (4x smaller than float32, 8x than float64; dot products
+    on int8 SIMD-accelerate downstream).
+
+    q[d] = round(x[d] / scale * 127) with scale = max(|x|): HALF_UP
+    rounding matches every engine's `round(double)`, the division and
+    multiplication are single IEEE ops, so the oracle reproduces the codes
+    exactly. Zero vectors quantize to all-zero codes (scale coalesces to 1
+    to avoid 0/0). MAP-ONLY: one array fold for the scale + a posexplode —
+    no shuffle at any corpus size. Emitted EXPLODED (one row per dimension)
+    rather than as an array column so the correctness gate hashes scalar
+    cells.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    scale = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    src = df.select(
+        F.col(id_col).alias("vec_id"), v.alias("__v"), scale.alias("scale")
+    )
+    return src.select(
+        "vec_id",
+        F.posexplode(F.col("__v")),
+        "scale",
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("col").cast("double") / F.col("scale") * qmax)
+        .cast("int")
+        .alias("q"),
+        F.round(F.col("scale"), 6).alias("scale"),
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k: int = 16,

@@ -351,6 +351,46 @@ def bigram_logprob_score(
     )
 
 
+def corpus_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """(rank, term, tf, df): the top-k corpus vocabulary by term frequency
+    — the tokenizer-training / stopword-mining primitive (BPE and unigram
+    LM trainers both start from exactly this table).
+
+    One token explode -> (term -> tf, df) aggregation (map-side combined,
+    the classic word count), then a top-k rank. The global window runs on
+    the VOCAB-sized frame, not the corpus — at 100 TB the corpus
+    contributes one shuffle of partial counts and the single-partition
+    rank sees only distinct terms (and a TOP-K-pushable sort). Ties rank
+    deterministically (tf desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    per_doc = tokens.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    freqs = per_doc.groupBy("term").agg(
+        F.sum("tf_doc").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "tf", "df")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -661,3 +661,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
     )
+
+
+VOCAB_K = 100
+
+
+@register(
+    "corpus_vocabulary_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok AS term
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    freqs AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    )
+    SELECT rank, term, tf, df FROM (
+      SELECT *, row_number() OVER (ORDER BY tf DESC, term ASC) AS rank
+      FROM freqs
+    ) WHERE rank <= {VOCAB_K}
+    """,
+)
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k corpus vocabulary by term frequency (+ document frequency) —
+    the tokenizer-training / stopword-mining primitive. Corpus contributes
+    one map-side-combined count shuffle; the global rank runs on the
+    vocab-sized frame only (operators/text.corpus_vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.corpus_vocabulary(docs, k=VOCAB_K)

@@ -510,3 +510,37 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         nprobe=NPROBE,
     )
+
+
+@register(
+    "embedding_quantize",
+    f"""
+    WITH s AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale
+      FROM (SELECT vec_id,
+                   list_max([abs(CAST(embedding[i] AS DOUBLE))
+                             for i in range(1, {DIMS + 1})]) AS m
+            FROM embeddings)
+    )
+    SELECT e.vec_id, d.i AS dim,
+           CAST(round(CAST(e.embedding[d.i] AS DOUBLE) / s.scale * 127.0)
+                AS INTEGER) AS q,
+           round(s.scale, 6) AS scale
+    FROM embeddings e
+    JOIN s ON s.vec_id = e.vec_id
+    CROSS JOIN (SELECT unnest(range(1, {DIMS + 1})) AS i) d
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (4x storage cut before ANN
+    indexing): scale = max|x|, q = round(x/scale*127). Map-only — one
+    array fold + posexplode, no shuffle at any corpus size
+    (operators/similarity.quantize_embeddings). Emitted exploded so the
+    gate hashes scalar cells."""
+    from radar_output_restructure_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)

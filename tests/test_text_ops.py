@@ -711,3 +711,79 @@ def test_lsh_bucket_schema_and_range(spark):
     assert len(rows) == 20 * 3
     assert all(0 <= r.bucket < 2**6 for r in rows)
     assert {r.table for r in rows} == {0, 1, 2}
+
+
+def test_round6_spark_matches_spark_round(spark):
+    """_round6_spark must reproduce Spark's round(x, 6) bit-for-bit,
+    including decimal-boundary cases where the naive floor(|x|*1e6+0.5)
+    fast path and BigDecimal HALF_UP disagree."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.similarity import (
+        _round6_spark,
+    )
+
+    vals = [
+        0.1234565,        # repr boundary: stored double is ...64999999
+        -0.1234565,
+        0.12345649999999999,
+        0.9999995,
+        -0.9999995,
+        0.0000005,
+        1.0, -1.0, 0.0,
+        0.123456789,
+        -0.987654321,
+        0.5e-7,
+        1.0000004999999999,
+    ] + [((i * 2654435761) % 1000003) / 999983.0 - 0.5 for i in range(50)]
+    ours = _round6_spark(np.array(vals, dtype=np.float64))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+
+    theirs = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    for v, a, b in zip(vals, ours, theirs):
+        assert float(a) == float(b), (v, float(a), float(b))
+
+
+def test_corpus_vocabulary(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.text import corpus_vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the dog sat"),
+            Row(doc_id=3, text="a cat"),
+        ]
+    )
+    out = {r.term: r for r in corpus_vocabulary(docs, k=3).collect()}
+    assert out["the"].rank == 1 and out["the"].tf == 3 and out["the"].df == 2
+    # tf tie between cat/sat (2 each) ranks alphabetically
+    assert out["cat"].rank == 2 and out["cat"].df == 2
+    assert out["sat"].rank == 3 and out["sat"].tf == 2
+    assert len(out) == 3  # k enforced
+
+
+def test_quantize_embeddings(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ]
+    )
+    rows = {(r.vec_id, r.dim): r for r in quantize_embeddings(df).collect()}
+    assert rows[(1, 1)].q == 64      # 0.5/1.0*127 = 63.5 -> HALF_UP 64
+    assert rows[(1, 2)].q == -127
+    assert rows[(1, 3)].q == 32      # 31.75 -> 32
+    assert rows[(1, 4)].q == 0
+    assert rows[(1, 1)].scale == 1.0
+    # zero vector: scale coalesces to 1, all codes 0
+    assert all(rows[(2, d)].q == 0 for d in range(1, 5))
+    assert rows[(2, 1)].scale == 1.0
