@@ -140,27 +140,11 @@ class PathFormat:
     ) -> DataFrame:
         """Attach segment columns `_seg0.._segN` and the joined `out_col`."""
         attempt = attempt if attempt is not None else F.lit(0)
-        if self.needs_mp_join():
-            if self.mp_dim is None:
-                raise ValueError("${mp:...} used but no mp_dim DataFrame supplied")
-            dim = self.mp_dim
-            renamed = dim.select(
-                F.col("projectId").alias("__mp_p"),
-                F.col("userId").alias("__mp_u"),
-                *[
-                    F.col(c).alias(f"mp_{c}")
-                    for c in dim.columns
-                    if c not in ("projectId", "userId")
-                ],
-            )
-            df = df.join(
-                F.broadcast(renamed),
-                (F.col("key.projectId") == F.col("__mp_p"))
-                & (F.col("key.userId") == F.col("__mp_u")),
-                "left",
-            ).drop("__mp_p", "__mp_u")
+        df = self._with_mp_join(df)
         segs = [self._segment(df, p, event_ts, attempt) for p in self._params]
-        return df.withColumn(out_col, F.concat_ws("/", *segs))
+        return df.withColumn(out_col, F.concat_ws("/", *segs)).drop(
+            *self._mp_cols()
+        )
 
     def template_column(
         self, df: DataFrame, event_ts: Column, attempt: Column | None = None
@@ -180,6 +164,42 @@ class PathFormat:
             cols.append(F.lit(self.fmt[pos:]))
         return F.concat(*cols)
 
+    def _mp_cols(self) -> list[str]:
+        """Names the mp join adds — dropped again once segments are computed
+        (MP values route files; they are not record content)."""
+        if not self.needs_mp_join() or self.mp_dim is None:
+            return []
+        return [
+            f"mp_{c}"
+            for c in self.mp_dim.columns
+            if c not in ("projectId", "userId")
+        ]
+
+    def _with_mp_join(self, df: DataFrame) -> DataFrame:
+        """Broadcast-join the `${mp:...}` dimension frame (as `mp_<attr>`
+        columns) when the format uses it — shared by `apply` and
+        `partition_columns`."""
+        if not self.needs_mp_join():
+            return df
+        if self.mp_dim is None:
+            raise ValueError("${mp:...} used but no mp_dim DataFrame supplied")
+        dim = self.mp_dim
+        renamed = dim.select(
+            F.col("projectId").alias("__mp_p"),
+            F.col("userId").alias("__mp_u"),
+            *[
+                F.col(c).alias(f"mp_{c}")
+                for c in dim.columns
+                if c not in ("projectId", "userId")
+            ],
+        )
+        return df.join(
+            F.broadcast(renamed),
+            (F.col("key.projectId") == F.col("__mp_p"))
+            & (F.col("key.userId") == F.col("__mp_u")),
+            "left",
+        ).drop("__mp_p", "__mp_u")
+
     def partition_columns(
         self, df: DataFrame, event_ts: Column, prefix: str = "pf_"
     ) -> tuple[DataFrame, list[str]]:
@@ -187,6 +207,7 @@ class PathFormat:
         the groupBy/partitionBy key set for the partitioned writer."""
         names: list[str] = []
         attempt = F.lit(0)
+        df = self._with_mp_join(df)
         for p in self._params:
             if p in ("filename", "attempt", "extension"):
                 continue
@@ -195,7 +216,7 @@ class PathFormat:
             names.append(name)
         df = df.withColumn(prefix + "bin", time_bin(event_ts, self.time_bin_format))
         names.append(prefix + "bin")
-        return df, names
+        return df.drop(*self._mp_cols()), names
 
 
 @dataclass

@@ -101,6 +101,14 @@ class RestructureConfig:
     # G6: per-record target bucket (FormattedPathFactory.kt:51-60); None keeps
     # a single output root, matching the reference's local-storage behavior.
     bucket: BucketFormat | None = None
+    # G5/J4: `${mp:...}` dimension source. Either a caller-materialized
+    # DataFrame (projectId, userId, <attr>...) — the offline default — or
+    # the reference plugin's REST properties (managementPortalUrl,
+    # managementPortalClientId, managementPortalClientSecret;
+    # path/MPPathFormatterPlugin.kt:26-28), which the plan resolves once
+    # per run through sources/mp_client (driver-side, TTL-cached).
+    mp_dim: "DataFrame | None" = None
+    mp_properties: dict | None = None
 
 
 class RestructurePlan:
@@ -143,6 +151,27 @@ class RestructurePlan:
         self.schema_cache = SchemaFingerprintCache(
             offsets_dir, self.target_storage
         )
+        self._mp_dim_cache: DataFrame | None = None
+
+    def _resolve_mp_dim(self) -> DataFrame | None:
+        """`${mp:...}` dimension frame: explicit `mp_dim` wins; otherwise
+        `mp_properties` builds the REST client once per plan (TTL caches
+        inside the client keep repeat topics cheap) and the frame is cached
+        so every topic's path compile joins the same snapshot."""
+        cfg = self.config
+        if cfg.mp_dim is not None:
+            return cfg.mp_dim
+        if cfg.mp_properties is None:
+            return None
+        if self._mp_dim_cache is None:
+            from radar_output_restructure_spark.sources.mp_client import (
+                MPPathPlugin,
+            )
+
+            self._mp_dim_cache = MPPathPlugin(cfg.mp_properties).mp_dim(
+                self.spark
+            )
+        return self._mp_dim_cache
 
     # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
 
@@ -203,6 +232,7 @@ class RestructurePlan:
             time_bin_format=cfg.time_bin_format,
             extension="",
             custom_params=cfg.path_params,
+            mp_dim=self._resolve_mp_dim(),
         )
         ts = event_time(df)
         df, part_cols = fmt.partition_columns(df, ts)

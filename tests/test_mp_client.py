@@ -190,3 +190,46 @@ def test_live_http_roundtrip(spark, mp_server):
     dim = plugin.mp_dim(spark)
     rows = {(r.projectId, r.userId) for r in dim.collect()}
     assert ("radar-p1", "u1") in rows and ("radar-p2", "u3") in rows
+
+
+def test_restructure_pipeline_with_mp_properties(spark, tmp_path, mp_server):
+    """End-to-end G5: RestructureConfig.mp_properties drives the REST fetch
+    and `${mp:...}` segments route output files — no manual dim table."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.plans.restructure import (
+        RestructureConfig,
+        RestructurePlan,
+    )
+    from tests.test_restructure_e2e import (
+        SERVER_STATUS_SCHEMA,
+        _write_fixture,
+    )
+
+    rows = [
+        Row(
+            key=Row(projectId="radar-p1", userId="u1", sourceId="s"),
+            value=Row(time=3600.0 + i, serverStatus="CONNECTED", ipAddress=None),
+        )
+        for i in range(3)
+    ]
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(spark, input_dir, "t", rows, 0, 0, 2, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        path_format="${mp:organization}/${mp:group}/${userId}/${topic}/${filename}",
+        mp_properties={
+            "managementPortalUrl": mp_server,
+            "managementPortalClientId": "cid",
+            "managementPortalClientSecret": "sec",
+        },
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    assert len(finals) == 1
+    rel = finals[0].replace(output_dir + "/", "")
+    assert rel.startswith("org-main/g-a/u1/t/")
+    # MP values route files; they must NOT leak into record content
+    header = open(finals[0]).readline().strip()
+    assert "mp_" not in header
+    assert header.startswith("key.projectId,key.userId")
