@@ -43,7 +43,11 @@ _GATE_TAIL = ("embedding_norms", "jaccard_pairs_docs", "asof_next_purchase")
 #: New-this-round additions ordered after the long-established queries (but
 #: before the expendable tail) so a truncating gate drops breadth extensions
 #: before it drops anything a prior round already certified.
-_GATE_LATE = ("corpus_vocabulary_docs", "embedding_quantize")
+_GATE_LATE = (
+    "corpus_vocabulary_docs",
+    "embedding_quantize",
+    "simhash_near_dup_docs",
+)
 
 
 def _gate_order(d: dict) -> dict:

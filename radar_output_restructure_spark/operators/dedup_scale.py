@@ -367,6 +367,78 @@ def simhash(
     return agg.select("doc", fp.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): SimHash near-duplicate pairs via banded
+    hamming buckets — the consumer of the `simhash` fingerprint and the
+    bit-domain analog of MinHash band LSH.
+
+    The b-bit fingerprint splits into `bands` equal byte-bands; candidate
+    pairs share at least one (band index, band value) bucket, then verify
+    with an exact popcount of the XOR. With bands > max_hamming the recall
+    is EXACT by pigeonhole: <= max_hamming differing bits cannot touch all
+    `bands` bands, so every qualifying pair collides in some band. At
+    100 TB: one groupBy per fingerprint (simhash itself), a map-only band
+    explode, a bucket-equijoin (never all-pairs), and integer popcount
+    verification restricted to candidates.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming for exact pigeonhole recall"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash(df, text_col, id_col, bits)
+    banded = fp.select(
+        "doc",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    )
+    cand = (
+        banded.select(F.col("doc").alias("doc_a"), "band", "bv")
+        .join(
+            banded.select(F.col("doc").alias("doc_b"), "band", "bv"),
+            ["band", "bv"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
+    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame, max_iterations: int = 20, driver_max_pairs: int = 5_000_000
 ) -> DataFrame:

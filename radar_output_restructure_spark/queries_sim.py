@@ -544,3 +544,61 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb)
+
+
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+_SH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+
+
+@register(
+    "simhash_near_dup_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    hashed AS (SELECT doc, {_H} AS h
+               FROM (SELECT doc, md5(tok) AS md FROM toks)),
+    votes AS (
+      SELECT doc,
+             {_SQL_VOTES}
+      FROM hashed GROUP BY doc
+    ),
+    fp AS (SELECT doc, {_SQL_FP_SUM} AS simhash FROM votes),
+    b AS (
+      SELECT doc, i AS band,
+             (simhash >> (i * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS bv
+      FROM fp, (SELECT unnest(range({SIMHASH_BANDS})) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, c.doc AS doc_b
+      FROM b a JOIN b c USING (band, bv)
+      WHERE a.doc < c.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc = c.doc_a
+    JOIN fp fb ON fb.doc = c.doc_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band hamming buckets -> exact popcount
+    verify (<= 3 differing bits of 32). bands > max_hamming makes banded
+    recall EXACT by pigeonhole (operators/dedup_scale.simhash_near_dup_pairs)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return simhash_near_dup_pairs(
+        docs,
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )

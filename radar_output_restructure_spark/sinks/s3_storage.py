@@ -60,11 +60,16 @@ def parse_s3_url(path: str) -> tuple[str, str]:
 #: deployments on the Hadoop connector.
 _TRANSLATABLE_PROVIDERS = (
     "",
+    # Hadoop's DEFAULT chain (static keys -> session keys -> env vars ->
+    # instance profile) is exactly what boto3's default chain resolves too
     "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider",
     "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider",
     "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+    "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider",
     "com.amazonaws.auth.DefaultAWSCredentialsProviderChain",
+    "com.amazonaws.auth.EnvironmentVariableCredentialsProvider",
     "software.amazon.awssdk.auth.credentials.DefaultCredentialsProvider",
+    "software.amazon.awssdk.auth.credentials.EnvironmentVariableCredentialsProvider",
 )
 
 

@@ -203,3 +203,44 @@ def test_restructure_pipeline_to_s3_target(spark, tmp_path, storage):
         f for f in storage.walk_files(out_root) if "schema-srv.json" in f
     ]
     assert sidecars, "schema sidecar missing on S3 target"
+
+
+def test_s3_kwargs_from_hadoop_conf(spark):
+    """fs.s3a.* translation: existing s3a deployments keep endpoint/account."""
+    from radar_output_restructure_spark.sinks.s3_storage import (
+        s3_kwargs_from_hadoop_conf,
+    )
+
+    conf = spark._jsc.hadoopConfiguration()
+    keys = {
+        "fs.s3a.endpoint": "minio.local:9000",
+        "fs.s3a.connection.ssl.enabled": "false",
+        "fs.s3a.access.key": "AK",
+        "fs.s3a.secret.key": "SK",
+        "fs.s3a.path.style.access": "true",
+        "fs.s3a.endpoint.region": "eu-west-1",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        kwargs, path_style, translatable = s3_kwargs_from_hadoop_conf(spark)
+        assert kwargs["endpoint_url"] == "http://minio.local:9000"
+        assert kwargs["aws_access_key_id"] == "AK"
+        assert kwargs["aws_secret_access_key"] == "SK"
+        assert kwargs["region_name"] == "eu-west-1"
+        assert path_style and translatable
+
+        conf.set(
+            "fs.s3a.aws.credentials.provider",
+            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider",
+        )
+        _kw, _ps, translatable = s3_kwargs_from_hadoop_conf(spark)
+        assert not translatable  # exotic provider -> stay on Hadoop connector
+    finally:
+        conf.unset("fs.s3a.aws.credentials.provider")
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -787,3 +787,35 @@ def test_quantize_embeddings(spark):
     # zero vector: scale coalesces to 1, all codes 0
     assert all(rows[(2, d)].q == 0 for d in range(1, 5))
     assert rows[(2, 1)].scale == 1.0
+
+
+def test_simhash_near_dup_pairs(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=3, text="entirely different words about spaceships and plasma"),
+        ]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(docs, bands=8, max_hamming=6).collect()
+    }
+    fps = {r.doc: r.simhash for r in simhash(docs).collect()}
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    if ham12 <= 6:  # exact recall guaranteed: 8 bands > 6 differing bits
+        assert pairs[(1, 2)] == ham12
+    # exact-recall pigeonhole guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, bits=32, bands=5)
