@@ -396,7 +396,10 @@ def simhash_near_dup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    fp = simhash(df, text_col, id_col, bits)
+    # fp feeds three branches (band explode + both verify sides): materialize
+    # the doc-per-row fingerprint frame once instead of re-tokenizing and
+    # re-aggregating the corpus per branch (same pattern as tfidf's tf frame)
+    fp = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     banded = fp.select(
         "doc",
         F.inline(
