@@ -819,3 +819,34 @@ def test_simhash_near_dup_pairs(spark):
         simhash_near_dup_pairs(docs, bands=4, max_hamming=4)
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(docs, bits=32, bands=5)
+
+
+def test_round6_spark_property_decimal_halfup():
+    """Property: _round6_spark == BigDecimal-style HALF_UP on the shortest
+    decimal repr, for arbitrary doubles (the spec Spark's round implements)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from radar_output_restructure_spark.operators.similarity import (
+        _round6_spark,
+    )
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        )
+    )
+    def check(x):
+        expected = float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        got = float(_round6_spark(np.array([x], dtype=np.float64))[0])
+        assert got == expected, (x, got, expected)
+
+    check()
