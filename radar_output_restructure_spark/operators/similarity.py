@@ -268,6 +268,97 @@ def cosine_topk_lsh(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def near_dup_pairs_from_buckets(
+    emb: DataFrame,
+    buckets: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim): every id-ordered pair sharing a (table, bucket)
+    whose exact cosine >= `threshold`, verified WITHIN the bucket.
+
+    The verification stage of embedding near-dup (the analog of MinHash's
+    jaccard_for_pairs). Earlier plan: bucket self-join -> distinct pairs ->
+    two row-joins back to the vectors -> interpreted HOF cosine per pair.
+    That materializes and shuffles every candidate pair THREE times (join,
+    distinct, vector joins) and folds 2*dims interpreted lambda steps per
+    pair — measured 15 s at sf0.1 against ~1.5 s for this form. Here each
+    (table, bucket) group verifies its own pairs in one Arrow batch: the
+    vectors shuffle ONCE (to their buckets — linear in corpus x tables),
+    pairs above threshold are the only per-pair rows ever materialized, and
+    a final distinct dedupes pairs colliding in several tables.
+
+    Bit-exactness vs the Column/SQL form is preserved the same way as
+    `hyperplane_lsh_buckets`: dots and norms accumulate sequentially over
+    DIMENSIONS (vectorized across pairs), reproducing the left-to-right
+    IEEE fold of zip_with/aggregate and the oracle's unrolled sum; rounding
+    is `_round6_spark` (Spark's HALF_UP on the shortest-decimal value).
+    A duplicate-heavy bucket at 100 TB is inherently quadratic in ITS OWN
+    size for any exact-verify design; pair work here is chunked so memory
+    stays bounded even for a degenerate bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = emb.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_a {id_type}, vec_b {id_type}, sim double"
+    chunk = 1 << 21  # pairs per verification chunk (~2M -> tens of MB)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        idd = pdf["vec_id"].dtype
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype=idd),
+                "vec_b": pd.Series([], dtype=idd),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id", kind="stable")
+        ids = pdf["vec_id"].to_numpy()
+        x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)  # (m, dims)
+        dims = x.shape[1]
+        sq = np.zeros(m)
+        for d in range(dims):  # sequential over dims == the fold order
+            xd = x[:, d]
+            sq = sq + xd * xd
+        norms = np.sqrt(sq)
+        ia, ib = np.triu_indices(m, 1)  # ids sorted -> vec_a < vec_b
+        outs = []
+        for s in range(0, len(ia), chunk):
+            ja, jb = ia[s : s + chunk], ib[s : s + chunk]
+            a, b = x[ja], x[jb]
+            acc = np.zeros(len(ja))
+            for d in range(dims):
+                acc = acc + a[:, d] * b[:, d]
+            sim = _round6_spark(acc / (norms[ja] * norms[jb]))
+            keep = sim >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ja[keep]],
+                            "vec_b": ids[jb[keep]],
+                            "sim": sim[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    return (
+        buckets.join(vecs, "vec_id")
+        .groupBy("table", "bucket")
+        .applyInPandas(verify, out_schema)
+        .distinct()
+    )
+
+
 def _round6_spark(a):
     """Vectorized replica of Spark's `round(x, 6)` on DOUBLE:
     BigDecimal.valueOf(x) — the shortest decimal representation — quantized

@@ -175,6 +175,133 @@ def fingerprint(col: Column | str, normalize: bool = True) -> Column:
     return F.expr(md5_horner_sql(expr))
 
 
+WINNOW_K = 8  # chars per k-gram (substring granularity of the fingerprint)
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per w k-grams
+WINNOW_MOD = 1_000_000_007
+WINNOW_BASE = 257  # > any expected code point spread per position
+
+
+def winnow_powers(k: int = WINNOW_K) -> list[int]:
+    """BASE^(k-1-j) % MOD for j = 0..k-1 — the polynomial k-gram hash
+    coefficients, shared verbatim between the Spark operator and the SQL
+    oracle (inlined as literals there, same pattern as the LSH planes)."""
+    return [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc, fp): winnowed rolling-hash fingerprints — the MOSS/winnowing
+    document signature (Schleimer et al., SIGMOD'03). Each char-level
+    k-gram of the whitespace-normalized text hashes polynomially
+    (sum ord(c[i+j]) * BASE^(k-1-j) mod MOD); each window of `w`
+    consecutive k-gram hashes contributes its minimum; the distinct minima
+    are the document's fingerprints. Guarantees: any shared substring of
+    length >= k + w - 1 yields at least one shared fingerprint, so overlap
+    detection is position-robust (unlike the whole-document `fingerprint`).
+
+    Docs shorter than k chars (after normalization) emit no fingerprints;
+    docs with fewer than w k-grams emit the single global minimum.
+
+    MAP-ONLY, Arrow-vectorized: all arithmetic is exact int64 modular math
+    (products stay < 2^63), so any engine computing the same formula —
+    e.g. the DuckDB list-comprehension oracle — reproduces the integers
+    bit-for-bit. Per-doc dedup happens in the batch (np.unique), so no
+    Spark-side distinct/shuffle exists at any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    powers = winnow_powers(k)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def winnow(batches):
+        for pdf in batches:
+            docs_out: list[np.ndarray] = []
+            fps_out: list[np.ndarray] = []
+            for doc, s in zip(pdf["__id"].to_numpy(), pdf["__t"].to_numpy()):
+                if s is None:
+                    continue
+                codes = np.frombuffer(
+                    s.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = len(codes) - k + 1
+                if m <= 0:
+                    continue
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h + codes[j : j + m] * powers[j]) % WINNOW_MOD
+                if m <= w:
+                    fps = h.min(keepdims=True)
+                else:
+                    fps = np.lib.stride_tricks.sliding_window_view(h, w).min(
+                        axis=1
+                    )
+                fps = np.unique(fps)
+                docs_out.append(np.repeat(doc, len(fps)))
+                fps_out.append(fps)
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "doc": np.concatenate(docs_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    normalized = F.lower(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+    return df.select(
+        F.col(id_col).alias("__id"), normalized.alias("__t")
+    ).mapInPandas(winnow, f"doc {id_type}, fp bigint")
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_df: int = 20,
+    min_common: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common): document pairs sharing >= `min_common`
+    winnowed fingerprints — substring-level near-dup/plagiarism candidates.
+
+    Fingerprints occurring in more than `max_df` documents are STOP
+    fingerprints (boilerplate k-grams every document contains) and are
+    dropped before the self-join — the same frequency cap the Jaccard path
+    applies to stop shingles. That cap is what keeps the join linear-ish at
+    100 TB: group sizes are bounded by `max_df`, so candidate pairs per
+    fingerprint are <= max_df^2 regardless of corpus size.
+    """
+    # the fingerprint frame feeds three branches (df-cap agg + both
+    # self-join sides); materialize once instead of re-winnowing per branch
+    # (same persist-before-inverted-index-join as the Jaccard path).
+    fps = winnowing_fingerprints(df, text_col, id_col, k, w).localCheckpoint(
+        eager=False
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    return (
+        kept.select(F.col("doc").alias("doc_a"), "fp")
+        .join(kept.select(F.col("doc").alias("doc_b"), "fp"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: tokens, quality, language, fingerprint."""
     feats = quality_features(text_col)

@@ -694,3 +694,86 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized frame only (operators/text.corpus_vocabulary)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return X.corpus_vocabulary(docs, k=VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document signatures, MOSS-style)
+# ---------------------------------------------------------------------------
+
+WINNOW_MAX_DF = 20
+WINNOW_MIN_COMMON = 3
+
+
+def _winnow_sql_cte() -> str:
+    """The shared h->fps CTE body: k-gram polynomial hashes as a DuckDB list
+    comprehension (coefficients inlined from the SAME Python constants the
+    Spark operator uses), then winnowed window minima. Mirrors
+    operators/text.winnowing_fingerprints exactly in int64 math."""
+    k, w = X.WINNOW_K, X.WINNOW_W
+    powers = X.winnow_powers(k)
+    term = " + ".join(
+        f"CAST(ascii(t[i+{j}:i+{j}]) AS BIGINT) * {powers[j]}"
+        for j in range(k)
+    )
+    return f"""
+    h AS (
+      SELECT doc_id AS doc,
+             [({term}) % {X.WINNOW_MOD}
+              for i in range(1, length(t) - {k - 2})] AS hs
+      FROM (SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+            FROM documents)
+      WHERE length(t) >= {k}
+    ),
+    fps AS (
+      SELECT doc,
+             unnest(list_distinct(
+               [list_min(hs[i:i+{w - 1}])
+                for i in range(1, greatest(len(hs) - {w - 2}, 2))]
+             )) AS fp
+      FROM h
+    )"""
+
+
+@register(
+    "doc_winnow_fingerprints",
+    f"""
+    WITH {_winnow_sql_cte()}
+    SELECT doc, fp FROM fps
+    """,
+)
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (Schleimer et al. SIGMOD'03): the
+    position-robust substring signature — any shared run of k+w-1 chars
+    guarantees a shared fingerprint. Map-only exact-int64 Arrow pass, no
+    shuffle at any corpus size (operators/text.winnowing_fingerprints)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.winnowing_fingerprints(docs)
+
+
+@register(
+    "doc_fingerprint_overlap",
+    f"""
+    WITH {_winnow_sql_cte()},
+    keep AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(*) >= 2 AND count(*) <= {WINNOW_MAX_DF}
+    ),
+    kept AS (SELECT doc, fp FROM fps JOIN keep USING (fp))
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+    FROM kept a JOIN kept b USING (fp)
+    WHERE a.doc < b.doc
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_COMMON}
+    """,
+)
+def q_doc_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidate pairs via shared winnowed fingerprints,
+    with boilerplate fingerprints (df > {max_df}) dropped before the
+    inverted-index self-join — group sizes stay bounded, so pair work per
+    fingerprint is O(max_df^2) regardless of corpus size
+    (operators/text.fingerprint_overlap_pairs)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.fingerprint_overlap_pairs(
+        docs, max_df=WINNOW_MAX_DF, min_common=WINNOW_MIN_COMMON
+    )

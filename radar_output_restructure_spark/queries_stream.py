@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from radar_output_restructure_spark.operators.similarity import (
     auto_num_planes,
-    cosine,
     hyperplane_lsh_buckets,
 )
 from radar_output_restructure_spark.queries import register
@@ -89,43 +88,17 @@ def _near_dup_from_buckets(emb: DataFrame, cb: DataFrame) -> DataFrame:
 
     Shared body of the fixed-plane and auto-plane near-dup queries: the
     embedding analog of MinHash near-dup (candidates per bucket, never
-    all-pairs)."""
-    from radar_output_restructure_spark.operators.similarity import _dot, _norm
+    all-pairs). Verification is the per-bucket Arrow path
+    (operators/similarity.near_dup_pairs_from_buckets): vectors shuffle once
+    to their buckets and each bucket verifies its own pairs in numpy with
+    the oracle's exact fold order — the earlier candidate self-join +
+    per-pair HOF cosine materialized every candidate through three shuffles
+    and ran ~10x slower at sf0.1."""
+    from radar_output_restructure_spark.operators.similarity import (
+        near_dup_pairs_from_buckets,
+    )
 
-    cand = (
-        cb.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
-        .join(
-            cb.select(F.col("vec_id").alias("vec_b"), "table", "bucket"),
-            ["table", "bucket"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    # norms once per VECTOR, not per pair: same double values (identical
-    # fold), one third of the per-pair array work
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("cv"),
-        _norm(F.col("embedding")).alias("nb"),
-    )
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                _dot(F.col("qv"), F.col("cv")) / (F.col("na") * F.col("nb")), 6
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= NEAR_DUP_COSINE)
-    )
+    return near_dup_pairs_from_buckets(emb, cb, NEAR_DUP_COSINE)
 
 
 @register(

@@ -850,3 +850,134 @@ def test_round6_spark_property_decimal_halfup():
         assert got == expected, (x, got, expected)
 
     check()
+
+
+def test_near_dup_bucket_verify_matches_column_form(spark):
+    """The per-bucket Arrow verifier must reproduce the Column-expression
+    plan (bucket self-join -> HOF cosine per pair) bit-for-bit: same pairs,
+    same rounded sims, across multi-table collisions and sub-threshold
+    drops."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        _dot,
+        _norm,
+        hyperplane_lsh_buckets,
+        near_dup_pairs_from_buckets,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(
+                vec_id=i,
+                embedding=[
+                    float(((i * 13 + d * 7) % 11) - 5) / 3.0 for d in range(16)
+                ],
+            )
+            for i in range(40)
+        ]
+    )
+    cb = hyperplane_lsh_buckets(emb, num_planes=3, dims=16, num_tables=2)
+    threshold = 0.2
+
+    got = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in near_dup_pairs_from_buckets(emb, cb, threshold).collect()
+    }
+
+    cand = (
+        cb.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+        .join(
+            cb.select(F.col("vec_id").alias("vec_b"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    want = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the fixture must actually exercise collisions
+
+
+def test_winnowing_fingerprints_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; docs shorter than k emit
+    none; docs with fewer than w k-grams emit exactly their global min."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared = "x" * 0 + "quizzical jackdaws vex"  # >= k + w - 1 chars
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha beta {shared} gamma"),
+            Row(doc_id=2, text=f"{shared} omega entirely different tail"),
+            Row(doc_id=3, text="short"),          # < k chars
+            Row(doc_id=4, text="abcdefghi"),      # k <= len < k + w - 1
+        ]
+    )
+    rows = winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert 3 not in by_doc
+    # doc 4: 2 k-grams < w -> single global-min fingerprint
+    assert len(by_doc[4]) == 1
+
+
+def test_fingerprint_overlap_pairs_stop_fp_cap(spark):
+    """Boilerplate fingerprints present in more than max_df docs must not
+    produce pairs; genuinely shared rare substrings must."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.text import (
+        fingerprint_overlap_pairs,
+    )
+
+    boiler = "all rights reserved worldwide"
+    rare = "the seventeen purple zeppelins landed quietly"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i} body {boiler}") for i in range(10)]
+        + [
+            Row(doc_id=100, text=f"intro {rare} outro one"),
+            Row(doc_id=101, text=f"other {rare} ending two"),
+        ]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in fingerprint_overlap_pairs(
+            docs, max_df=3, min_common=2
+        ).collect()
+    }
+    assert (100, 101) in pairs
+    assert all(a == 100 and b == 101 for (a, b) in pairs)
