@@ -82,6 +82,12 @@ BENCH_QUERIES = [
     "doc_redact_pii",
     # round-4 additions
     "embedding_near_dup_pairs_auto",
+    "simhash_near_dup_docs",
+    "doc_winnow_fingerprints",
+    "doc_fingerprint_overlap",
+    "temperature_mixture_docs",
+    "knn_label_accuracy",
+    "event_props_json",
 ]
 
 

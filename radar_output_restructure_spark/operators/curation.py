@@ -42,6 +42,58 @@ def stratified_sample(
     return df.filter(bucket_hash < rate)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    bucket_col: str = "lang",
+    id_col: str = "doc_id",
+    base_rate_per_mille: int = 500,
+) -> DataFrame:
+    """Exponent-0.5 mixture rebalancing: keep each row with probability
+    r_bucket = min(1, (base/1000) * sqrt(n_head / n_bucket)), where n_head
+    is the LARGEST bucket's count — the multilingual temperature-smoothing
+    rule (sample share ~ p^(1/T), T=2) anchored so the head bucket keeps
+    exactly the base rate and tail buckets are upsampled toward parity.
+
+    The exponent is fixed at 0.5 because IEEE sqrt is correctly rounded on
+    every engine while pow(x, 1/T) is not — so the rates, and therefore the
+    kept row set, are bit-reproducible cross-engine. The keep predicate is
+    the same deterministic 53-bit id-hash as `stratified_sample`, compared
+    as hash/FP_PRIME < r (exact dyadic-free single-division comparison).
+
+    Scale: the bucket-count aggregate is vocabulary-of-languages sized; the
+    head count is a 1-row scalar frame; the rate join broadcasts by size.
+    The corpus itself sees one map-side-combined count shuffle and a
+    map-only filter — no row-level shuffle.
+    """
+    from radar_output_restructure_spark.operators.text import (
+        FP_PRIME,
+        md5_horner_sql,
+    )
+
+    counts = df.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    head = counts.agg(F.max("__n").alias("__n_head"))
+    rates = counts.crossJoin(head).select(
+        bucket_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(base_rate_per_mille / 1000.0)
+            * F.sqrt(
+                F.col("__n_head").cast("double") / F.col("__n").cast("double")
+            ),
+        ).alias("__r"),
+    )
+    u = F.expr(md5_horner_sql(f"CAST(`{id_col}` AS STRING)")) * F.lit(
+        1.0
+    ) / F.lit(float(FP_PRIME))
+    return (
+        df.join(rates, bucket_col)
+        .filter(u < F.col("__r"))
+        .drop("__r")
+    )
+
+
 def contamination_scores(
     corpus: DataFrame,
     eval_df: DataFrame,

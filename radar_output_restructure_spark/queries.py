@@ -805,3 +805,40 @@ def q_rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     return rolling_window_stats(ev, keys="user_id").drop("value")
+
+
+@register(
+    "event_props_json",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(sum(k) * 1.0 / count(k), 6) AS avg_k
+    FROM p GROUP BY event_type
+    """,
+)
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull `$.k` out of the JSON `props`
+    column (JVM-side get_json_object — no Python, no schema inference
+    pass) and aggregate per event type. The average is an exact
+    integer-sum / integer-count single division, so engines agree
+    bit-for-bit; at scale this is one map-side-combined shuffle on
+    event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.sum("k") * F.lit(1.0) / F.count("k"), 6).alias("avg_k"),
+        )
+    )

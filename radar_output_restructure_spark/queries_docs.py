@@ -777,3 +777,45 @@ def q_doc_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint_overlap_pairs(
         docs, max_df=WINNOW_MAX_DF, min_common=WINNOW_MIN_COMMON
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-smoothed language mixture (exponent-0.5 rebalancing)
+# ---------------------------------------------------------------------------
+
+MIXTURE_BASE_PER_MILLE = 500
+
+
+@register(
+    "temperature_mixture_docs",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    head AS (SELECT max(n) AS n_head FROM counts),
+    rates AS (
+      SELECT lang,
+             least(1.0, {MIXTURE_BASE_PER_MILLE / 1000.0!r}
+                        * sqrt(CAST(n_head AS DOUBLE) / CAST(n AS DOUBLE))) AS r
+      FROM counts, head
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates USING (lang)
+    WHERE ({X.md5_horner_sql("CAST(doc_id AS STRING)")}) * 1.0
+          / {X.FP_PRIME} < r
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponent-0.5 language-mixture rebalancing (sample share ~ p^(1/2)):
+    the head language keeps the base rate, tail languages upsample toward
+    parity — the standard multilingual temperature-smoothing pass, made
+    deterministic with the 53-bit id-hash and an IEEE-sqrt-only rate
+    formula (operators/curation.temperature_mixture_sample)."""
+    from radar_output_restructure_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return temperature_mixture_sample(
+        docs, base_rate_per_mille=MIXTURE_BASE_PER_MILLE
+    ).select("doc_id", "lang")

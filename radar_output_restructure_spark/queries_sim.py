@@ -8,7 +8,7 @@ structurally identical expressions (same hash, same fold order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from radar_output_restructure_spark.operators.dedup_scale import (
@@ -601,4 +601,101 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=SIMHASH_BITS,
         bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-accuracy evaluation (embedding-quality probe)
+# ---------------------------------------------------------------------------
+
+KNN_N_QUERIES = 100
+
+
+@register(
+    "knn_label_accuracy",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < {KNN_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nbr_label
+          FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id, nbr_label,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM c, q WHERE neighbor_id != query_id
+    ),
+    topk AS (
+      SELECT query_id, nbr_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM sims
+      ) WHERE rank <= {TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, nbr_label, count(*) AS n_votes
+      FROM topk GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, nbr_label AS pred_label FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY n_votes DESC, nbr_label ASC) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS accuracy
+    FROM pred JOIN q USING (query_id)
+    GROUP BY true_label
+    """,
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: k-NN majority-vote label prediction over the
+    labeled corpus, accuracy per true label — the standard eval a pipeline
+    runs after (re)embedding to catch representation regressions. Votes tie
+    to the smallest label; ranking uses the deterministic rounded-cosine +
+    id ordering of the ANN family. The corpus side stays partitioned (the
+    query set broadcasts), so the plan scales like cosine_topk."""
+    from radar_output_restructure_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < KNN_N_QUERIES), k=TOP_K
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nbr_label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.round(
+                F.sum(correct) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
     )

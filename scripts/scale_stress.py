@@ -47,6 +47,7 @@ HEAVY = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_auto",
     "ann_ivf_topk",
+    "doc_fingerprint_overlap",
 ]
 
 ID_STRIDE = 10_000_000

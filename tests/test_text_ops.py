@@ -981,3 +981,34 @@ def test_fingerprint_overlap_pairs_stop_fp_cap(spark):
     }
     assert (100, 101) in pairs
     assert all(a == 100 and b == 101 for (a, b) in pairs)
+
+
+def test_temperature_mixture_sample_rates(spark):
+    """Head bucket keeps ~base rate; tail buckets upsample toward parity;
+    rate never exceeds 1.0; the keep decision is a pure function of the id
+    (stable under re-partitioning)."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.curation import (
+        temperature_mixture_sample,
+    )
+
+    rows = [Row(doc_id=i, lang="en") for i in range(400)] + [
+        Row(doc_id=10_000 + i, lang="fr") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows)
+    kept = temperature_mixture_sample(docs, base_rate_per_mille=500)
+    by_lang = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # en rate = 0.5 exactly, fr rate = min(1, 0.5*sqrt(4)) = 1.0
+    assert by_lang["fr"] == 100, "tail bucket at rate 1.0 keeps everything"
+    assert 130 <= by_lang["en"] <= 270, "head bucket keeps ~half"
+    # determinism: same ids -> same kept set regardless of partitioning
+    kept2 = temperature_mixture_sample(
+        docs.repartition(7), base_rate_per_mille=500
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in kept2.collect()
+    )
