@@ -71,25 +71,72 @@ def cosine_topk(
     """Exact top-k cosine neighbors for every query vector.
 
     (query_id, neighbor_id, sim, rank); self-matches excluded.
+
+    MAP-ONLY scoring with per-batch pruning: the query set is driver-small
+    by contract (the same object the earlier broadcast-crossJoin shipped),
+    so it is collected once and scored inside a mapInPandas closure with
+    the oracle's exact fold order (`_codebook_affinities` — the machinery
+    the IVF coarse quantizer already uses). Each Arrow batch keeps only its
+    LOCAL top-k per query — safe because (sim desc, neighbor_id asc) is a
+    strict total order, so the global top-k is contained in the union of
+    batch top-ks — and the final window ranks tasks x queries x k rows.
+    The earlier plan windowed ALL corpus x queries scored rows (one
+    corpus-sized shuffle per run — at 100 TB that shuffle IS the job);
+    this one shuffles kilobytes regardless of corpus size.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    sims = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
-        )
-    )
+    if not q_rows:
+        raise ValueError("cosine_topk requires a non-empty query set")
+    q_ids = [r.qid for r in q_rows]
+    q_lists = [[float(x) for x in r.qv] for r in q_rows]
+    q_arr = np.array(q_lists, dtype=np.float64)
+    q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_ids_arr = np.array(q_ids)
+    nq = len(q_ids)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            nbr = pdf["vec_id"].to_numpy()
+            aff = _codebook_affinities(x, q_arr, q_norms)  # (n, nq) rounded
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                valid = nbr != q_ids_arr[j]
+                sims_j = aff[valid, j]
+                nbr_j = nbr[valid]
+                take = np.lexsort((nbr_j, -sims_j))[:k]
+                qcol.append(np.repeat(q_ids_arr[j], len(take)))
+                ncol.append(nbr_j[take])
+                scol.append(sims_j[take])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "sim": np.concatenate(scol),
+                }
+            )
+
+    pruned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
