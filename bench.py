@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "temperature_mixture_docs",
     "knn_label_accuracy",
     "event_props_json",
+    "ann_pq_topk",
 ]
 
 

@@ -697,6 +697,211 @@ def train_ivf_centroids(
     )
 
 
+def pq_subspace_bounds(dims: int, m: int) -> list[tuple[int, int]]:
+    """[(lo, hi)) 0-based dim ranges of the `m` equal PQ subspaces."""
+    if dims % m != 0:
+        raise ValueError("dims must divide evenly into m subspaces")
+    sd = dims // m
+    return [(s * sd, (s + 1) * sd) for s in range(m)]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> list[list[list[float]]]:
+    """Per-subspace spherical k-means codebooks for product quantization.
+
+    Each of the `m` dim-slices trains its own `codebook_k`-centroid
+    codebook with the SAME deterministic Lloyd machinery as the IVF coarse
+    quantizer (`train_ivf_centroids` — md5-seeded init, 6-decimal cosine
+    assignment, integer-micro updates), so the codebooks — like the IVF
+    centroids — are bit-reproducible on any engine. Spherical (cosine)
+    subquantizers instead of the classical L2 PQ because the downstream
+    metric IS cosine; the training cost is m small k-means runs over
+    dim-slices of the same persisted scan.
+
+    Returns plain nested lists (m x k x subdims doubles) — codebooks are
+    driver-small by definition and ship inside operator closures.
+    """
+    out: list[list[list[float]]] = []
+    sd = dims // m
+    for lo, _hi in pq_subspace_bounds(dims, m):
+        sub = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), lo + 1, sd).alias(vec_col),
+        )
+        cb = train_ivf_centroids(
+            sub, k=codebook_k, iters=iters, id_col=id_col, vec_col=vec_col, dims=sd
+        )
+        rows = sorted(cb.collect(), key=lambda r: r[0])
+        out.append([[float(x) for x in r[1]] for r in rows])
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code_0..code_{m-1}): the PQ code of every vector — each
+    subvector's nearest codebook centroid by 6-decimal rounded cosine
+    (ties to the lowest cell, the IVF assignment rule per subspace).
+
+    MAP-ONLY: the m codebooks ride in the closure; one Arrow pass encodes
+    the corpus to m small ints per vector (64 floats -> 4 bytes at the
+    default geometry) with zero shuffle at any corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    cents = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    cnorms = [
+        np.array([math_sqrt(_seq_sq_sum(c)) for c in cb]) for cb in codebooks
+    ]
+    sd = cents[0].shape[1]
+    id_type = df.schema[id_col].dataType.simpleString()
+    code_cols = [f"code_{s}" for s in range(m)]
+    out_schema = f"vec_id {id_type}, " + ", ".join(
+        f"{c} int" for c in code_cols
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            cols = {"vec_id": pdf["vec_id"].to_numpy()}
+            for s in range(m):
+                aff = _codebook_affinities(
+                    x[:, s * sd : (s + 1) * sd], cents[s], cnorms[s]
+                )
+                cols[code_cols[s]] = np.argsort(
+                    -aff, axis=1, kind="stable"
+                )[:, 0].astype(np.int32)
+            yield pd.DataFrame(cols)
+
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(encode, out_schema)
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation (ADC):
+    train m spherical subquantizers, encode the corpus to m-byte codes,
+    score sim(q, x) ~ cosine(q, reconstruction(x)) from per-subspace lookup
+    tables — never touching the raw corpus vectors at query time.
+
+    (query_id, neighbor_id, sim, rank); self-matches excluded; sim is the
+    rounded ADC approximation, deterministic via the shared exact-fold
+    arithmetic: per-subspace dots fold sequentially over dims, subspace
+    terms accumulate left-to-right, rounding is `_round6_spark`.
+
+    The 100 TB shape: codes are 16x smaller than float32 vectors (4 x 1B
+    codes vs 64 x 4B floats), scoring is a map-only gather over two small
+    tables per query, and — like `cosine_topk` — each batch prunes to its
+    local top-k so the final window ranks tasks x queries x k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebooks = train_pq_codebooks(
+        corpus, m, codebook_k, iters, id_col, vec_col, dims
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    if not q_rows:
+        raise ValueError("cosine_topk_pq requires a non-empty query set")
+    q_ids_arr = np.array([r.qid for r in q_rows])
+    q_lists = [[float(x) for x in r.qv] for r in q_rows]
+    nq = len(q_lists)
+    sd = dims // m
+    # per-subspace ADC tables, oracle fold order: tq[s][q, cell] = dot of the
+    # query subvector with the centroid (sequential over subdims); csq[s][cell]
+    # = centroid self-dot (the reconstruction-norm pieces)
+    tq = []
+    csq = []
+    for s, (lo, _hi) in enumerate(pq_subspace_bounds(dims, m)):
+        cents = codebooks[s]
+        tab = np.zeros((nq, len(cents)))
+        for qi, qv in enumerate(q_lists):
+            for ci, cent in enumerate(cents):
+                acc = 0.0
+                for d in range(sd):
+                    acc += qv[lo + d] * cent[d]
+                tab[qi, ci] = acc
+        tq.append(tab)
+        csq.append(np.array([_seq_sq_sum(c) for c in cents]))
+    q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    code_cols = [f"code_{s}" for s in range(m)]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nbr = pdf["vec_id"].to_numpy()
+            code_arrs = [pdf[c].to_numpy() for c in code_cols]
+            # accumulate subspace terms in order: ((t0 + t1) + t2) + t3 —
+            # the oracle's explicit left-to-right sum
+            num = tq[0][:, code_arrs[0]]  # (nq, n)
+            den_inner = csq[0][code_arrs[0]]  # (n,)
+            for s in range(1, m):
+                num = num + tq[s][:, code_arrs[s]]
+                den_inner = den_inner + csq[s][code_arrs[s]]
+            den = q_norms[:, None] * np.sqrt(den_inner)[None, :]
+            sim = _round6_spark(num / den)
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                valid = nbr != q_ids_arr[j]
+                sims_j = sim[j, valid]
+                nbr_j = nbr[valid]
+                take = np.lexsort((nbr_j, -sims_j))[:k]
+                qcol.append(np.repeat(q_ids_arr[j], len(take)))
+                ncol.append(nbr_j[take])
+                scol.append(sims_j[take])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "sim": np.concatenate(scol),
+                }
+            )
+
+    pruned = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _seq_sq_sum(xs: list[float]) -> float:
     """Left-to-right sum of squares — the same IEEE fold order as the SQL
     list_sum the oracle uses, so the literal centroid norm matches it."""

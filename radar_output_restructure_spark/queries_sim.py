@@ -699,3 +699,192 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (spherical subquantizers + ADC scoring)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_SD = DIMS // PQ_M
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def _sql_pq_src(s: int) -> str:
+    """Subspace dim-slice of the embeddings table (1-based inclusive)."""
+    lo, hi = s * PQ_SD + 1, (s + 1) * PQ_SD
+    return (
+        f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings)"
+    )
+
+
+def _sql_pq_cos(sd: int) -> tuple[str, str, str]:
+    dot = (
+        "list_sum([CAST(v[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
+        f"for i in range(1, {sd + 1})])"
+    )
+    vnorm = (
+        "sqrt(list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) "
+        f"for i in range(1, {sd + 1})]))"
+    )
+    cnorm = (
+        "sqrt(list_sum([CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
+        f"for i in range(1, {sd + 1})]))"
+    )
+    return dot, vnorm, cnorm
+
+
+def _sql_pq_kmeans_ctes(k: int, iters: int, sd: int, src: str, tag: str) -> str:
+    """The deterministic-Lloyd CTE chain of `_sql_kmeans_ctes`, parameterized
+    for a PQ subspace: `src` replaces the embeddings table (a dim-slice
+    subquery), `sd` the dimensionality, `tag` suffixes every CTE name.
+    Mirrors operators/similarity.train_ivf_centroids on the sliced frame
+    step for step (same seeds — the md5 id order is slice-independent)."""
+    dot, vnorm, cnorm = _sql_pq_cos(sd)
+    micro = (
+        "[CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) "
+        f"for i in range(1, {sd + 1})]"
+    )
+    dequant = f"[cm[i] / 1000000.0 for i in range(1, {sd + 1})]"
+    ctes = [
+        f"""cent0{tag} AS (
+      SELECT cell, cm FROM (
+        SELECT row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               {micro} AS cm
+        FROM {src}
+      ) WHERE cell < {k}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""assign{t}{tag} AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY round(({dot}) / ({vnorm} * {cnorm}), 6) DESC,
+                          c.cell ASC) AS r
+        FROM (SELECT vec_id, embedding AS v FROM {src}) s
+        CROSS JOIN (SELECT cell, {dequant} AS centroid FROM cent{t - 1}{tag}) c
+      ) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"""sums{t}{tag} AS (
+      SELECT a.cell, d.i, count(*) AS cnt,
+             sum(CAST(FLOOR(CAST(e.embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s
+      FROM assign{t}{tag} a
+      JOIN {src} e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(1, {sd + 1})) AS i) d
+      GROUP BY a.cell, d.i
+    )"""
+        )
+        ctes.append(
+            f"""cent{t}{tag} AS (
+      SELECT cell, list(CAST(FLOOR(s * 1.0 / cnt) AS BIGINT) ORDER BY i) AS cm
+      FROM sums{t}{tag} GROUP BY cell
+      UNION ALL
+      SELECT p.cell, p.cm FROM cent{t - 1}{tag} p
+      WHERE p.cell NOT IN (SELECT DISTINCT cell FROM sums{t}{tag})
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _sql_pq_codes(s: int) -> str:
+    dot, vnorm, cnorm = _sql_pq_cos(PQ_SD)
+    dequant = f"[cm[i] / 1000000.0 for i in range(1, {PQ_SD + 1})]"
+    return f"""codes_s{s} AS (
+      SELECT vec_id, cell AS k{s} FROM (
+        SELECT s.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY round(({dot}) / ({vnorm} * {cnorm}), 6) DESC,
+                          c.cell ASC) AS r
+        FROM (SELECT vec_id, embedding AS v FROM {_sql_pq_src(s)}) s
+        CROSS JOIN (SELECT cell, {dequant} AS centroid
+                    FROM cent{PQ_ITERS}_s{s}) c
+      ) WHERE r = 1
+    )"""
+
+
+def _sql_pq_adc_terms() -> tuple[str, str]:
+    dots = []
+    csqs = []
+    for s in range(PQ_M):
+        lo = s * PQ_SD
+        dots.append(
+            f"(list_sum([CAST(qv[i] AS DOUBLE) * c{s}[i - {lo}] "
+            f"for i in range({lo + 1}, {lo + PQ_SD + 1})]))"
+        )
+        csqs.append(
+            f"(list_sum([c{s}[i] * c{s}[i] for i in range(1, {PQ_SD + 1})]))"
+        )
+    return " + ".join(dots), " + ".join(csqs)
+
+
+_SQL_PQ_DOT, _SQL_PQ_CSQ = _sql_pq_adc_terms()
+_SQL_PQ_DEQUANT = f"[cm[i] / 1000000.0 for i in range(1, {PQ_SD + 1})]"
+_SQL_PQ_TRAIN = ",\n    ".join(
+    _sql_pq_kmeans_ctes(PQ_K, PQ_ITERS, PQ_SD, _sql_pq_src(s), f"_s{s}")
+    for s in range(PQ_M)
+)
+_SQL_PQ_CODES = ",\n    ".join(_sql_pq_codes(s) for s in range(PQ_M))
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH {_SQL_PQ_TRAIN},
+    {_SQL_PQ_CODES},
+    codes AS (
+      SELECT c0.vec_id, c0.k0, c1.k1, c2.k2, c3.k3
+      FROM codes_s0 c0
+      JOIN codes_s1 c1 USING (vec_id)
+      JOIN codes_s2 c2 USING (vec_id)
+      JOIN codes_s3 c3 USING (vec_id)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(({_SQL_PQ_DOT})
+                   / (({_SQL_QNORM}) * sqrt({_SQL_PQ_CSQ})), 6) AS sim
+      FROM codes x
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c0 FROM cent{PQ_ITERS}_s0) t0 ON t0.cell = x.k0
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c1 FROM cent{PQ_ITERS}_s1) t1 ON t1.cell = x.k1
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c2 FROM cent{PQ_ITERS}_s2) t2 ON t2.cell = x.k2
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c3 FROM cent{PQ_ITERS}_s3) t3 ON t3.cell = x.k3
+      CROSS JOIN (SELECT vec_id, embedding AS qv FROM embeddings
+                  WHERE vec_id < {N_QUERIES}) q
+      WHERE x.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 4 spherical 16-dim subquantizers trained
+    with the deterministic Lloyd machinery, corpus encoded to 4 small ints
+    per vector, queries scored against the codes via ADC lookup tables —
+    cosine(q, reconstruction). The oracle replays subspace training,
+    encoding, and the ADC sum as unrolled SQL, so even the compressed
+    approximation hash-matches across engines
+    (operators/similarity.cosine_topk_pq)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_pq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pq(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=TOP_K,
+        m=PQ_M,
+        codebook_k=PQ_K,
+        iters=PQ_ITERS,
+        dims=DIMS,
+    )

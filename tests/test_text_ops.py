@@ -1012,3 +1012,66 @@ def test_temperature_mixture_sample_rates(spark):
     assert sorted(r.doc_id for r in kept.collect()) == sorted(
         r.doc_id for r in kept2.collect()
     )
+
+
+def test_pq_encode_and_topk_deterministic(spark):
+    """PQ codes are valid cell ids, stable under re-partitioning, and the
+    ADC top-k ranks self-consistently (rank 1..k per query, sims
+    non-increasing)."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    dims, m, cbk = 16, 4, 4
+    emb = spark.createDataFrame(
+        [
+            Row(
+                vec_id=i,
+                embedding=[
+                    float(((i * 31 + d * 17) % 13) - 6) / 4.0
+                    for d in range(dims)
+                ],
+            )
+            for i in range(60)
+        ]
+    )
+    cbs = train_pq_codebooks(emb, m=m, codebook_k=cbk, iters=2, dims=dims)
+    assert len(cbs) == m and all(len(cb) == cbk for cb in cbs)
+    assert all(len(c) == dims // m for cb in cbs for c in cb)
+
+    codes = pq_encode(emb, cbs).collect()
+    assert len(codes) == 60
+    for r in codes:
+        for s in range(m):
+            assert 0 <= r[f"code_{s}"] < cbk
+    codes2 = {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(m))
+        for r in pq_encode(emb.repartition(5), cbs).collect()
+    }
+    assert codes2 == {
+        r.vec_id: tuple(r[f"code_{s}"] for s in range(m)) for r in codes
+    }
+
+    topk = cosine_topk_pq(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        k=4,
+        m=m,
+        codebook_k=cbk,
+        iters=2,
+        dims=dims,
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
