@@ -1075,3 +1075,55 @@ def test_pq_encode_and_topk_deterministic(spark):
         sims = [r.sim for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_winnowing_matches_pure_python_reference(spark):
+    """The Arrow winnowing operator must agree with a direct pure-Python
+    transcription of the definition (normalize -> k-gram polynomial hash ->
+    window minima -> distinct) over a corpus with accents, punctuation
+    runs, whitespace runs, and repeated substrings."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_MOD,
+        WINNOW_W,
+        winnow_powers,
+        winnowing_fingerprints,
+    )
+
+    texts = {
+        1: "The quick brown fox -- jumps!   over\tthe lazy dog",
+        2: "Crème brûlée à la carte, s'il vous plaît",
+        3: "aaaaaaaaaaaaaaaaaaaaaaaa",
+        4: "ab " * 40,
+        5: "punctuation!!! ??? ;;; ::: ... '''",
+        6: "Ends exactly at k+w-1 chars",
+    }
+
+    def reference(s: str) -> set[int]:
+        t = " ".join(s.strip().split()).lower()
+        k, w = WINNOW_K, WINNOW_W
+        if len(t) < k:
+            return set()
+        powers = winnow_powers(k)
+        hashes = []
+        for i in range(len(t) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h + ord(t[i + j]) * powers[j]) % WINNOW_MOD
+            hashes.append(h)
+        if len(hashes) <= w:
+            return {min(hashes)}
+        return {
+            min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)
+        }
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnowing_fingerprints(docs).collect():
+        got.setdefault(r.doc, set()).add(r.fp)
+    for i, t in texts.items():
+        assert got.get(i, set()) == reference(t), f"doc {i}"
