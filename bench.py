@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "knn_label_accuracy",
     "event_props_json",
     "ann_pq_topk",
+    "tpch_q4_priority",
+    "tpch_q16_supplier_variety",
 ]
 
 

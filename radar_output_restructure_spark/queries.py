@@ -842,3 +842,80 @@ def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("k") * F.lit(1.0) / F.count("k"), 6).alias("avg_k"),
         )
     )
+
+
+@register(
+    "tpch_q4_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape): EXISTS decorrelates to a
+    LEFT SEMI join on the order key with the lateness predicate evaluated
+    join-side — one shuffle on l_orderkey, then a map-side-combined count
+    per priority. No subquery re-execution per row at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        F.col("l.l_orderkey") == F.col("o.o_orderkey")
+    ) & (
+        F.col("l.l_shipdate")
+        > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.alias("o")
+        .join(li.alias("l"), late, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 9, 13)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part group (TPC-H Q16 shape): NOT IN
+    decorrelates to a LEFT ANTI join against the excluded-supplier set,
+    the part filter prunes before the fact join, and count(DISTINCT) runs
+    as the standard two-phase distinct aggregation. No broadcast hints:
+    part/supplier are SF-scaling dimensions, so AQE picks broadcast while
+    they fit and degrades to shuffle joins when they don't (the vocab-join
+    lesson from SCALE.md)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "leftanti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey"))
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
