@@ -103,9 +103,15 @@ class SourceDataCleaner:
         routing + rendering plan the writer ran, grouped per attempt."""
         cfg = self.config
         parts: list[DataFrame] = []
-        ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + {
-            "gzip": ".gz", "zip": ".zip", None: ""
-        }.get(cfg.compression, "")
+        ext0 = {"csv": ".csv", "json": ".json", "parquet": ".parquet"}[
+            cfg.output_format
+        ] + (
+            ""
+            if cfg.output_format == "parquet"
+            else {"gzip": ".gz", "zip": ".zip", None: ""}.get(
+                cfg.compression, ""
+            )
+        )
         for attempt, _schema_json, fp_groups in self.plan._fingerprint_groups(
             topic, files
         ):
@@ -228,6 +234,14 @@ class SourceDataCleaner:
         if cfg.output_format == "json":
             df = self.spark.read.text(existing)
             time_str = F.get_json_object(F.col("value"), "$.value.time")
+        elif cfg.output_format == "parquet":
+            # typed target: the double -> string cast below is the same
+            # Java rendering the expectations side applies to its typed
+            # value.time column, so the anti-join keys align
+            df = self.spark.read.parquet(*existing)
+            time_str = (
+                F.col("`value.time`") if "value.time" in df.columns else F.lit(None)
+            )
         else:
             df = self.spark.read.option("header", True).csv(existing)
             time_str = (

@@ -84,7 +84,7 @@ class RestructureConfig:
     output_dir: str = ""
     path_format: str = DEFAULT_FORMAT
     time_bin_format: str = "yyyyMMdd_HH'00'"
-    output_format: str = "csv"  # csv | json
+    output_format: str = "csv"  # csv | json | parquet
     compression: str | None = None  # None | gzip | zip (S13)
     exclude_fields: set[str] = field(default_factory=set)
     dedup: DedupConfig = field(default_factory=DedupConfig)
@@ -299,10 +299,13 @@ class RestructurePlan:
             return lines, part_cols
 
         # CSV output renders every leaf to its Java toString form JVM-side
-        # (exact reference parity, zero Python in the row path).
+        # (exact reference parity, zero Python in the row path). Parquet —
+        # the beyond-reference typed sink — keeps the leaves TYPED: same
+        # flat projection and dotted names, no string rendering, so
+        # downstream Spark reads columns back at native types.
         flat = flatten(
             df,
-            rendered=True,
+            rendered=cfg.output_format != "parquet",
             excluded=excluded | {*ORDER_COLS, *part_cols},
             keep=[*part_cols, *ORDER_COLS, *keep_cols],
         )
@@ -413,11 +416,13 @@ class RestructurePlan:
         files = self.list_candidate_files(topic)
         if not files:
             return []
-        ext0 = {"csv": ".csv", "json": ".json"}[cfg.output_format] + {
-            None: "",
-            "gzip": ".gz",
-            "zip": ".zip",
-        }[cfg.compression]
+        ext0 = {"csv": ".csv", "json": ".json", "parquet": ".parquet"}[
+            cfg.output_format
+        ] + (
+            ""
+            if cfg.output_format == "parquet"
+            else {None: "", "gzip": ".gz", "zip": ".zip"}[cfg.compression]
+        )
         finals: list[str] = []
         meta_cols = [
             "source_file", "file_modified", "kafka_partition",

@@ -129,8 +129,11 @@ def _concat_into(
     storage.store_atomic_stream(dst, chunks())
 
 
-_FMT_EXT = {"csv": ".csv", "json": ".json"}
+_FMT_EXT = {"csv": ".csv", "json": ".json", "parquet": ".parquet"}
 _COMP_EXT = {None: "", "gzip": ".gz", "zip": ".zip"}
+#: parquet compresses internally — the compression param maps to the codec
+#: and the filename stays .parquet
+_PARQUET_CODEC = {None: "snappy", "gzip": "gzip"}
 ZIP_LEVEL = 7  # compression/ZipCompression.kt:17
 
 
@@ -217,7 +220,14 @@ def write_output_tree_direct(
     manifest makes whole-run retries safe.
     """
     if extension is None:
-        extension = _FMT_EXT[fmt] + _COMP_EXT[compression]
+        extension = _FMT_EXT[fmt] + (
+            "" if fmt == "parquet" else _COMP_EXT[compression]
+        )
+    if fmt == "parquet" and compression not in _PARQUET_CODEC:
+        raise ValueError(
+            f"compression {compression!r} is not a parquet codec; "
+            "use None (snappy) or 'gzip'"
+        )
     storage = storage if storage is not None else LocalTargetStorage()
     if not storage.executor_safe:
         raise ValueError(
@@ -253,6 +263,20 @@ def write_output_tree_direct(
         # topic name is substituted per group; body computed once driver-side
         sidecar_body = _avro_schema_json(value_schema, "__TOPIC_PLACEHOLDER__")
     write_header = fmt == "csv"
+    arrow_schema = None
+    if fmt == "parquet":
+        # Spark-typed Arrow schema for the data columns (dotted names kept):
+        # coercing each group's pandas frame back through it undoes pandas'
+        # nullable-int -> float widening so the parquet files carry the
+        # plan's types, not the Arrow-batch approximations.
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(
+                T.StructType([df.schema[c] for c in header_names])
+            )
+        except Exception:
+            arrow_schema = None
 
     def write_group(keys, pdf):
         import csv as _csv
@@ -266,18 +290,46 @@ def write_output_tree_direct(
         storage.makedirs(final_dir)
         final = os.path.join(final_dir, bin_seg + extension)
         exists = storage.exists(final)
-        if fmt == "json":
-            payload = ("\n".join(pdf[data_cols[0]].tolist()) + "\n").encode()
+        if fmt == "parquet":
+            # typed columnar target: append = read old footer + concat +
+            # atomic rewrite (parquet cannot append in place; the group and
+            # the bin-sized old file are both bounded)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            body = pdf[data_cols].copy()
+            body.columns = header_names
+            table = pa.Table.from_pandas(body, preserve_index=False)
+            if arrow_schema is not None:
+                try:
+                    table = table.cast(arrow_schema)
+                except Exception:
+                    pass
+            if exists:
+                old = pq.read_table(io.BytesIO(storage.read(final)))
+                table = pa.concat_tables([old, table])
+            sink = io.BytesIO()
+            pq.write_table(
+                table, sink, compression=_PARQUET_CODEC[compression]
+            )
+            storage.store_atomic(final, sink.getvalue())
         else:
-            body = pdf[data_cols].astype(object)
-            body = body.where(pd.notnull(body), "")
-            buf = io.StringIO()
-            w = _csv.writer(buf, lineterminator="\n", quoting=_csv.QUOTE_MINIMAL)
-            if write_header and not exists:
-                w.writerow(header_names)
-            w.writerows(body.values.tolist())
-            payload = buf.getvalue().encode()
-        _store_payload(final, payload, compression, storage)
+            if fmt == "json":
+                payload = (
+                    "\n".join(pdf[data_cols[0]].tolist()) + "\n"
+                ).encode()
+            else:
+                body = pdf[data_cols].astype(object)
+                body = body.where(pd.notnull(body), "")
+                buf = io.StringIO()
+                w = _csv.writer(
+                    buf, lineterminator="\n", quoting=_csv.QUOTE_MINIMAL
+                )
+                if write_header and not exists:
+                    w.writerow(header_names)
+                w.writerows(body.values.tolist())
+                payload = buf.getvalue().encode()
+            _store_payload(final, payload, compression, storage)
         if sidecar_body is not None:
             topic = segs[topic_idx]
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
@@ -421,8 +473,13 @@ def write_output_tree(
             "writer with an executor-safe storage backend"
         )
     if extension is None:
-        extension = {"csv": ".csv", "json": ".json"}[fmt] + (
-            ".gz" if compression == "gzip" else ""
+        extension = _FMT_EXT[fmt] + (
+            ".gz" if compression == "gzip" and fmt != "parquet" else ""
+        )
+    if fmt == "parquet" and compression not in _PARQUET_CODEC:
+        raise ValueError(
+            f"compression {compression!r} is not a parquet codec; "
+            "use None (snappy) or 'gzip'"
         )
     storage = storage if storage is not None else LocalTargetStorage()
     tmp = tmp_dir or (out_dir.rstrip("/") + "+tmp")
@@ -459,7 +516,7 @@ def write_output_tree(
     else:
         getattr(writer, fmt)(tmp)
 
-    gzipped = compression == "gzip"
+    gzipped = compression == "gzip" and fmt != "parquet"
     has_header = fmt == "csv"
     # Collect (final_path, parts, final_dir, segs) per output file, then
     # finalize concurrently — renames/concats are independent per file, and
@@ -486,7 +543,29 @@ def write_output_tree(
 
     def _finalize(job: tuple[str, list[str], str, list[str]]) -> str:
         final, parts, _final_dir, _segs = job
-        _concat_into(final, parts, gzipped, has_header, storage)
+        if fmt == "parquet":
+            # row-group merge, not byte concat: parquet footers make raw
+            # concatenation invalid, so read every part (+ the existing
+            # target on append) and atomically rewrite one file
+            import io as _io
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tables = []
+            if storage.exists(final):
+                tables.append(pq.read_table(_io.BytesIO(storage.read(final))))
+            tables += [
+                pq.read_table(_io.BytesIO(storage.read(p))) for p in parts
+            ]
+            merged = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+            sink = _io.BytesIO()
+            pq.write_table(
+                merged, sink, compression=_PARQUET_CODEC[compression]
+            )
+            storage.store_atomic(final, sink.getvalue())
+        else:
+            _concat_into(final, parts, gzipped, has_header, storage)
         return final
 
     from concurrent.futures import ThreadPoolExecutor

@@ -187,3 +187,51 @@ def test_cleaner_zip_json_revokes_on_missing_target(spark, tmp_path):
     result = cleaner.run_topic("t")
     assert result["deleted"] == [] and result["revoked"] == [f0]
     assert os.path.exists(f0)
+
+
+def test_cleaner_parquet_target_verification(spark, tmp_path):
+    """Parquet targets verify through a typed parquet re-read: the
+    double->string cast of value.time matches the expectations side, so
+    fully-extracted sources delete; a sabotaged target revokes."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    f1 = _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    del f1
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, output_format="parquet"
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    assert all(f.endswith(".parquet") for f in finals)
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
+    assert not os.path.exists(f0)
+
+
+def test_cleaner_parquet_revokes_on_missing_target(spark, tmp_path):
+    """Parquet verification is a real check: a sabotaged (deleted) parquet
+    target revokes the source file instead of deleting it."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, output_format="parquet"
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    for f in finals:
+        if "0100" in os.path.basename(f):
+            os.remove(f)
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == []
+    assert result["revoked"] == [f0]
+    assert os.path.exists(f0)

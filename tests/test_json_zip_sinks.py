@@ -228,3 +228,72 @@ def test_direct_writer_rejects_driver_only_storage(spark, tmp_path):
         write_output_tree_direct(
             df, str(tmp_path), ["pf_bin"], storage=HadoopTargetStorage(spark)
         )
+
+
+def test_parquet_sink_typed_roundtrip(spark, tmp_path):
+    """Parquet output (beyond-reference typed sink): exact-named
+    .parquet files in the same tree, columns TYPED (double/string, not
+    rendered strings), dotted names preserved, sidecar written, rerun
+    no-op."""
+    finals = _run(spark, tmp_path, output_format="parquet")
+    assert [os.path.basename(f) for f in finals] == ["19700101_0100.parquet"]
+    back = spark.read.parquet(finals[0])
+    assert set(back.columns) == {
+        "key.projectId", "key.userId", "key.sourceId",
+        "value.time", "value.serverStatus", "value.ipAddress",
+    }
+    assert dict(back.dtypes)["`value.time`".strip("`")] == "double"
+    rows = sorted(
+        back.select("`value.time`", "`value.serverStatus`").collect()
+    )
+    assert [tuple(r) for r in rows] == [
+        (3600.0, "CONNECTED"),
+        (3600.0, "CONNECTED"),
+        (3601.0, "DISCONNECTED"),
+    ]
+    out_dir = os.path.dirname(finals[0])
+    assert os.path.exists(os.path.join(out_dir, "schema-t.json"))
+    # rerun: manifest makes it a no-op
+    cfg = RestructureConfig(
+        input_dir=str(tmp_path / "in"),
+        output_dir=str(tmp_path / "out"),
+        output_format="parquet",
+    )
+    assert RestructurePlan(spark, cfg).run()["t"] == []
+
+
+def test_parquet_sink_append_across_runs(spark, tmp_path):
+    """Late data appends into the existing parquet bin by row-group merge:
+    total rows grow, the file stays one valid parquet object."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(
+        spark, input_dir, "t", ROWS[:2], 0, 0, 1, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, output_format="parquet"
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    assert spark.read.parquet(finals[0]).count() == 2
+    late = [
+        Row(
+            key=Row(projectId="p1", userId="u1", sourceId="s1"),
+            value=Row(time=3650.0, serverStatus="UNKNOWN", ipAddress=None),
+        )
+    ]
+    _write_fixture(
+        spark, input_dir, "t", late, 0, 2, 2, SERVER_STATUS_SCHEMA
+    )
+    finals2 = RestructurePlan(spark, cfg).run()["t"]
+    assert finals2 == finals
+    back = spark.read.parquet(finals[0])
+    assert back.count() == 3
+    assert (
+        back.filter(back["`value.serverStatus`"] == "UNKNOWN").count() == 1
+    )
+
+
+def test_parquet_rejects_zip(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="parquet codec"):
+        _run(spark, tmp_path, output_format="parquet", compression="zip")
