@@ -164,3 +164,30 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     # batch fallback keeps the same contract
     batch = spark.createDataFrame(rows)
     assert streaming_dedup(batch).count() == 3
+
+
+def test_streaming_restructure_parquet_append(spark, tmp_path):
+    """The streaming restructure with the typed parquet sink: micro-batch 1
+    creates the bin, micro-batch 2 (same checkpoint) row-group-merges into
+    it; the file stays a single valid typed parquet object."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(
+        input_dir=input_dir, output_dir=output_dir, output_format="parquet"
+    )
+    q = streaming_restructure(spark, cfg, "t", ckpt)
+    q.awaitTermination(120)
+    target = os.path.join(output_dir, "p", "u", "t", "19700101_0100.parquet")
+    back = spark.read.parquet(target)
+    assert back.count() == 3
+    assert dict(back.dtypes)["value.time"] == "double"
+
+    _write_fixture(
+        spark, input_dir, "t", _rows(3610.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    q2 = streaming_restructure(spark, cfg, "t", ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 5
