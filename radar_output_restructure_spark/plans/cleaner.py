@@ -38,6 +38,7 @@ from radar_output_restructure_spark.sources.kafka_tree import (
     read_topic_tree,
 )
 from radar_output_restructure_spark.sources.manifest import FileEntry
+from radar_output_restructure_spark.timer import Timer
 
 
 @dataclass
@@ -252,6 +253,7 @@ class SourceDataCleaner:
             path.alias("target_path"), time_str.cast("string").alias("time_str")
         )
 
+    @Timer.time("cleaner.verify")
     def verify_topic(self, topic: str, files: list[FileEntry]) -> dict[str, bool]:
         """source_file -> fully extracted? One anti-join for the whole topic."""
         if not files:
@@ -281,13 +283,14 @@ class SourceDataCleaner:
         files = self.candidate_files(topic)
         verdict = self.verify_topic(topic, files)
         deleted, revoked = [], []
-        for f in files:
-            if verdict.get(f.path):
-                self.plan.source_storage.delete(f.path)  # S15
-                deleted.append(f.path)
-            else:
-                self.plan.manifest.revoke([f])  # T7 revocation
-                revoked.append(f.path)
+        with Timer.time("cleaner.delete"):
+            for f in files:
+                if verdict.get(f.path):
+                    self.plan.source_storage.delete(f.path)  # S15
+                    deleted.append(f.path)
+                else:
+                    self.plan.manifest.revoke([f])  # T7 revocation
+                    revoked.append(f.path)
         return {"deleted": deleted, "revoked": revoked}
 
     def run(self) -> dict[str, dict[str, list[str]]]:

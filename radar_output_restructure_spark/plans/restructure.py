@@ -50,6 +50,7 @@ from radar_output_restructure_spark.sources.manifest import (
     ProcessedFileManifest,
     SchemaFingerprintCache,
 )
+from radar_output_restructure_spark.timer import Timer
 
 
 # Arrival-order key: (kafka partition, starting offset, intra-file position).
@@ -101,6 +102,12 @@ class RestructureConfig:
     # G6: per-record target bucket (FormattedPathFactory.kt:51-60); None keeps
     # a single output root, matching the reference's local-storage behavior.
     bucket: BucketFormat | None = None
+    # S8 (source/S3SourceStorage.kt:65-90): files named without a `+to` end
+    # offset may carry it as an `endOffset` object tag; enabling this reads
+    # the tag (when the source storage supports tags) so the T4 legacy-CSV
+    # coverage check can classify such files. The regular seen-file check is
+    # path+mtime granularity and never needs the tag.
+    end_offset_from_tags: bool = False
     # G5/J4: `${mp:...}` dimension source. Either a caller-materialized
     # DataFrame (projectId, userId, <attr>...) — the offline default — or
     # the reference plugin's REST properties (managementPortalUrl,
@@ -109,6 +116,16 @@ class RestructureConfig:
     # per run through sources/mp_client (driver-side, TTL-cached).
     mp_dim: "DataFrame | None" = None
     mp_properties: dict | None = None
+    # O5 (worker/RadarKafkaRestructure.kt:166-169): replicated deployments
+    # shuffle topic order so instances start on different topics and lock
+    # contention drops. `shuffle_seed` pins the order for tests; None draws
+    # a fresh order per run like the reference.
+    shuffle_topics: bool = False
+    shuffle_seed: int | None = None
+    # T5: shared lock directory for multi-application deployments (the
+    # reference's Redis lock prefix). None = single-app, no locking.
+    lock_dir: str | None = None
+    lock_ttl_s: float = 24 * 3600.0
 
 
 class RestructurePlan:
@@ -152,6 +169,15 @@ class RestructurePlan:
             offsets_dir, self.target_storage
         )
         self._mp_dim_cache: DataFrame | None = None
+        self._lock_manager = None
+        if config.lock_dir:
+            from radar_output_restructure_spark.locks import (
+                FileRemoteLockManager,
+            )
+
+            self._lock_manager = FileRemoteLockManager(
+                config.lock_dir, ttl_s=config.lock_ttl_s
+            )
 
     def _resolve_mp_dim(self) -> DataFrame | None:
         """`${mp:...}` dimension frame: explicit `mp_dim` wins; otherwise
@@ -175,6 +201,7 @@ class RestructurePlan:
 
     # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
 
+    @Timer.time("restructure.list")
     def list_candidate_files(self, topic: str) -> list[FileEntry]:
         import time as _time
 
@@ -192,12 +219,44 @@ class RestructurePlan:
                 continue
             entries.append(FileEntry(path, mtime_ms))
         entries = self.manifest.prune(entries)  # P4/J1 anti-join
+        # T4: one-shot legacy offsets/<topic>.csv migration (covered files
+        # commit into the manifest, the CSV is deleted). No-op when absent.
+        from radar_output_restructure_spark.sources.legacy_offsets import (
+            migrate_legacy_offsets,
+        )
+
+        entries = migrate_legacy_offsets(
+            self.manifest,
+            self.target_storage,
+            self.config.output_dir,
+            topic,
+            entries,
+            end_offset=(
+                self._end_offset_from_tags
+                if self.config.end_offset_from_tags
+                else None
+            ),
+        )
         if self.config.max_files_per_topic:  # O2
             entries = entries[: self.config.max_files_per_topic]
         return entries
 
+    def _end_offset_from_tags(self, path: str) -> int | None:
+        """S8: `endOffset` object tag for files named without `+to`
+        (S3SourceStorage.kt:65-90 — any tag-read failure skips silently)."""
+        tags_fn = getattr(self.source_storage, "object_tags", None)
+        if tags_fn is None:
+            return None
+        try:
+            value = tags_fn(path).get("endOffset")
+            return int(value) if value not in (None, "") else None
+        except Exception:
+            return None
+
     def topics(self) -> list[str]:
-        """Topic discovery (S5): directories that contain partition dirs."""
+        """Topic discovery (S5): directories that contain partition dirs.
+        With `shuffle_topics`, the order randomizes so replicated instances
+        start on different topics (O5, RadarKafkaRestructure.kt:166-169)."""
         root = self.config.input_dir
         found = []
         for name in self.source_storage.list_dirs(root):
@@ -209,6 +268,10 @@ class RestructurePlan:
                 for d in self.source_storage.list_dirs(os.path.join(root, name))
             ):
                 found.append(name)
+        if self.config.shuffle_topics:
+            import random
+
+            random.Random(self.config.shuffle_seed).shuffle(found)
         return found
 
     # -- the declarative per-topic plan ------------------------------------
@@ -370,6 +433,7 @@ class RestructurePlan:
             )
             return None
 
+    @Timer.time("restructure.schema")
     def _fingerprint_groups(
         self, topic: str, files: list[FileEntry]
     ) -> list[tuple[int, str | None, list[list[FileEntry]]]]:
@@ -464,26 +528,46 @@ class RestructurePlan:
                 order_col=ORDER_COLS,
                 storage=self.target_storage,
             )
-            if self.target_storage.executor_safe:
-                finals += write_output_tree_direct(
-                    flat, cfg.output_dir, part_cols, **write_kwargs
-                )
-            else:
-                # object-store target: executors can't reach the driver-side
-                # Hadoop handle, so use the native Spark writer + driver
-                # finalize (server-side renames through the connector).
-                # Unique tmp dir: topic-parallel runs must not share one.
-                finals += write_output_tree(
-                    flat, cfg.output_dir, part_cols,
-                    tmp_dir=f"{cfg.output_dir.rstrip('/')}+tmp-{topic}-{attempt}",
-                    **write_kwargs,
-                )
+            with Timer.time("restructure.write"):
+                if self.target_storage.executor_safe:
+                    finals += write_output_tree_direct(
+                        flat, cfg.output_dir, part_cols, **write_kwargs
+                    )
+                else:
+                    # object-store target: executors can't reach the
+                    # driver-side Hadoop handle, so use the native Spark
+                    # writer + driver finalize (server-side renames through
+                    # the connector). Unique tmp dir: topic-parallel runs
+                    # must not share one.
+                    finals += write_output_tree(
+                        flat, cfg.output_dir, part_cols,
+                        tmp_dir=f"{cfg.output_dir.rstrip('/')}+tmp-{topic}-{attempt}",
+                        **write_kwargs,
+                    )
             # Write-then-commit (T2) PER fingerprint group: the reference
             # commits accounting per file batch (worker loop), so a crash
             # exposes only the in-flight batch. Committing once per topic
             # would re-append every already-written group on rerun.
-            self.manifest.commit(group)
+            with Timer.time("accounting.commit"):
+                self.manifest.commit(group)
         return sorted(finals)
+
+    def _run_topic_locked(self, topic: str) -> list[str]:
+        """Per-topic entry honoring the optional T5 lock: a topic held by
+        another instance is skipped this run, exactly like the reference's
+        `lockManager.tryWithLock(topic) ?: logger.info("Skipping...")`
+        (RadarKafkaRestructure.kt:108-128). The next run retries it."""
+        if self._lock_manager is None:
+            return self.run_topic(topic)
+        with self._lock_manager.try_with_lock(topic) as lock:
+            if lock is None:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "Skipping topic %s: locked by another instance", topic
+                )
+                return []
+            return self.run_topic(topic)
 
     def run(self) -> dict[str, list[str]]:
         """Process every topic; `num_threads > 1` runs topics concurrently
@@ -495,9 +579,9 @@ class RestructurePlan:
         topics = self.topics()
         n = max(1, int(self.config.num_threads or 1))
         if n == 1 or len(topics) <= 1:
-            return {t: self.run_topic(t) for t in topics}
+            return {t: self._run_topic_locked(t) for t in topics}
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(n, len(topics))) as pool:
-            results = list(pool.map(self.run_topic, topics))
+            results = list(pool.map(self._run_topic_locked, topics))
         return dict(zip(topics, results))

@@ -181,6 +181,13 @@ class S3TargetStorage(TargetStorage):
         bucket, key = parse_s3_url(path)
         return self.client.get_object(Bucket=bucket, Key=key)["Body"].read()
 
+    def object_tags(self, path: str) -> dict[str, str]:
+        """Object tag set (S8: the reference reads an `endOffset` tag for
+        files named without `+to`, source/S3SourceStorage.kt:65-90)."""
+        bucket, key = parse_s3_url(path)
+        resp = self.client.get_object_tagging(Bucket=bucket, Key=key)
+        return {t["Key"]: t["Value"] for t in resp.get("TagSet", [])}
+
     @contextmanager
     def store_atomic_writer(self, path: str):
         import tempfile

@@ -244,3 +244,20 @@ def test_s3_kwargs_from_hadoop_conf(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_object_tags_end_offset(storage):
+    """S8: `endOffset` object tag lookup (source/S3SourceStorage.kt:65-90).
+    Files uploaded by the Kafka S3 sink without `+to` in the name carry the
+    range end as a tag; the migration/coverage path reads it via
+    object_tags."""
+    p = _url("tags/t+0+100.parquet")
+    storage.store_atomic(p, b"x")
+    assert storage.object_tags(p) == {}
+    bucket, key = parse_s3_url(p)
+    storage.client.put_object_tagging(
+        Bucket=bucket,
+        Key=key,
+        Tagging={"TagSet": [{"Key": "endOffset", "Value": "199"}]},
+    )
+    assert storage.object_tags(p) == {"endOffset": "199"}
