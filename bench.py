@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "tpch_q4_priority",
     "tpch_q16_supplier_variety",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q22_idle_customers",
 ]
 
 

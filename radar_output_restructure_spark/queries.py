@@ -919,3 +919,223 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("supplier_cnt")
         )
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_cents DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): which customers returned
+    the most revenue in a quarter. Both date filters and the returnflag
+    filter push into the scans; nation broadcasts (25 rows always);
+    customer/orders join shuffles on the key; the final top-20 is a
+    TakeOrdered, no global sort materialization."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_orders, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_orders
+    """,
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+    keeps zero-order customers (count(o_orderkey) ignores the null-extended
+    rows), then a second aggregation folds customers into a distribution.
+    The priority predicate lives in the JOIN CONDITION, not a WHERE — a
+    WHERE would silently turn the outer join inner. Two shuffles total
+    (join+count on custkey, redistribute on c_orders), both map-side
+    combined; the second frame is order-count-sized, i.e. tiny."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("o_custkey") == F.col("c_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_orders"))
+        .groupBy("c_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    """
+    SELECT CAST(round(
+             (100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                 ELSE 0 END) * 1000000)
+             / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)),
+             0) AS BIGINT) AS promo_micro_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): conditional aggregation
+    over one fact⋈dim join — promo and total revenue accumulate in the SAME
+    pass (no second scan, no self-join). Revenue sums are exact bigint
+    cents; the single percent division happens once on two exact integers,
+    so both engines produce the identical double, rounded to micro-percent.
+    The part join carries no hint: AQE broadcasts the dimension while it
+    fits (the SCALE.md vocab-join rule)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(promo) * 1_000_000) / F.sum(rev), 0
+            )
+            .cast("long")
+            .alias("promo_micro_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the revenue view aggregates the
+    quarter once, a 1-row global max reduces from that supplier-sized frame
+    (never a second fact scan), and the equality filter joins back via a
+    broadcast of the scalar. localCheckpoint materializes the view so the
+    two consumers (max + join) share one computation. Revenue is exact
+    bigint cents, so the max-equality is deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("total_revenue_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    best = revenue.agg(F.max("total_revenue_cents").alias("best_cents"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sup.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue_cents") == F.col("best_cents"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    """
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS totacctbal_cents
+    FROM customer c
+    WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) > (
+        SELECT sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) * 1.0 / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle wealthy customers (TPC-H Q22 shape): a scalar AVG subquery
+    (computed as exact-cents sum/count so both engines see one identical
+    double division) broadcast-filters customers, and NOT EXISTS against
+    recent orders decorrelates to a LEFT ANTI join. The anti-join's right
+    side prunes to the date window BEFORE shuffling; at 100 TB that is the
+    difference between shuffling a week of orders and all of them."""
+    cust = load_table(spark, sf_dir, "customer")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(cents(F.col("c_acctbal"))) * 1.0 / F.count(F.lit(1))).alias(
+                "avg_cents"
+            )
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(cents(F.col("c_acctbal")) > F.col("avg_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
+        )
+    )
