@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "tpch_q14_promo_share",
     "tpch_q15_top_supplier",
     "tpch_q22_idle_customers",
+    "cosine_range_search",
 ]
 
 

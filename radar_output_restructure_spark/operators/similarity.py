@@ -141,6 +141,75 @@ def cosine_topk(
     )
 
 
+def cosine_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All corpus neighbors within a cosine radius of each query vector:
+    (query_id, neighbor_id, sim) for every sim >= threshold, self-matches
+    excluded — the radius-search counterpart of `cosine_topk` (dedup
+    candidate generation, recall-oriented retrieval evaluation).
+
+    STRICTLY MAP-ONLY — even the top-k's kilobyte ranking shuffle is gone:
+    the threshold filter is decided per row inside the scoring closure, so
+    the operator's entire cost is one corpus scan regardless of corpus
+    size, and its output is exactly the matching pairs. Queries are
+    driver-small by contract (same as cosine_topk) and scored with the
+    oracle's exact fold order (`_codebook_affinities`, round-6), so the
+    >= comparison happens on engine-identical doubles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    if not q_rows:
+        raise ValueError("cosine_range_search requires a non-empty query set")
+    q_lists = [[float(x) for x in r.qv] for r in q_rows]
+    q_arr = np.array(q_lists, dtype=np.float64)
+    q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_ids_arr = np.array([r.qid for r in q_rows])
+    nq = len(q_ids_arr)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            nbr = pdf["vec_id"].to_numpy()
+            aff = _codebook_affinities(x, q_arr, q_norms)  # (n, nq) rounded
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                keep = (aff[:, j] >= threshold) & (nbr != q_ids_arr[j])
+                if not keep.any():
+                    continue
+                qcol.append(np.repeat(q_ids_arr[j], int(keep.sum())))
+                ncol.append(nbr[keep])
+                scol.append(aff[keep, j])
+            if qcol:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qcol),
+                        "neighbor_id": np.concatenate(ncol),
+                        "sim": np.concatenate(scol),
+                    }
+                )
+
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(score, out_schema)
+
+
 def _plane_weight(plane: int, dim: int) -> int:
     """Deterministic pseudo-random hyperplane weight in [-3, 3].
 

@@ -888,3 +888,38 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         dims=DIMS,
     )
+
+
+RANGE_THRESHOLD = 0.3
+
+
+@register(
+    "cosine_range_search",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)
+    SELECT query_id, neighbor_id,
+           round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+    FROM c, q
+    WHERE neighbor_id != query_id
+      AND round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
+          >= {RANGE_THRESHOLD}
+    """,
+)
+def q_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: every corpus vector within cosine >= 0.3 of each
+    query. ZERO-shuffle by construction — the threshold is applied inside
+    the map-only scoring pass, so unlike top-k there is not even a ranking
+    exchange; cost is exactly one corpus scan at any scale
+    (operators/similarity.cosine_range_search)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_range_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_range_search(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        threshold=RANGE_THRESHOLD,
+    )
