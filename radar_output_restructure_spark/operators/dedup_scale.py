@@ -396,12 +396,19 @@ def simhash_near_dup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    # fp feeds three branches (band explode + both verify sides): materialize
-    # the doc-per-row fingerprint frame once instead of re-tokenizing and
-    # re-aggregating the corpus per branch (same pattern as tfidf's tf frame)
+    # fp feeds both sides of the band join: materialize the doc-per-row
+    # fingerprint frame once instead of re-tokenizing the corpus per branch
+    # (same pattern as tfidf's tf frame)
     fp = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
+    # Each banded row CARRIES its full fingerprint (8 extra bytes) so the
+    # hamming verification happens inside the bucket equijoin itself — the
+    # earlier shape re-joined the fingerprint frame twice after a pair
+    # distinct, which cost two additional shuffles; now the only shuffles
+    # are the bucket join and the final distinct over VERIFIED pairs (the
+    # smallest frame in the whole plan).
     banded = fp.select(
         "doc",
+        "simhash",
         F.inline(
             F.array(
                 *[
@@ -416,21 +423,15 @@ def simhash_near_dup_pairs(
             )
         ),
     )
-    cand = (
-        banded.select(F.col("doc").alias("doc_a"), "band", "bv")
-        .join(
-            banded.select(F.col("doc").alias("doc_b"), "band", "bv"),
-            ["band", "bv"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    left = banded.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bv"
     )
-    fa = fp.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
-    fb = fp.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
+    right = banded.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"), "band", "bv"
+    )
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
@@ -439,6 +440,7 @@ def simhash_near_dup_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
     )
 
 
