@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "tpch_q15_top_supplier",
     "tpch_q22_idle_customers",
     "cosine_range_search",
+    "event_attribution_windows",
 ]
 
 

@@ -41,3 +41,60 @@ def rolling_window_stats(
         F.count(F.lit(1)).over(w).alias(f"n_{window_s}s"),
         F.sum(cents).over(w).alias(f"cents_{window_s}s"),
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | str,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+) -> DataFrame:
+    """Non-equi time-interval join, made shuffle-bounded by bucketization:
+    every left row whose `left_ts` falls in a right row's half-open
+    [start_col, end_col) interval, matched within `keys`.
+
+    Spark has no native range-join optimization — the naive formulation
+    `l JOIN r ON l.k = r.k AND l.ts BETWEEN r.s AND r.e` degenerates to a
+    per-key cartesian filter (every left row of a key against every right
+    interval of that key: hot keys go quadratic at 100 TB). The standard
+    fix, expressed declaratively so Catalyst still prunes/pushes:
+
+    * left rows get ONE bucket: floor(unix(ts) / bucket_s);
+    * right intervals EXPLODE to the buckets they overlap (sequence() —
+      ceil(len/bucket_s)+1 rows, a small constant when bucket_s is chosen
+      near the interval length);
+    * equi-join on (keys..., bucket) + the residual BETWEEN predicate.
+
+    Each (left row, interval) pair meets in exactly one bucket — the left
+    row's own — so no post-join distinct is needed; output cardinality
+    equals the naive join's exactly. Join parallelism follows (key, bucket)
+    instead of key, so a hot key's intervals spread over time buckets and
+    AQE's skew split has a real axis to cut on.
+
+    `bucket_s` trades explode factor (long intervals over small buckets)
+    against bucket occupancy (short buckets gather fewer rows); the sweet
+    spot is bucket_s ~ typical interval length.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / (bucket_s * 1_000_000))
+    l_df = left.withColumn("__bucket", lb.cast("long"))
+    rs = F.unix_micros(F.col(start_col))
+    re_ = F.unix_micros(F.col(end_col))
+    r_df = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(rs / (bucket_s * 1_000_000)).cast("long"),
+                # half-open end: the end-instant's own bucket only matters
+                # when the interval extends into it
+                F.floor((re_ - 1) / (bucket_s * 1_000_000)).cast("long"),
+            )
+        ),
+    )
+    residual = (F.col(left_ts) >= F.col(start_col)) & (
+        F.col(left_ts) < F.col(end_col)
+    )
+    return l_df.join(r_df, [*keys, "__bucket"]).filter(residual).drop("__bucket")

@@ -1139,3 +1139,68 @@ def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
         )
     )
+
+
+@register(
+    "event_attribution_windows",
+    """
+    WITH a AS (
+      SELECT event_id AS anchor_id, user_id, ts AS t0,
+             ts + INTERVAL 4 HOUR AS t1
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.anchor_id,
+           CAST(count(e.event_id) AS BIGINT) AS n_follow,
+           CAST(coalesce(sum(CAST(round(e.value * 100, 0) AS BIGINT)), 0)
+                AS BIGINT) AS follow_cents
+    FROM a LEFT JOIN events e
+      ON e.user_id = a.user_id
+     AND e.event_id != a.anchor_id
+     AND e.ts >= a.t0 AND e.ts < a.t1
+    GROUP BY 1
+    """,
+)
+def q_event_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution windows (the canonical non-equi range join): per purchase
+    event, count + cents-sum of the same user's events in the following 4
+    hours. Runs through operators/timeseries.interval_join — bucketized on
+    the window length so the join is an equi-join on (user, time bucket)
+    with a residual BETWEEN, never a per-user cartesian (the naive range
+    join goes quadratic on hot users at 100 TB). Zero-follow anchors are
+    restored by a left join against the anchor set, matching the SQL LEFT
+    JOIN exactly."""
+    from radar_output_restructure_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("t1"),
+    )
+    follows = interval_join(
+        ev.select("user_id", "event_id", "ts", "value"),
+        anchors,
+        keys="user_id",
+        left_ts="ts",
+        start_col="t0",
+        end_col="t1",
+        bucket_s=4 * 3600,
+    ).filter(F.col("event_id") != F.col("anchor_id"))
+    agg = follows.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+        F.sum(cents(F.col("value"))).alias("follow_cents"),
+    )
+    return (
+        anchors.select("anchor_id")
+        .join(agg, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            F.coalesce(F.col("n_follow"), F.lit(0)).cast("bigint").alias("n_follow"),
+            F.coalesce(F.col("follow_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("follow_cents"),
+        )
+    )
