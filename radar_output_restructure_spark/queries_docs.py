@@ -819,3 +819,34 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         docs, base_rate_per_mille=MIXTURE_BASE_PER_MILLE
     ).select("doc_id", "lang")
+
+
+@register(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 6) AS q1_chars,
+           round(quantile_cont(n_chars, 0.50), 6) AS median_chars,
+           round(quantile_cont(n_chars, 0.75), 6) AS q3_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution — the corpus profiling
+    step before length filtering (quality thresholds are set per language,
+    not globally). Spark's exact `percentile` and DuckDB's `quantile_cont`
+    share the same linear-interpolation definition, so the values
+    hash-match without integer tricks. One map-side-combined shuffle on
+    lang; the sort runs per group inside the aggregate, and lang
+    cardinality is tiny so the final frame is driver-negligible at any
+    corpus size (for unbounded group keys, swap in approx_percentile —
+    documented trade, not needed for the profiling use case)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("q1_chars"),
+        F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q3_chars"),
+    )
