@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "tpch_q22_idle_customers",
     "cosine_range_search",
     "event_attribution_windows",
+    "doc_length_quantiles",
+    "bpe_merges_docs",
 ]
 
 

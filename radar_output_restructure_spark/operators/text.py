@@ -575,3 +575,154 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc", "term", "rank", "score_micro")
     )
+
+
+BPE_MERGES = 8  # rounds in the gated query; oracle unrolls the same count
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """(rank, lhs, rhs, pair_freq): the first `n_merges` BPE merge rules
+    learned from the corpus — the tokenizer-training primitive (Sennrich et
+    al. 2016). Each round merges the most frequent adjacent symbol pair
+    (ties: freq desc, lhs asc, rhs asc — deterministic) greedily
+    left-to-right within every word.
+
+    Scale design — the corpus is scanned ONCE, into the word-frequency
+    table (vocab-sized, the classic word count); all `n_merges` rounds run
+    against that materialized frame, so per-round cost is a vocab-sized
+    pair-count shuffle plus a 1-row argmax collect (the k-means Lloyd-loop
+    pattern: bounded driver state per iteration, never corpus-sized).
+
+    The segmentation is a STRING, not an array: symbols double-space
+    delimited with double-space padding ('  h  e  l  l  o  '). Merging pair
+    (L, R) is then exactly `replace(seg, ' L  R ', ' LR ')` — the
+    single-space anchors make partial-symbol matches impossible, each match
+    consumes one space from each flanking gap so adjacent occurrences
+    still match, and both Spark's and DuckDB's replace() scan left-to-right
+    non-overlapping, which IS greedy BPE application. That shared operator
+    is what lets the oracle replay training as plain unrolled SQL
+    (__spark_entry__ bpe oracle; prototype-verified identical on both
+    engines). Everything stays JVM-side codegen — no UDF in any round.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")
+            ).alias("seg"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    seg_frame = words
+    for rank in range(1, n_merges + 1):
+        syms = F.filter(F.split(F.col("seg"), "  "), lambda x: x != "")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(syms) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("lhs"),
+                F.element_at(syms, i + 1).alias("rhs"),
+            ),
+        )
+        best = (
+            seg_frame.filter(F.size(syms) >= 2)
+            .select(F.inline(pairs), "freq")
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("freq").cast("bigint").alias("pair_freq"))
+            .orderBy(
+                F.col("pair_freq").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # corpus exhausted: every word is a single symbol
+        lhs, rhs, freq = best[0].lhs, best[0].rhs, best[0].pair_freq
+        merges.append((rank, lhs, rhs, int(freq)))
+        seg_frame = seg_frame.select(
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {lhs}  {rhs} "),
+                F.lit(f" {lhs}{rhs} "),
+            ).alias("seg"),
+            "freq",
+        ).localCheckpoint(eager=False)  # flat lineage: k rounds, k frames
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("lhs", T.StringType(), False),
+            T.StructField("rhs", T.StringType(), False),
+            T.StructField("pair_freq", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_oracle_sql(n_merges: int = BPE_MERGES, table: str = "documents") -> str:
+    """DuckDB oracle replaying `bpe_learn_merges` as unrolled CTE rounds
+    (the k-means-oracle pattern: training replayed in pure SQL from the
+    same shared constants)."""
+    ctes = [
+        f"""words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+            FROM {table})
+      WHERE word != '' GROUP BY word
+    )""",
+        r"""seg0 AS (
+      SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seg, freq
+      FROM words
+    )""",
+    ]
+    selects = []
+    for k in range(n_merges):
+        ctes.append(
+            f"""pairs{k} AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(sum(freq) AS BIGINT) AS pair_freq
+      FROM (SELECT list_filter(string_split(seg, '  '), x -> x != '') AS syms,
+                   freq
+            FROM seg{k}) t,
+           unnest(range(1, greatest(len(t.syms), 1))) AS u(i)
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""best{k} AS (
+      SELECT lhs, rhs, pair_freq FROM pairs{k}
+      ORDER BY pair_freq DESC, lhs ASC, rhs ASC LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""seg{k + 1} AS (
+      SELECT replace(seg, ' ' || lhs || '  ' || rhs || ' ',
+                     ' ' || lhs || rhs || ' ') AS seg, freq
+      FROM seg{k} CROSS JOIN best{k}
+    )"""
+        )
+        selects.append(
+            f"SELECT {k + 1} AS rank, lhs, rhs, pair_freq FROM best{k}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )

@@ -850,3 +850,14 @@ def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.50)"), 6).alias("median_chars"),
         F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("q3_chars"),
     )
+
+
+@register("bpe_merges_docs", X.bpe_oracle_sql(X.BPE_MERGES))
+def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merge rules learned from the corpus (tokenizer
+    training). One corpus scan into the word-frequency table; each round is
+    a vocab-sized pair count + 1-row argmax + a JVM-side greedy merge via
+    the double-space string trick (operators/text.bpe_learn_merges). The
+    oracle replays the identical training as unrolled SQL CTE rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bpe_learn_merges(docs, n_merges=X.BPE_MERGES)

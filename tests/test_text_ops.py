@@ -1127,3 +1127,87 @@ def test_winnowing_matches_pure_python_reference(spark):
         got.setdefault(r.doc, set()).add(r.fp)
     for i, t in texts.items():
         assert got.get(i, set()) == reference(t), f"doc {i}"
+
+
+def _bpe_reference(texts, n_merges):
+    """Pure-Python BPE (Sennrich et al.): word freqs -> iterative most-
+    frequent-adjacent-pair merges, greedy left-to-right application."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                words[w] += 1
+    segs = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, f in words.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        (lhs, rhs), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, freq))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2  # greedy non-overlapping
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from radar_output_restructure_spark.operators.text import bpe_learn_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "the newest low lower the the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.rank, r.lhs, r.rhs, r.pair_freq)
+        for r in bpe_learn_merges(df, n_merges=6).collect()
+    )
+    assert got == _bpe_reference(texts, 6)
+
+
+def test_bpe_merged_tokens_can_chain_across_rounds(spark):
+    """A later round may merge a previously-merged symbol (multi-char lhs),
+    and the single-space anchors must not match partial symbols."""
+    from radar_output_restructure_spark.operators.text import bpe_learn_merges
+
+    texts = ["aaaa aaaa aaaa ab ab"]
+    df = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.pair_freq)
+        for r in bpe_learn_merges(df, n_merges=3).collect()
+    ]
+    assert got == _bpe_reference(texts, 3)
+    # round 1 merges (a,a) greedily -> 'aa','aa'; round 2 merges (aa,aa)
+    assert got[0][1:3] == ("a", "a")
+    assert got[1][1:3] == ("aa", "aa")
+
+
+def test_bpe_stops_when_no_pairs_remain(spark):
+    from radar_output_restructure_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id long, text string"
+    )
+    out = bpe_learn_merges(df, n_merges=10).collect()
+    # only (a,b) and (c,d) are ever mergeable: 2 rounds, then exhaustion
+    assert len(out) == 2
