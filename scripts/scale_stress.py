@@ -48,6 +48,8 @@ HEAVY = [
     "embedding_near_dup_pairs_auto",
     "ann_ivf_topk",
     "doc_fingerprint_overlap",
+    "bpe_merges_docs",
+    "cosine_range_search",
 ]
 
 ID_STRIDE = 10_000_000

@@ -268,3 +268,26 @@ def test_png_decoder_roundtrip_property(w, h, channels, filters, seed):
         expect = (float(mm[0]), float(mm[1]), float(mm[2]))
     got = (meta["mean_r"], meta["mean_g"], meta["mean_b"])
     assert np.allclose(got, expect, atol=1e-5), (got, expect)
+
+
+@given(
+    ts=st.integers(0, 10**7),
+    start=st.integers(0, 10**7),
+    length=st.integers(1, 10**6),
+    bucket_us=st.integers(1, 10**6),
+)
+def test_interval_join_bucket_coverage_model(ts, start, length, bucket_us):
+    """Model of operators/timeseries.interval_join's bucket math (microsecond
+    domain): whenever ts falls in the half-open [start, end), ts's single
+    bucket MUST be inside the interval's exploded bucket range — the
+    completeness invariant that makes the equi-join lossless. And a ts
+    outside every bucket of the range can never satisfy the residual, so
+    the join is also exact (no spurious residual evaluations needed)."""
+    end = start + length
+    ts_bucket = ts // bucket_us
+    lo = start // bucket_us
+    hi = (end - 1) // bucket_us  # half-open end
+    if start <= ts < end:
+        assert lo <= ts_bucket <= hi
+    if not (lo <= ts_bucket <= hi):
+        assert not (start <= ts < end)
