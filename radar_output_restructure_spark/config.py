@@ -17,9 +17,15 @@ concept survives the engine swap:
   timeBinFormat                       -> the `${...}` path DSL
 * cleaner.enable / interval / age     -> CleanerConfig + service scheduling
 * service.enable / interval           -> polling loop (streaming/service.py)
+* source.s3.endOffsetFromTags /
+  source.azure.endOffsetFromMetadata  -> end_offset_from_tags (S8)
+* redis.lockPrefix                    -> lock_dir (T5: the key prefix maps to
+                                         the shared lock DIRECTORY; the lock
+                                         backend is O_EXCL files, not Redis)
 
-Dropped concepts (documented, not errors): `redis.*` (the file manifest
-replaces Redis offsets/locks), `worker.cacheSize`/`cacheOffsetsSize`
+Dropped concepts (documented, not errors): `redis.uri` (the file manifest
+replaces Redis offsets; locks are lock files under redis.lockPrefix
+reinterpreted as a directory), `worker.cacheSize`/`cacheOffsetsSize`
 (Spark manages memory), `source.s3|azure` credentials (storage access is
 Hadoop filesystem configuration — s3a:// / abfs:// URIs in paths.inputs),
 `source.index` intervals (driver listing + manifest).
@@ -87,6 +93,12 @@ def load_config(path: str) -> AppConfig:
     comp = None if comp in (None, "none") else str(comp).lower()
     worker = raw.get("worker") or {}
     paths = raw.get("paths") or {}
+    source = raw.get("source") or {}
+    redis = raw.get("redis") or {}
+    tag_offsets = bool(
+        (source.get("s3") or {}).get("endOffsetFromTags", False)
+        or (source.get("azure") or {}).get("endOffsetFromMetadata", False)
+    )
     path_props = paths.get("properties") or {}
     svc = raw.get("service") or {}
     cln = raw.get("cleaner") or {}
@@ -129,6 +141,8 @@ def load_config(path: str) -> AppConfig:
         max_files_per_topic=worker.get("maxFilesPerTopic"),
         minimum_file_age_s=float(worker.get("minimumFileAge", 60)),
         num_threads=int(worker.get("numThreads", 1)),
+        end_offset_from_tags=tag_offsets,
+        lock_dir=str(redis["lockPrefix"]) if redis.get("lockPrefix") else None,
     )
     return AppConfig(
         inputs=[str(p) for p in (paths.get("inputs") or [])],

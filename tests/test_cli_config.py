@@ -113,3 +113,34 @@ paths:
     assert rc == 0
     target = os.path.join(output_dir, "p", "u", "t", "19700101_0100.csv")
     assert os.path.exists(target)
+
+
+def test_end_offset_tags_and_lock_prefix_mapping(tmp_path):
+    """source.s3.endOffsetFromTags -> S8 opt-in; redis.lockPrefix -> T5
+    lock directory (the reference's lock key prefix reinterpreted as the
+    shared lock dir; redis.uri itself is a documented dropped concept)."""
+    from radar_output_restructure_spark.config import load_config
+
+    cfg_file = tmp_path / "restructure.yml"
+    cfg_file.write_text(
+        """
+paths:
+  inputs: [/data/in]
+  output: /data/out
+source:
+  s3:
+    endOffsetFromTags: true
+redis:
+  uri: redis://localhost:6379
+  lockPrefix: /data/locks
+"""
+    )
+    cfg = load_config(str(cfg_file))
+    assert cfg.restructure.end_offset_from_tags is True
+    assert cfg.restructure.lock_dir == "/data/locks"
+
+    plain = tmp_path / "plain.yml"
+    plain.write_text("paths:\n  output: /data/out\n")
+    cfg2 = load_config(str(plain))
+    assert cfg2.restructure.end_offset_from_tags is False
+    assert cfg2.restructure.lock_dir is None
