@@ -175,3 +175,47 @@ def streaming_dedup(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "anchor_ts",
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream attribution join: left rows matched to right (anchor)
+    rows of the same keys whose timestamp starts a half-open window
+    containing the left timestamp — `right_ts <= left_ts < right_ts +
+    window_s`. The streaming face of the batch bucketized
+    `operators/timeseries.interval_join`.
+
+    On STREAMS both sides carry watermarks and the event-time range
+    condition is exactly what Structured Streaming requires to bound
+    stream-stream join state: rows age out of the join buffer once the
+    watermark passes `right_ts + window_s` (state is O(events per watermark
+    horizon), never unbounded). On BATCH frames the identical plan is a
+    plain non-equi join, so tests validate semantics without a long-running
+    query — the same dual-mode contract as every operator in this module.
+
+    Columns from `right` must not collide with `left` (alias the anchor
+    frame first); both input frames keep their names in the output.
+    """
+    l_frame = (
+        left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    )
+    r_frame = (
+        right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    )
+    cond = (
+        (F.col(left_ts) >= F.col(right_ts))
+        & (
+            F.col(left_ts)
+            < F.col(right_ts) + F.expr(f"INTERVAL {int(window_s)} SECONDS")
+        )
+    )
+    for k in keys:
+        cond = cond & (l_frame[k] == r_frame[k])
+    return l_frame.join(r_frame, cond).drop(*[r_frame[k] for k in keys])
