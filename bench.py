@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "event_attribution_windows",
     "doc_length_quantiles",
     "bpe_merges_docs",
+    "bpe_encode_docs",
 ]
 
 

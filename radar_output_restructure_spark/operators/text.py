@@ -609,7 +609,24 @@ def bpe_learn_merges(
     (__spark_entry__ bpe oracle; prototype-verified identical on both
     engines). Everything stays JVM-side codegen — no UDF in any round.
     """
-    spark = df.sparkSession
+    merges, _seg = _bpe_train(df, text_col, n_merges)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("lhs", T.StringType(), False),
+            T.StructField("rhs", T.StringType(), False),
+            T.StructField("pair_freq", T.LongType(), False),
+        ]
+    )
+    return df.sparkSession.createDataFrame(merges, schema)
+
+
+def _bpe_train(df, text_col, n_merges):
+    """(merges, final seg frame): the shared trainer. Segmentation frames
+    carry (word, seg, freq) so encoders can join words back to their final
+    symbol decomposition."""
     words = (
         df.select(
             F.explode(
@@ -620,6 +637,7 @@ def bpe_learn_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.concat(
                 F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")
             ).alias("seg"),
@@ -657,6 +675,7 @@ def bpe_learn_merges(
         lhs, rhs, freq = best[0].lhs, best[0].rhs, best[0].pair_freq
         merges.append((rank, lhs, rhs, int(freq)))
         seg_frame = seg_frame.select(
+            "word",
             F.replace(
                 F.col("seg"),
                 F.lit(f" {lhs}  {rhs} "),
@@ -664,18 +683,52 @@ def bpe_learn_merges(
             ).alias("seg"),
             "freq",
         ).localCheckpoint(eager=False)  # flat lineage: k rounds, k frames
+    return merges, seg_frame
 
-    from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("rank", T.IntegerType(), False),
-            T.StructField("lhs", T.StringType(), False),
-            T.StructField("rhs", T.StringType(), False),
-            T.StructField("pair_freq", T.LongType(), False),
-        ]
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """(id, n_words, n_bpe_tokens): per-document token counts under the
+    learned BPE vocabulary — the encode half of the trainer (the budget
+    signal packing/chunking pipelines need: how many pieces a tokenizer
+    with these merges produces).
+
+    Applying merges per document would replay k replaces over the corpus;
+    instead the final segmentation frame (word -> symbols, vocab-sized)
+    joins back to the corpus token stream — one extra corpus tokenization
+    pass and a vocab-sized join (no hint: AQE broadcasts while it fits),
+    then a map-side-combined per-doc sum. Docs with no tokens keep 0s via
+    the left join.
+    """
+    _merges, seg_frame = _bpe_train(df, text_col, n_merges)
+    n_syms = F.size(F.filter(F.split(F.col("seg"), "  "), lambda x: x != ""))
+    word_sizes = seg_frame.select("word", n_syms.alias("n_syms"))
+    tokens = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        tokens.join(word_sizes, "word")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
-    return spark.createDataFrame(merges, schema)
+    ids = df.select(F.col(id_col))
+    return ids.join(per_doc, ids[id_col] == per_doc["doc"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )
 
 
 def bpe_oracle_sql(n_merges: int = BPE_MERGES, table: str = "documents") -> str:
@@ -690,7 +743,8 @@ def bpe_oracle_sql(n_merges: int = BPE_MERGES, table: str = "documents") -> str:
       WHERE word != '' GROUP BY word
     )""",
         r"""seg0 AS (
-      SELECT '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seg, freq
+      SELECT word, '  ' || regexp_replace(word, '(.)', '\1  ', 'g') AS seg,
+             freq
       FROM words
     )""",
     ]
@@ -715,8 +769,8 @@ def bpe_oracle_sql(n_merges: int = BPE_MERGES, table: str = "documents") -> str:
         )
         ctes.append(
             f"""seg{k + 1} AS (
-      SELECT replace(seg, ' ' || lhs || '  ' || rhs || ' ',
-                     ' ' || lhs || rhs || ' ') AS seg, freq
+      SELECT word, replace(seg, ' ' || lhs || '  ' || rhs || ' ',
+                           ' ' || lhs || rhs || ' ') AS seg, freq
       FROM seg{k} CROSS JOIN best{k}
     )"""
         )
@@ -726,3 +780,34 @@ def bpe_oracle_sql(n_merges: int = BPE_MERGES, table: str = "documents") -> str:
     return (
         "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
     )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = BPE_MERGES, table: str = "documents"
+) -> str:
+    """Encode-side oracle: replay training (same CTE chain), then join the
+    final word->symbol-count map back to the corpus token stream."""
+    train = bpe_oracle_sql(n_merges, table)
+    ctes = train.split("\nUNION ALL\n")[0].rsplit("\nSELECT 1 AS rank", 1)[0]
+    return f"""{ctes},
+    word_sizes AS (
+      SELECT word,
+             CAST(len(list_filter(string_split(seg, '  '), x -> x != ''))
+                  AS BIGINT) AS n_syms
+      FROM seg{n_merges}
+    ),
+    toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM {table}
+    ),
+    per_doc AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+      FROM toks JOIN word_sizes USING (word)
+      WHERE word != '' GROUP BY doc
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM {table} d LEFT JOIN per_doc p ON p.doc = d.doc_id"""

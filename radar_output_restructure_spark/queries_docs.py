@@ -861,3 +861,14 @@ def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical training as unrolled SQL CTE rounds."""
     docs = load_table(spark, sf_dir, "documents")
     return X.bpe_learn_merges(docs, n_merges=X.BPE_MERGES)
+
+
+@register("bpe_encode_docs", X.bpe_encode_oracle_sql(X.BPE_MERGES))
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE vocabulary (the
+    encode half of bpe_merges_docs): trains the same 8 merges, then joins
+    the final word->symbol-count map (vocab-sized) back to the corpus
+    token stream — the packing/chunking budget signal
+    (operators/text.bpe_encode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.bpe_encode(docs, n_merges=X.BPE_MERGES)

@@ -1211,3 +1211,33 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     out = bpe_learn_merges(df, n_merges=10).collect()
     # only (a,b) and (c,d) are ever mergeable: 2 rounds, then exhaustion
     assert len(out) == 2
+
+
+def test_bpe_encode_counts_match_reference_segmentation(spark):
+    from radar_output_restructure_spark.operators.text import bpe_encode
+
+    texts = ["low low lower", "newest newest", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_encode(df, n_merges=2).collect()}
+    # reference: replay learning then count symbols per doc
+    merges = _bpe_reference(texts, 2)
+    segs = {}
+    for t in texts:
+        for w in t.split():
+            segs.setdefault(w, list(w))
+    for _rank, lhs, rhs, _f in merges:
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                    out.append(lhs + rhs); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            segs[w] = out
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert rows[i] == (len(words), sum(len(segs[w]) for w in words))
+    assert rows[2] == (0, 0)  # empty doc keeps zeros via the left join
