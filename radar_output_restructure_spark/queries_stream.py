@@ -265,3 +265,53 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_survivors(docs, duplicate_clusters(pairs)).select(
         F.col("doc_id").alias("doc")
     )
+
+
+@register(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE b AS (
+{sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c USING (tbl, bucket)
+      WHERE a.vec_id < c.vec_id
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
+      WHERE round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
+            >= {NEAR_DUP_COSINE}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
+    )
+    SELECT doc, min(label) AS cluster FROM reach GROUP BY doc
+    """,
+)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate CLUSTERS: the scale-safe auto-plane LSH
+    pairs (cosine >= threshold after exact verification) fed through the
+    same connected-components machinery as the document clusters
+    (operators/dedup_scale.duplicate_clusters — capped driver union-find
+    with the distributed min-label-propagation fallback). Completes the
+    embedding dedup path: pairs -> clusters -> pick survivors downstream."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        duplicate_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = auto_num_planes(emb.count())
+    cb = hyperplane_lsh_buckets(emb, num_planes=planes, num_tables=NUM_TABLES)
+    pairs = _near_dup_from_buckets(emb, cb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return duplicate_clusters(pairs)
