@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clean", action="store_true", default=None,
                    help="also run the cleaner")
     p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--timings", action="store_true",
+                   help="collect and print per-stage driver timings "
+                        "(A4, reference util/Timer.kt)")
     return p
 
 
@@ -67,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
         print("error: no input directories (config paths.inputs or --input)", file=sys.stderr)
         return 2
 
+    from radar_output_restructure_spark.timer import Timer
+
+    if args.timings:
+        Timer.enabled = True
     spark = get_spark(master=args.master)
     try:
         for input_dir in cfg.inputs:
@@ -98,6 +105,8 @@ def main(argv: list[str] | None = None) -> int:
                         f"{topic}: removed {len(res['deleted'])}, "
                         f"revoked {len(res['revoked'])}"
                     )
+        if args.timings:
+            print(Timer.report())
     finally:
         spark.stop()
     return 0
