@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "doc_length_quantiles",
     "bpe_merges_docs",
     "bpe_encode_docs",
+    "embedding_dup_clusters",
+    "pmi_collocations_docs",
 ]
 
 

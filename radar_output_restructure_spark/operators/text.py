@@ -811,3 +811,81 @@ def bpe_encode_oracle_sql(
            CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
            CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
     FROM {table} d LEFT JOIN per_doc p ON p.doc = d.doc_id"""
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """(lhs, rhs, n_pair, pmi_micro, rank): top-k adjacent-bigram
+    collocations by pointwise mutual information — phrase/collocation
+    mining (the word2vec-style phrase pass; Mikolov et al. 2013 use the
+    same count ratio).
+
+    PMI = ln(c(a,b) * N / (c(a) * c(b))) over ADJACENT pairs only, so the
+    pair explode is linear in corpus tokens (a windowed variant only
+    changes the transform width). Three vocab-or-smaller aggregations —
+    pair counts, unigram counts from the same token stream, and the 1-row
+    total folded in as a broadcast scalar; the unigram⋈pair joins carry no
+    hints (vocab-sized — AQE decides). The score is one double expression
+    over exact bigint counts rounded to integer MICRO-nats, so ranking ties
+    break identically in any engine (ties: pmi desc, lhs asc, rhs asc).
+    The top-k is an orderBy+limit = TakeOrdered — no global sort
+    materialization at any scale.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    w = df.select(split_words(text_col).alias("__w"))
+    n = F.size("__w")
+    adj = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(F.col("__w"), i).alias("lhs"),
+                F.element_at(F.col("__w"), i + 1).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    tokens = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    uni = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )
+    total = uni.agg(F.sum("c").cast("bigint").alias("n_total"))
+    pair = (
+        w.select(F.inline(adj))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    ua = uni.select(F.col("tok").alias("lhs"), F.col("c").alias("c_lhs"))
+    ub = uni.select(F.col("tok").alias("rhs"), F.col("c").alias("c_rhs"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("n_total"))
+            / (F.col("c_lhs") * F.col("c_rhs")).cast("double")
+        )
+        * 1_000_000
+    ).cast("long")
+    scored = (
+        pair.join(ua, "lhs")
+        .join(ub, "rhs")
+        .crossJoin(F.broadcast(total))
+        .select("lhs", "rhs", "n_pair", pmi.alias("pmi_micro"))
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("pmi_micro").desc(), F.col("lhs").asc(), F.col("rhs").asc()]
+    # rank AFTER the limit: the window runs on k rows, not the pair table
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )

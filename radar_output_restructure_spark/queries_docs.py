@@ -872,3 +872,55 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.bpe_encode)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.bpe_encode(docs, n_merges=X.BPE_MERGES)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@register(
+    "pmi_collocations_docs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks
+            WHERE tok != '' GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+    w AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS ws
+      FROM documents
+    ),
+    pair AS (
+      SELECT ws[i] AS lhs, ws[i + 1] AS rhs, CAST(count(*) AS BIGINT) AS n_pair
+      FROM w, unnest(range(1, greatest(len(w.ws), 1))) AS u(i)
+      GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+      SELECT p.lhs, p.rhs, p.n_pair,
+             CAST(round(ln((p.n_pair * t.n_total)
+                           / CAST(a.c * b.c AS DOUBLE)) * 1000000, 0)
+                  AS BIGINT) AS pmi_micro
+      FROM pair p
+      JOIN uni a ON a.tok = p.lhs
+      JOIN uni b ON b.tok = p.rhs
+      CROSS JOIN total t
+    )
+    SELECT lhs, rhs, n_pair, pmi_micro,
+           CAST(row_number() OVER (ORDER BY pmi_micro DESC, lhs ASC, rhs ASC)
+                AS INTEGER) AS rank
+    FROM scored
+    ORDER BY pmi_micro DESC, lhs ASC, rhs ASC
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def q_pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI (phrase mining). Linear
+    pair explode, three vocab-sized aggregations, micro-nat integer scores
+    for engine-exact ranking (operators/text.pmi_collocations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pmi_collocations(
+        docs, min_count=PMI_MIN_COUNT, k=PMI_TOP_K
+    )
