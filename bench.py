@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "bpe_encode_docs",
     "embedding_dup_clusters",
     "pmi_collocations_docs",
+    "tpch_q7_nation_volume",
+    "tpch_q17_small_quantity",
 ]
 
 

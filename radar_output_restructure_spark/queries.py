@@ -1204,3 +1204,109 @@ def q_event_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("follow_cents"),
         )
     )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between a nation pair by year (TPC-H Q7 shape): the
+    disjunctive cross-nation predicate is applied AFTER both nation
+    broadcasts (25 rows each — always broadcast), the shipdate window
+    pushes into the fact scan, and year() stays a codegen'd expression.
+    Fact⋈orders⋈customer shuffle on their keys; dims ride broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)), 0)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN pq ON l.l_partkey = pq.pk
+    WHERE 2 * CAST(round(l.l_quantity, 0) AS BIGINT) * pq.cnt < pq.sq
+    """,
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (TPC-H Q17 shape): the correlated
+    per-part AVG subquery decorrelates to one per-part aggregate joined
+    back to the fact table on the part key — the fact is scanned twice but
+    never per-row re-aggregated. The average comparison is EXACT: with
+    integral quantities, `qty < 0.5 * avg` rewrites to
+    `2*qty*count < sum` over bigints, so no float average can diverge at a
+    boundary row in either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty).cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    return (
+        li.join(pq, F.col("l_partkey") == F.col("pk"))
+        .filter(F.lit(2) * qty * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.coalesce(F.sum(cents(F.col("l_extendedprice"))), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
