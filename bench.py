@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "pmi_collocations_docs",
     "tpch_q7_nation_volume",
     "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue",
+    "embedding_dedup_survivors",
 ]
 
 

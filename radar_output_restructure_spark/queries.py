@@ -1310,3 +1310,51 @@ def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(coalesce(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                                   AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+    """,
+)
+def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under disjunctive multi-table predicates (TPC-H
+    Q19 shape). The OR spans both tables, so no single conjunct pushes to
+    either scan wholesale — but Catalyst derives the per-table IMPLIED
+    disjunctions (brand IN (..) OR.. on part, quantity range union on
+    lineitem) and pushes those, so each scan still prunes before the join.
+    The residual OR evaluates post-join in codegen. part is a dimension:
+    no hint, AQE broadcasts while it fits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond1 | cond2)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.coalesce(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

@@ -315,3 +315,61 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return duplicate_clusters(pairs)
+
+
+@register(
+    "embedding_dedup_survivors",
+    f"""
+    WITH RECURSIVE b AS (
+{sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c USING (tbl, bucket)
+      WHERE a.vec_id < c.vec_id
+    ),
+    pairs AS (
+      SELECT vec_a, vec_b FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
+      WHERE round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
+            >= {NEAR_DUP_COSINE}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(doc, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
+    ),
+    labels AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc),
+    removed AS (SELECT doc FROM labels WHERE doc <> cluster)
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT doc FROM removed)
+    """,
+)
+def q_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup, final step: the corpus minus every non-canonical
+    member of each cosine near-dup cluster (canonical = min vec id) — the
+    pairs -> clusters -> survivors trilogy on the embedding side, sharing
+    the document path's machinery end to end. The removal list broadcasts
+    into an anti-join; the corpus never shuffles."""
+    from radar_output_restructure_spark.operators.curation import (
+        near_dup_survivors,
+    )
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        duplicate_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = auto_num_planes(emb.count())
+    cb = hyperplane_lsh_buckets(emb, num_planes=planes, num_tables=NUM_TABLES)
+    pairs = _near_dup_from_buckets(emb, cb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = duplicate_clusters(pairs)
+    return near_dup_survivors(
+        emb.select("vec_id", "label"), clusters, id_col="vec_id"
+    )
