@@ -47,6 +47,15 @@ HEAVY = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_auto",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_pq_topk",
+    "knn_label_accuracy",
+    "corpus_vocabulary_docs",
+    "embedding_quantize",
+    "doc_contamination",
+    "doc_repetition",
+    "doc_bigram_logprob",
+    "simhash_near_dup_docs",
     "doc_fingerprint_overlap",
     "bpe_merges_docs",
     "cosine_range_search",
