@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "tpch_q17_small_quantity",
     "tpch_q19_discounted_revenue",
     "embedding_dedup_survivors",
+    "ann_recall_at_k",
 ]
 
 

@@ -923,3 +923,63 @@ def q_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES),
         threshold=RANGE_THRESHOLD,
     )
+
+
+def _recall_oracle_sql() -> str:
+    """Compose the recall@k oracle from the two registered top-k oracles
+    (exact brute force vs LSH) — both support WITH-in-subquery, so they
+    nest verbatim and any future change to either top-k stays in sync."""
+    from radar_output_restructure_spark.queries import ORACLES
+
+    exact = ORACLES["cosine_topk_bruteforce"]
+    approx = ORACLES["ann_lsh_topk"]
+    return f"""
+    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
+    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
+    matched AS (
+      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
+      FROM exact_k e
+      LEFT JOIN approx_k a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, n_matched,
+           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
+             AS recall_micro
+    FROM matched
+    """
+
+
+@register("ann_recall_at_k", _recall_oracle_sql())
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact brute-force ranking —
+    the index-quality gauge every ANN deployment needs before trusting an
+    approximate path (tune planes/tables until recall clears the bar).
+    Composes the two existing operators; the per-query overlap join is
+    queries x k rows, so the evaluation itself is driver-negligible at any
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_lsh(
+        emb, queries_df, k=TOP_K, num_planes=NUM_PLANES, num_tables=NUM_TABLES
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    matched = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
+    )
+    return matched.select(
+        "query_id",
+        "n_matched",
+        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
+        .cast("long")
+        .alias("recall_micro"),
+    )
