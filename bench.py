@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "tpch_q19_discounted_revenue",
     "embedding_dedup_survivors",
     "ann_recall_at_k",
+    "tpch_q8_market_share",
+    "tpch_q2_min_cost_supplier",
 ]
 
 

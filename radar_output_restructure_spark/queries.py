@@ -1358,3 +1358,119 @@ def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             n1.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+               AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = cu.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_cents ELSE 0 END)
+                      * 1000000.0 / sum(rev_cents), 0) AS BIGINT) AS share_micro
+    FROM rev GROUP BY o_year
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): a ratio of two aggregates
+    per group computed in ONE pass with conditional aggregation — no
+    self-join of the revenue frame. Region/nation dims broadcast; the
+    share division happens once per year group on two exact bigint sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    ))
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
+    grouped = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(reg), F.col("n2_region") == F.col("r_regionkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year(F.col("o_orderdate")).cast("int").alias("o_year"))
+        .agg(
+            F.sum(nation_rev).cast("bigint").alias("nation_cents"),
+            F.sum(rev).cast("bigint").alias("total_cents"),
+        )
+    )
+    return grouped.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.round(F.col("nation_cents") * 1_000_000.0 / F.col("total_cents"), 0)
+        .cast("long")
+        .alias("share_micro"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l.l_partkey AS pk, s.s_suppkey, s.s_name, s.s_acctbal
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    ),
+    ranked AS (
+      SELECT pk, s_suppkey, s_name,
+             CAST(round(s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+             row_number() OVER (
+               PARTITION BY pk
+               ORDER BY CAST(round(s_acctbal * 100, 0) AS BIGINT) ASC,
+                        s_suppkey ASC
+             ) AS rn
+      FROM ps
+    )
+    SELECT pk AS p_partkey, s_suppkey, s_name, acctbal_cents
+    FROM ranked WHERE rn = 1 AND pk < 200
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part (TPC-H Q2 shape, adapted to the schema's
+    supply relation = observed lineitem shipments): the correlated MIN
+    subquery decorrelates to a per-part window argmin with deterministic
+    ties (acctbal asc, suppkey asc). The distinct part-supplier relation
+    reduces the fact table before the window, so the window input is
+    relation-sized, not shipment-sized."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    sup = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.select(F.col("l_partkey").alias("pk"), "l_suppkey")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("pk", "s_suppkey", "s_name", cents(F.col("s_acctbal")).alias("acctbal_cents"))
+        .distinct()
+    )
+    w = Window.partitionBy("pk").orderBy(
+        F.col("acctbal_cents").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        ps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("pk").alias("p_partkey"), "s_suppkey", "s_name", "acctbal_cents")
+    )
