@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "ann_recall_at_k",
     "tpch_q8_market_share",
     "tpch_q2_min_cost_supplier",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -1115,3 +1115,115 @@ def cosine_topk_ivf(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 4,
+    codebook_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the canonical billion-scale index shape
+    (coarse inverted file for candidate pruning, product-quantized codes
+    for compressed scoring): corpus vectors index to ONE home cell, queries
+    probe `nprobe` cells, and only the probed cells' m-byte PQ codes are
+    ADC-scored — raw vectors are never touched at query time AND most of
+    the corpus is never scored at all.
+
+    (query_id, neighbor_id, sim, rank); sim is the rounded ADC cosine with
+    the shared exact fold (subspace terms accumulate left-to-right,
+    `_round6_spark`), identical to `cosine_topk_pq`'s scoring, so the SQL
+    oracle replays training + encoding + probing + ADC bit-for-bit.
+
+    The 100 TB shape: candidate generation is a broadcast join of the
+    query probe cells against the cell-indexed code table (codes 16x
+    smaller than the vectors); each (query, neighbor) pair meets in the
+    neighbor's single home cell, so no distinct is needed; the ranking
+    window sees only probed-cell candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codebooks = train_pq_codebooks(
+        corpus, m, codebook_k, iters, id_col, vec_col, dims
+    )
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        "vec_id", "cell"
+    )
+    query_cells = ivf_cells(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    cand = (
+        codes.join(corpus_cells, "vec_id")
+        .join(F.broadcast(query_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    if not q_rows:
+        raise ValueError("cosine_topk_ivfpq requires a non-empty query set")
+    q_ids = np.array([r.qid for r in q_rows])
+    q_lists = [[float(x) for x in r.qv] for r in q_rows]
+    sd = dims // m
+    tq, csq = [], []
+    for s, (lo, _hi) in enumerate(pq_subspace_bounds(dims, m)):
+        cents = codebooks[s]
+        tab = np.zeros((len(q_lists), len(cents)))
+        for qi, qv in enumerate(q_lists):
+            for ci, cent in enumerate(cents):
+                acc = 0.0
+                for d in range(sd):
+                    acc += qv[lo + d] * cent[d]
+                tab[qi, ci] = acc
+        tq.append(tab)
+        csq.append(np.array([_seq_sq_sum(c) for c in cents]))
+    q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+    code_cols = [f"code_{s}" for s in range(m)]
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qidx = np.searchsorted(q_ids, pdf["query_id"].to_numpy())
+            code_arrs = [pdf[c].to_numpy() for c in code_cols]
+            # left-to-right subspace accumulation — the oracle's fold order
+            num = tq[0][qidx, code_arrs[0]]
+            den_inner = csq[0][code_arrs[0]]
+            for s in range(1, m):
+                num = num + tq[s][qidx, code_arrs[s]]
+                den_inner = den_inner + csq[s][code_arrs[s]]
+            sim = _round6_spark(num / (q_norms[qidx] * np.sqrt(den_inner)))
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "sim": sim,
+                }
+            )
+
+    sims = cand.select("query_id", "vec_id", *code_cols).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -983,3 +983,65 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH {_SQL_PQ_TRAIN},
+    {_SQL_PQ_CODES},
+    codes AS (
+      SELECT c0.vec_id, c0.k0, c1.k1, c2.k2, c3.k3
+      FROM codes_s0 c0
+      JOIN codes_s1 c1 USING (vec_id)
+      JOIN codes_s2 c2 USING (vec_id)
+      JOIN codes_s3 c3 USING (vec_id)
+    ),
+    corpus_cells AS ({_sql_ivf_cells("", 1)}),
+    query_cells AS ({_sql_ivf_cells(f"WHERE vec_id < {N_QUERIES}", NPROBE)}),
+    scored AS (
+      SELECT qc.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(({_SQL_PQ_DOT})
+                   / (({_SQL_QNORM}) * sqrt({_SQL_PQ_CSQ})), 6) AS sim
+      FROM codes x
+      JOIN corpus_cells cc ON cc.vec_id = x.vec_id
+      JOIN query_cells qc ON qc.cell = cc.cell
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c0 FROM cent{PQ_ITERS}_s0) t0 ON t0.cell = x.k0
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c1 FROM cent{PQ_ITERS}_s1) t1 ON t1.cell = x.k1
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c2 FROM cent{PQ_ITERS}_s2) t2 ON t2.cell = x.k2
+      JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c3 FROM cent{PQ_ITERS}_s3) t3 ON t3.cell = x.k3
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}) q ON q.vec_id = qc.vec_id
+      WHERE x.vec_id != qc.vec_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (the canonical billion-scale index): coarse
+    inverted file prunes candidates (queries probe 4 of 16 cells), then
+    only the probed cells' 4-byte PQ codes are ADC-scored — raw vectors
+    untouched at query time, most of the corpus never scored at all. The
+    oracle replays coarse assignment, subquantizer training, encoding, and
+    the ADC fold as one SQL chain
+    (operators/similarity.cosine_topk_ivfpq)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") < N_CENTROIDS),
+        k=TOP_K,
+        nprobe=NPROBE,
+        m=PQ_M,
+        codebook_k=PQ_K,
+        iters=PQ_ITERS,
+        dims=DIMS,
+    )
