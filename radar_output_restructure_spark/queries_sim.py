@@ -1045,3 +1045,72 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         dims=DIMS,
     )
+
+
+def _pq_recall_oracle_sql() -> str:
+    """Recall@k for the compressed composite index, composed verbatim from
+    the exact and IVF-PQ oracles (same pattern as ann_recall_at_k)."""
+    from radar_output_restructure_spark.queries import ORACLES
+
+    exact = ORACLES["cosine_topk_bruteforce"]
+    approx = ORACLES["ann_ivfpq_topk"]
+    return f"""
+    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
+    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
+    matched AS (
+      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
+      FROM exact_k e
+      LEFT JOIN approx_k a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, n_matched,
+           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
+             AS recall_micro
+    FROM matched
+    """
+
+
+@register("ann_ivfpq_recall_at_k", _pq_recall_oracle_sql())
+def q_ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ composite index against the exact ranking —
+    quantifies BOTH approximation losses at once (cells not probed + code
+    quantization error), the number that decides nprobe/m/codebook_k
+    settings before a deployment trusts the compressed path."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_ivfpq(
+        emb,
+        queries_df,
+        emb.filter(F.col("vec_id") < N_CENTROIDS),
+        k=TOP_K,
+        nprobe=NPROBE,
+        m=PQ_M,
+        codebook_k=PQ_K,
+        iters=PQ_ITERS,
+        dims=DIMS,
+    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    matched = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
+    )
+    return matched.select(
+        "query_id",
+        "n_matched",
+        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
+        .cast("long")
+        .alias("recall_micro"),
+    )
