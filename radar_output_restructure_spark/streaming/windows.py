@@ -219,3 +219,145 @@ def stream_interval_join(
     for k in keys:
         cond = cond & (l_frame[k] == r_frame[k])
     return l_frame.join(r_frame, cond).drop(*[r_frame[k] for k in keys])
+
+
+NEAR_DUP_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, hamming int"
+_ND_STATE_SCHEMA = "docs array<bigint>, hashes array<bigint>"
+
+
+def streaming_simhash_near_dup_pairs(
+    df: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate detection over (doc, simhash) fingerprints:
+    emits (doc_a, doc_b, hamming) the moment the SECOND member of a
+    qualifying pair arrives — the streaming face of the batch
+    `operators/dedup_scale.simhash_near_dup_pairs` (same banded-bucket
+    candidates, same exact pigeonhole recall: bands > max_hamming means
+    every pair within `max_hamming` bits collides in some band).
+
+    State is per (band, band_value) bucket: the fingerprints seen in that
+    bucket. A new arrival popcount-verifies against its bucket's state only
+    — never the whole history — so per-bucket work tracks bucket occupancy
+    exactly like the batch join. `state_ttl_s` bounds state for unbounded
+    streams (processing-time timeout drops idle buckets; dedup guarantees
+    then hold within the TTL horizon — the same trade dropDuplicates makes
+    with its watermark). A pair colliding in several bands emits once per
+    colliding band; downstream consumers dedup on (doc_a, doc_b) — kept
+    this way so per-bucket state stays independent (cross-bucket
+    coordination would serialize the operator).
+
+    On a BATCH frame: the equivalent banded self-join (delegates to the
+    batch operator's verify semantics) so tests compare modes directly.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+
+    if not df.isStreaming:
+        banded = df.select(
+            "doc",
+            "simhash",
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("simhash"), i * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bv"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ),
+        )
+        left = banded.select(
+            F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bv"
+        )
+        right = banded.select(
+            F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"), "band", "bv"
+        )
+        return (
+            left.join(right, ["band", "bv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            docs, hashes = state.get
+            docs, hashes = list(docs), list(hashes)
+        else:
+            docs, hashes = [], []
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdfs:
+            # arrival order within the batch: doc id ascending for
+            # determinism (micro-batch arrival has no inherent order)
+            for doc, fp in sorted(
+                zip(pdf["doc"].tolist(), pdf["simhash"].tolist())
+            ):
+                for seen_doc, seen_fp in zip(docs, hashes):
+                    h = bin(seen_fp ^ fp).count("1")
+                    if h <= max_hamming and seen_doc != doc:
+                        a, b = sorted((seen_doc, doc))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+                docs.append(doc)
+                hashes.append(fp)
+        state.update((docs, hashes))
+        if state_ttl_s is not None:
+            state.setTimeoutDuration(int(state_ttl_s * 1000))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "hamming": out_h}
+            )
+
+    banded = df.select(
+        "doc",
+        "simhash",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    )
+    return banded.groupBy("band", "bv").applyInPandasWithState(
+        fn,
+        outputStructType=NEAR_DUP_PAIR_SCHEMA,
+        stateStructType=_ND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -257,3 +257,64 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         mins(r) for r in spark.sql("select * from attribution_join").collect()
     )
     assert got == expected
+
+
+def test_streaming_simhash_near_dup_matches_batch(spark, tmp_path):
+    """The stateful streaming near-dup detector finds exactly the batch
+    operator's pairs (after the documented per-band multiplicity dedup),
+    fed the same fingerprints through a file stream split over two files
+    (so pairs span micro-batch boundaries through state)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+    from radar_output_restructure_spark.streaming.windows import (
+        streaming_simhash_near_dup_pairs,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dogs"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "totally unrelated text on streaming state"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    expected = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(docs).collect()
+    )
+    assert expected, "fixture must contain at least one near-dup pair"
+
+    fp = simhash(docs)
+    src = str(tmp_path / "fp_stream")
+    fp.filter(F.col("doc") <= 1).coalesce(1).write.parquet(src)
+    fp.filter(F.col("doc") > 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc long, simhash long").parquet(
+        src + "/*.parquet"
+    )
+    out = streaming_simhash_near_dup_pairs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in spark.sql("select * from near_dup_stream").collect()
+        }
+    )
+    assert got == expected
+
+    # batch mode of the same function equals the batch operator verbatim
+    batch = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in streaming_simhash_near_dup_pairs(fp).collect()
+    )
+    assert batch == expected
