@@ -17,16 +17,34 @@ contract is provided over the filesystem the deployment already shares:
              deleted by the old holder), same as the reference's
              `if (redis.get(lockKey) == uuid) redis.del(lockKey)`.
 
-POSIX `O_EXCL` is atomic on local and NFS filesystems. Object stores need a
-conditional PUT (S3 `If-None-Match: *`); the manager is an ABC so such a
-backend is one subclass away. The stale-break path is check-then-delete —
-not CAS — which matches the reference's own race window (its TTL expiry vs
-release check is equally unsynchronized); the 24 h TTL makes the window
-irrelevant in practice.
+POSIX hard-link creation (`os.link`) is atomic on local and NFS
+filesystems. Object stores need a conditional PUT (S3 `If-None-Match: *`);
+the manager is an ABC so such a backend is one subclass away.
+
+Unlike Redis `SET NX PX` (expiry + acquire are one server-side atomic op),
+a filesystem has no CAS, so two details close the races a naive
+create-then-write scheme leaves open:
+
+* the lock file *appears* fully written: the payload goes to a private temp
+  file first and is then `os.link`ed to the lock path — readers never see a
+  zero-byte/torn lock, so "unreadable" can't misclassify a brand-new lock
+  as breakable;
+* every *mutation* of an existing lock (stale break, owner-checked release)
+  is serialized under a kernel-arbitrated `flock` on a per-name sidecar
+  mutex file, with the staleness/ownership decision re-validated INSIDE the
+  critical section. Rename-aside alone is not enough: of two breakers that
+  both read the same expired payload, the loser of the create race can
+  still rename the winner's *fresh* lock aside (observed in an 8-thread
+  stress test). Under the mutex the lock path can only go absent→fresh via
+  the atomic `os.link` (single winner by definition) and fresh→absent via a
+  validated unlink, so two instances can never both hold the same topic.
+  `flock` is auto-released on process death, so a crashed breaker cannot
+  wedge the mutex.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
@@ -86,48 +104,81 @@ class FileRemoteLockManager(RemoteLockManager):
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, f"{name}.lock")
 
-    def acquire_lock(self, name: str) -> RemoteLock | None:
-        path = self._path(name)
-        payload = json.dumps(
-            {"owner": self.uuid, "expires_at": time.time() + self.ttl_s}
-        ).encode()
-        for _attempt in (0, 1):
+    @contextmanager
+    def _mutation_mutex(self, path: str, blocking: bool):
+        """flock-serialized critical section for mutating the lock at
+        `path`; yields False (without blocking) when another instance is
+        mid-mutation and `blocking` is False. The sidecar mutex file is
+        never unlinked, and the flock dies with a crashed holder."""
+        fd = os.open(f"{path}.mutex", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                if not self._break_if_stale(path):
-                    return None
-                continue  # stale lock removed: retry the exclusive create
+                fcntl.flock(fd, fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB))
+            except OSError:
+                yield False
+                return
             try:
-                os.write(fd, payload)
+                yield True
             finally:
-                os.close(fd)
-            return RemoteLock(self, name)
-        return None
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
-    def _break_if_stale(self, path: str) -> bool:
-        """True if a stale (expired or unreadable) lock was removed."""
+    @staticmethod
+    def _expired(path: str) -> bool:
+        """Stale check; an ABSENT lock reads as breakable (the unlink-then-
+        link under the mutex handles it). Locks are link-published fully
+        written, so an unreadable file is genuine corruption, not a
+        mid-write window: also breakable."""
         try:
             with open(path) as fh:
                 info = json.load(fh)
-            expired = float(info.get("expires_at", 0)) <= time.time()
+            return float(info.get("expires_at", 0)) <= time.time()
         except (OSError, ValueError):
-            # vanished (racing release) or torn write: treat as breakable
-            expired = True
-        if not expired:
-            return False
+            return True
+
+    def acquire_lock(self, name: str) -> RemoteLock | None:
+        path = self._path(name)
+        tmp = f"{path}.w.{self.uuid}"
+        with open(tmp, "w") as fh:
+            json.dump({"owner": self.uuid, "expires_at": time.time() + self.ttl_s}, fh)
         try:
-            os.unlink(path)
-        except FileNotFoundError:
-            pass
-        return True
+            try:
+                os.link(tmp, path)  # atomic create of a FULLY-written lock
+                return RemoteLock(self, name)
+            except FileExistsError:
+                pass
+            if not self._expired(path):  # cheap unsynchronized pre-check
+                return None
+            with self._mutation_mutex(path, blocking=False) as won:
+                if not won:
+                    return None  # another breaker is mid-break: contended
+                if not self._expired(path):  # re-validate INSIDE the mutex
+                    return None  # it was broken + re-acquired: fresh holder
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                try:
+                    os.link(tmp, path)
+                    return RemoteLock(self, name)
+                except FileExistsError:
+                    return None  # a direct creator slipped in: single winner
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
     def _release(self, name: str) -> None:
         path = self._path(name)
-        try:
-            with open(path) as fh:
-                if json.load(fh).get("owner") != self.uuid:
-                    return  # broken + re-acquired elsewhere: not ours anymore
-            os.unlink(path)
-        except (OSError, ValueError):
-            pass
+        # Serialized with breakers so an owner releasing its *expired* lock
+        # can't unlink a breaker's freshly re-acquired one.
+        with self._mutation_mutex(path, blocking=True):
+            try:
+                with open(path) as fh:
+                    if json.load(fh).get("owner") != self.uuid:
+                        return  # broken + re-acquired elsewhere: not ours
+                os.unlink(path)
+            except (OSError, ValueError):
+                pass

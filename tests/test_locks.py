@@ -54,6 +54,59 @@ def test_unreadable_lock_file_is_breakable(tmp_path):
     assert m.acquire_lock("t") is not None
 
 
+def test_lock_file_is_never_torn(tmp_path):
+    """Link-published locks appear fully written: the payload is readable
+    the instant the lock path exists (no zero-byte O_EXCL window)."""
+    m = FileRemoteLockManager(str(tmp_path))
+    assert m.acquire_lock("t") is not None
+    info = json.load(open(tmp_path / "t.lock"))
+    assert info["owner"] == m.uuid and info["expires_at"] > time.time()
+    assert not [p for p in os.listdir(tmp_path) if ".w." in p]  # temp cleaned
+
+
+def test_concurrent_stale_break_single_holder(tmp_path):
+    """N instances all observing the same expired lock: the atomic
+    rename-aside means at most one acquire succeeds (the r4 ADVICE
+    unlink-then-recreate double-hold cannot happen)."""
+    import threading
+
+    stale = FileRemoteLockManager(str(tmp_path), ttl_s=-1.0)
+    assert stale.acquire_lock("t") is not None  # already expired
+
+    managers = [FileRemoteLockManager(str(tmp_path)) for _ in range(8)]
+    barrier = threading.Barrier(len(managers))
+    wins: list[FileRemoteLockManager] = []
+    lock_guard = threading.Lock()
+
+    def attempt(m):
+        barrier.wait()
+        if m.acquire_lock("t") is not None:
+            with lock_guard:
+                wins.append(m)
+
+    threads = [threading.Thread(target=attempt, args=(m,)) for m in managers]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(wins) == 1
+    assert json.load(open(tmp_path / "t.lock"))["owner"] == wins[0].uuid
+    # no residue beyond the lock and its persistent flock sidecar
+    assert sorted(os.listdir(tmp_path)) == ["t.lock", "t.lock.mutex"]
+
+
+def test_break_loser_does_not_remove_winners_lock(tmp_path):
+    """A breaker that loses the rename race re-reads a FRESH lock and backs
+    off — it must not unlink the winner's re-acquired lock."""
+    stale = FileRemoteLockManager(str(tmp_path), ttl_s=-1.0)
+    assert stale.acquire_lock("t") is not None
+    winner = FileRemoteLockManager(str(tmp_path))
+    loser = FileRemoteLockManager(str(tmp_path))
+    assert winner.acquire_lock("t") is not None  # broke + re-acquired
+    assert loser.acquire_lock("t") is None  # fresh lock: contended
+    assert json.load(open(tmp_path / "t.lock"))["owner"] == winner.uuid
+
+
 def test_topic_shuffle_seeded_and_complete(tmp_path, spark):
     """O5: shuffle_topics permutes discovery order deterministically under a
     seed; the set of topics is unchanged."""
