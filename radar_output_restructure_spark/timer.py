@@ -89,12 +89,23 @@ class _TimerContext(ContextDecorator):
         self.stage = stage
         self._t0 = 0
 
+    def _recreate_cm(self) -> "_TimerContext":
+        # ContextDecorator default returns self, which would share one _t0
+        # across every call of a decorated function — concurrent topic
+        # threads would clobber each other's start times. Fresh instance per
+        # call keeps `@Timer.time(...)` thread-safe.
+        return _TimerContext(self.stage)
+
     def __enter__(self):
         if Timer.enabled:
             self._t0 = _time.perf_counter_ns()
         return self
 
     def __exit__(self, *exc):
-        if Timer.enabled:
+        # `_t0 == 0` means Timer.enabled was flipped on mid-block (or the
+        # clock never started); recording now would log a bogus epoch-sized
+        # sample.
+        if Timer.enabled and self._t0:
             Timer.add(self.stage, _time.perf_counter_ns() - self._t0)
+        self._t0 = 0
         return False

@@ -78,3 +78,37 @@ def test_thread_count_tracks_distinct_threads():
 
 def test_empty_enabled_report():
     assert Timer.report() == "Timings: none"
+
+
+def test_decorator_is_thread_safe():
+    """One decorated function, many concurrent callers: each call gets its
+    own clock (ContextDecorator._recreate_cm override), so durations stay
+    sane instead of clobbering a shared _t0."""
+    import time as _t
+
+    barrier = threading.Barrier(8)
+
+    @Timer.time("mt.deco")
+    def fn():
+        barrier.wait()  # maximal overlap: all 8 enter before any exits
+        _t.sleep(0.01)
+
+    threads = [threading.Thread(target=fn) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    inv, total_s, n_threads = Timer.entries()["mt.deco"]
+    assert inv == 8
+    assert n_threads == 8
+    # shared-_t0 clobbering yields ~0 or wildly large totals; per-call clocks
+    # give 8 overlapping ~10 ms samples
+    assert 0.08 <= total_s <= 8.0
+
+
+def test_enable_mid_block_records_nothing():
+    Timer.enabled = False
+    ctx = Timer.time("late")
+    with ctx:
+        Timer.enabled = True  # flipped on after the clock would have started
+    assert "late" not in Timer.entries()  # no bogus epoch-sized sample
