@@ -213,14 +213,16 @@ class RestructurePlan:
         ):
             if "+tmp" in path:
                 continue
-            if size == 0:  # zero-length guard, P7
-                continue
-            if now_ms - mtime_ms < self.config.minimum_file_age_s * 1000:  # P5
+            if size == 0:  # zero-length guard, P7 (empty: coverage moot)
                 continue
             entries.append(FileEntry(path, mtime_ms))
         entries = self.manifest.prune(entries)  # P4/J1 anti-join
         # T4: one-shot legacy offsets/<topic>.csv migration (covered files
         # commit into the manifest, the CSV is deleted). No-op when absent.
+        # Runs on the PRE-age-filter listing: P5 only defers processing,
+        # while migration is one-shot — a covered-but-young file dropped
+        # before classification would lose its coverage with the CSV and
+        # be re-extracted (duplicate-append) on a later run.
         from radar_output_restructure_spark.sources.legacy_offsets import (
             migrate_legacy_offsets,
         )
@@ -237,6 +239,11 @@ class RestructurePlan:
                 else None
             ),
         )
+        entries = [  # P5 minimum file age, applied post-migration
+            f
+            for f in entries
+            if now_ms - f.modified_ms >= self.config.minimum_file_age_s * 1000
+        ]
         if self.config.max_files_per_topic:  # O2
             entries = entries[: self.config.max_files_per_topic]
         return entries

@@ -141,6 +141,20 @@ def legacy_offsets_path(output_dir: str, topic: str) -> str:
     return os.path.join(output_dir, "offsets", f"{topic}.csv")
 
 
+def _render_legacy_csv(rows: list[OffsetRange]) -> bytes:
+    """Re-emit leftover ranges in the reference's own CSV shape so a later
+    run (or the reference itself) can retry them."""
+    from datetime import datetime, timezone
+
+    lines = ["offsetFrom,offsetTo,partition,topic,lastModified"]
+    for r in rows:
+        iso = datetime.fromtimestamp(
+            r.last_modified_ms / 1000, tz=timezone.utc
+        ).isoformat().replace("+00:00", "Z")
+        lines.append(f"{r.offset_from},{r.offset_to},{r.partition},{r.topic},{iso}")
+    return ("\n".join(lines) + "\n").encode()
+
+
 def migrate_legacy_offsets(
     manifest,
     storage,
@@ -149,15 +163,24 @@ def migrate_legacy_offsets(
     candidates: list[FileEntry],
     end_offset=None,
 ) -> list[FileEntry]:
-    """One-shot legacy migration for `topic`: returns the candidate files NOT
-    covered by the legacy CSV; covered files are committed into the manifest
-    and the CSV is deleted (AccountantImpl.kt:38-53 — read, merge, delete).
+    """Legacy migration for `topic`: returns the candidate files NOT covered
+    by the legacy CSV; covered files are committed into the manifest and the
+    CSV is deleted (AccountantImpl.kt:38-53 — read, merge, delete).
+
+    `candidates` MUST be the pre-age-filter listing: the minimum-file-age
+    filter (P5) only *defers* processing, but coverage classification is
+    one-shot — a covered-but-young file missing from this list would lose
+    its coverage with the CSV and be re-extracted next run (duplicate
+    append when dedup is off). `plans/restructure.py` therefore applies the
+    age filter to this function's RESULT, not its input.
 
     `end_offset(path) -> int | None` optionally supplies the range end for
     files named without `+to` (S8 object-tag lookup); such files are
-    otherwise conservatively treated as not covered (reprocessing a seen
-    file is safe — output dedup/append semantics absorb it — while skipping
-    an unseen file would lose data).
+    conservatively treated as not covered. Because their coverage could not
+    be mapped to files yet, the CSV is not dropped wholesale: it is
+    rewritten with the ranges for the partitions those files sit on (the
+    reference deletes only after merging EVERY range into its accounting)
+    and retried next run — e.g. when the object tags become readable again.
     """
     import time as _time
 
@@ -165,13 +188,18 @@ def migrate_legacy_offsets(
     if not storage.exists(csv_path):
         return candidates
     now_ms = int(_time.time() * 1000)
+    rows = [
+        r
+        for r in parse_legacy_offsets_csv(storage.read(csv_path).decode(), now_ms)
+        if r.topic == topic
+    ]
     ranges = OffsetRangeSet()
-    for r in parse_legacy_offsets_csv(storage.read(csv_path).decode(), now_ms):
-        if r.topic == topic:
-            ranges.add(r)
+    for r in rows:
+        ranges.add(r)
 
     remaining: list[FileEntry] = []
     covered: list[FileEntry] = []
+    unmapped_partitions: set[int] = set()
     for f in candidates:
         parsed = parse_offset_filename(os.path.basename(f.path))
         seen = False
@@ -183,8 +211,16 @@ def migrate_legacy_offsets(
                 seen = ranges.contains(
                     p_topic, part, off_from, off_to, f.modified_ms
                 )
+            else:
+                # offset range indeterminate: its coverage (if any) cannot
+                # be consumed yet — keep this partition's ranges around
+                unmapped_partitions.add(part)
         (covered if seen else remaining).append(f)
     if covered:
         manifest.commit(covered)
-    storage.delete(csv_path)
+    leftover = [r for r in rows if r.partition in unmapped_partitions]
+    if leftover:
+        storage.store_atomic(csv_path, _render_legacy_csv(leftover))
+    else:
+        storage.delete(csv_path)
     return remaining

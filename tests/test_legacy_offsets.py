@@ -126,6 +126,75 @@ def test_open_ended_filename_uses_end_offset_hook(ledger):
     assert manifest.prune([f]) == []
 
 
+def test_unmappable_coverage_rewrites_csv_instead_of_deleting(ledger):
+    """A `+to`-less file with no tag support can't consume its coverage, so
+    the CSV keeps that partition's ranges for a later retry; coverage on
+    other partitions is consumed and dropped (the reference deletes only
+    after merging EVERY range into its accounting)."""
+    out, storage, manifest = ledger
+    p = _csv(
+        storage, out, "t",
+        "offsetFrom,offsetTo,partition,topic\n"
+        "0,999,0,t,2024-06-01T00:00:00Z\n"
+        "0,499,1,t,2024-06-01T00:00:00Z\n",
+    )
+    old_ms = 1_600_000_000_000
+    open_ended = FileEntry("/in/t/partition=0/t+0+100.parquet", old_ms)
+    covered = FileEntry("/in/t/partition=1/t+1+0+499.parquet", old_ms)
+    remaining = migrate_legacy_offsets(
+        manifest, storage, out, "t", [open_ended, covered]
+    )
+    assert remaining == [open_ended]  # conservative reprocess
+    assert manifest.prune([covered]) == []  # partition-1 coverage consumed
+    body = storage.read(p).decode()
+    rows = parse_legacy_offsets_csv(body, NOW)
+    assert rows == [OffsetRange("t", 0, 0, 999, 1717200000000)]  # p0 kept
+    # retry with tags available: now classifiable, CSV finally deleted
+    remaining = migrate_legacy_offsets(
+        manifest, storage, out, "t", [open_ended], end_offset=lambda _p: 199
+    )
+    assert remaining == []
+    assert not storage.exists(p)
+
+
+def test_covered_young_file_keeps_coverage_despite_age_filter(spark, tmp_path):
+    """P5 x T4: a legacy-covered file younger than minimumFileAge must still
+    be classified (age only defers processing) — its coverage commits into
+    the manifest instead of being discarded with the CSV, so a later run
+    never re-extracts it (r4 ADVICE duplicate-append scenario)."""
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    row = lambda t, st: Row(  # noqa: E731
+        key=Row(projectId="p", userId="u", sourceId="s"),
+        value=Row(time=t, status=st),
+    )
+    _fixture_file(spark, input_dir, "t", [row(1580219820.0, "OLD")], 0, 0, 99)
+
+    storage = LocalTargetStorage()
+    _csv(
+        storage, output_dir, "t",
+        "offsetFrom,offsetTo,partition,topic\n"
+        "0,99,0,t,2100-01-01T00:00:00Z\n",
+    )
+    young = RestructurePlan(
+        spark,
+        RestructureConfig(
+            input_dir=input_dir,
+            output_dir=output_dir,
+            minimum_file_age_s=3600.0,  # the fixture (mtime=now) is too young
+        ),
+    )
+    assert young.run()["t"] == []  # deferred by age...
+    assert not storage.exists(legacy_offsets_path(output_dir, "t"))
+    # ...but classified: once old enough, the file stays covered
+    later = RestructurePlan(
+        spark,
+        RestructureConfig(input_dir=input_dir, output_dir=output_dir),
+    )
+    assert later.list_candidate_files("t") == []
+    assert later.run()["t"] == []  # never re-extracted
+
+
 SCHEMA = T.StructType(
     [
         T.StructField(
