@@ -82,3 +82,21 @@ def test_flagship_has_single_shuffle(spark, sf_dir, registry):
     repartition) — nothing else in the plan may shuffle."""
     stats = _stats(registry["restructure_flagship"](spark, sf_dir))
     assert stats.get("shuffle", 0) <= 1, stats
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["corpus_vocabulary_docs", "doc_unigram_logprob", "doc_bigram_logprob",
+     "doc_tfidf_top_terms", "pmi_collocations_docs"],
+)
+def test_no_unbounded_single_partition_window(spark, sf_dir, registry, name):
+    """r4 verdict invariant: a global-rank / global-total window must never
+    run over an unbounded frame (it moves every distinct term to ONE
+    partition — the corpus_vocabulary scale-killer). Unpartitioned windows
+    are allowed only downstream of a TakeOrdered/limit that bounds them to
+    k rows."""
+    stats = _stats(registry[name](spark, sf_dir))
+    if stats.get("window_unpart", 0):
+        assert stats.get("takeordered", 0) or stats.get("limit", 0), (
+            f"{name}: unpartitioned window with unbounded input: {stats}"
+        )
