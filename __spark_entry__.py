@@ -48,6 +48,7 @@ _GATE_HEAD = (
     "embedding_dedup_survivors",
     "embedding_quantize",
     "simhash_near_dup_docs",
+    "simhash_near_dup_docs_wide",
     "corpus_vocabulary_docs",
     "doc_winnow_fingerprints",
     "doc_fingerprint_overlap",
@@ -88,7 +89,6 @@ _GATE_HEAD = (
     "cleaner_candidates",
     "event_time_cascade",
     "asof_last_purchase",
-    "tpch_q1_pricing",
 )
 
 

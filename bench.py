@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "tpch_q8_market_share",
     "tpch_q2_min_cost_supplier",
     "ann_ivfpq_topk",
+    # round-5 additions
+    "simhash_near_dup_docs_wide",
 ]
 
 

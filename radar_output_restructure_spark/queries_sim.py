@@ -590,7 +590,12 @@ _SH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-band hamming buckets -> exact popcount
     verify (<= 3 differing bits of 32). bands > max_hamming makes banded
-    recall EXACT by pigeonhole (operators/dedup_scale.simhash_near_dup_pairs)."""
+    recall EXACT by pigeonhole (operators/dedup_scale.simhash_near_dup_pairs).
+
+    KNOWN-SATURATING GEOMETRY, kept as the SCALE.md reference point: 4x8-bit
+    bands = 1,024 buckets total forever, so bucket occupancy grows linearly
+    with the corpus and the per-bucket verify quadratically. The scale-safe
+    default is `simhash_near_dup_docs_wide` (64-bit / 16-bit bands) below."""
     from radar_output_restructure_spark.operators.dedup_scale import (
         simhash_near_dup_pairs,
     )
@@ -602,6 +607,76 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=SIMHASH_BANDS,
         max_hamming=SIMHASH_MAX_HAMMING,
     )
+
+
+# wide (scale-safe) simhash: two independent 32-bit halves from two Horner
+# folds of the SAME md5 (hex chars 1..12 and 13..24)
+_H_HI = horner_fold_sql(f"substr(md, {HASH_CHARS + 1}, {HASH_CHARS})", HASH_CHARS)
+_SQL_VOTES_WIDE = ",\n             ".join(
+    f"sum(CASE WHEN (h_{half} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS {half}_v{b}"
+    for half in ("lo", "hi")
+    for b in range(32)
+)
+
+
+def _sql_fp_sum_wide(half: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {half}_v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(32)
+    )
+
+
+@register(
+    "simhash_near_dup_docs_wide",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    hashed AS (SELECT doc, {_H} AS h_lo, {_H_HI} AS h_hi
+               FROM (SELECT doc, md5(tok) AS md FROM toks)),
+    votes AS (
+      SELECT doc,
+             {_SQL_VOTES_WIDE}
+      FROM hashed GROUP BY doc
+    ),
+    fp AS (SELECT doc, {_sql_fp_sum_wide('lo')} AS fp_lo,
+                  {_sql_fp_sum_wide('hi')} AS fp_hi FROM votes),
+    b AS (
+      SELECT doc, i AS band,
+             ((CASE WHEN i < 2 THEN fp_lo ELSE fp_hi END) >> ((i % 2) * 16))
+               & 65535 AS bv
+      FROM fp, (SELECT unnest(range(4)) AS i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, c.doc AS doc_b
+      FROM b a JOIN b c USING (band, bv)
+      WHERE a.doc < c.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.fp_lo, fb.fp_lo))
+                + bit_count(xor(fa.fp_hi, fb.fp_hi)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc = c.doc_a
+    JOIN fp fb ON fb.doc = c.doc_b
+    WHERE bit_count(xor(fa.fp_lo, fb.fp_lo))
+          + bit_count(xor(fa.fp_hi, fb.fp_hi)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def q_simhash_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe simhash near-dup: 64-bit fingerprint (two 32-bit halves),
+    4x16-bit bands = 65,536 buckets/band, exact pigeonhole recall for
+    hamming <= 3, in-join popcount verify. The geometry the r4 verdict
+    prescribed; occupancy stays bounded ~256x further than the 32-bit
+    reference variant (operators/dedup_scale.simhash_near_dup_pairs_wide)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash_near_dup_pairs_wide,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return simhash_near_dup_pairs_wide(docs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
 # ---------------------------------------------------------------------------

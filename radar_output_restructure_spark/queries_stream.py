@@ -124,7 +124,15 @@ def _near_dup_from_buckets(emb: DataFrame, cb: DataFrame) -> DataFrame:
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: hyperplane-LSH bucket
-    candidates over the WHOLE corpus, exact cosine verification."""
+    candidates over the WHOLE corpus, exact cosine verification.
+
+    KNOWN-QUADRATIC REFERENCE CONFIGURATION — DO NOT USE AT SCALE. The
+    fixed 4-plane geometry's bucket occupancy grows linearly with the
+    corpus (SCALE.md: ~x40 work at 10x tiling), so it is retained only as
+    the documented small-corpus/high-recall baseline and the stress
+    harness's saturation reference point. The production path is
+    `embedding_near_dup_pairs_auto` below, whose plane count tracks
+    log2(n) and holds the candidate join linear."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = hyperplane_lsh_buckets(
         emb, num_planes=NUM_PLANES, num_tables=NUM_TABLES

@@ -56,6 +56,7 @@ HEAVY = [
     "doc_repetition",
     "doc_bigram_logprob",
     "simhash_near_dup_docs",
+    "simhash_near_dup_docs_wide",
     "doc_fingerprint_overlap",
     "bpe_merges_docs",
     "cosine_range_search",

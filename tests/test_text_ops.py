@@ -99,6 +99,65 @@ def test_simhash_similar_docs_close(spark):
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
 
 
+def test_simhash_wide_near_dup_pairs(spark):
+    """64-bit/16-bit-band geometry: near-identical docs pair up with exact
+    pigeonhole recall; the 64-bit hamming agrees with a local recompute."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash_near_dup_pairs_wide,
+        simhash_wide,
+    )
+
+    # 21 distinct words (odd) x 9 repeats: every bit's vote is an odd
+    # multiple of +-9, so one extra token (+-1 per bit) flips nothing and
+    # the near-dup lands at a small hamming distance with certainty (few
+    # distinct tokens with even counts tie votes at 0, where a single
+    # added token would flip ~half the bits).
+    words = [f"w{i}" for i in range(21)]
+    base = " ".join(w for w in words for _ in range(9))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " iota"),  # one extra token: near-dup
+            Row(doc_id=3, text="totally different content about other topics"),
+        ]
+    )
+    fps = {r.doc: (r.fp_lo, r.fp_hi) for r in simhash_wide(df).collect()}
+    assert all(0 <= lo < 2**32 and 0 <= hi < 2**32 for lo, hi in fps.values())
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs_wide(df, max_hamming=3).collect()
+    }
+    ham = lambda a, b: (  # noqa: E731
+        bin(fps[a][0] ^ fps[b][0]).count("1")
+        + bin(fps[a][1] ^ fps[b][1]).count("1")
+    )
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham(1, 2) <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_wide_bucket_df_cap(spark):
+    """max_bucket_df drops only buckets hotter than the cap: identical docs
+    (occupancy == n_dups per bucket) vanish once the cap is below that."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash_near_dup_pairs_wide,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="same text every time " * 5) for i in range(6)]
+        + [
+            Row(doc_id=10, text="rare document alpha beta gamma delta " * 4),
+            Row(doc_id=11, text="rare document alpha beta gamma delta " * 4),
+        ]
+    )
+    uncapped = simhash_near_dup_pairs_wide(df).collect()
+    assert len(uncapped) == 15 + 1  # C(6,2) identical pairs + the rare pair
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs_wide(df, max_bucket_df=4).collect()
+    }
+    assert capped == {(10, 11)}  # hot buckets (occupancy 6) dropped
+
+
 def test_cosine_topk(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
