@@ -126,6 +126,16 @@ class RestructureConfig:
     # reference's Redis lock prefix). None = single-app, no locking.
     lock_dir: str | None = None
     lock_ttl_s: float = 24 * 3600.0
+    # S9 (source/StorageIndexManager.kt:29-95): incremental source listing.
+    # When enabled, the plan keeps an in-memory tree index across run()s
+    # (the service loop reuses one plan) and each poll LISTs only past the
+    # per-directory startAfter cursor, with a full re-sync every
+    # `index_rescan_s` and empty-dir re-lists every `index_rescan_empty_s`
+    # (the reference's 3600 s / 900 s defaults). Off = every run re-walks
+    # the tree, which is simpler and fine below ~100k source files.
+    use_storage_index: bool = False
+    index_rescan_s: float = 3600.0
+    index_rescan_empty_s: float = 900.0
 
 
 class RestructurePlan:
@@ -178,6 +188,18 @@ class RestructurePlan:
             self._lock_manager = FileRemoteLockManager(
                 config.lock_dir, ttl_s=config.lock_ttl_s
             )
+        self.storage_index = None
+        if config.use_storage_index:
+            from radar_output_restructure_spark.sources.storage_index import (
+                StorageIndexManager,
+            )
+
+            self.storage_index = StorageIndexManager(
+                self.source_storage,
+                config.input_dir,
+                rescan_s=config.index_rescan_s,
+                rescan_empty_s=config.index_rescan_empty_s,
+            )
 
     def _resolve_mp_dim(self) -> DataFrame | None:
         """`${mp:...}` dimension frame: explicit `mp_dim` wins; otherwise
@@ -208,9 +230,12 @@ class RestructurePlan:
         root = os.path.join(self.config.input_dir, topic)
         entries: list[FileEntry] = []
         now_ms = _time.time() * 1000
-        for path, mtime_ms, size in sorted(
-            self.source_storage.walk_file_status(root)
-        ):
+        listing = (
+            self.storage_index.file_status_under(root)
+            if self.storage_index is not None
+            else self.source_storage.walk_file_status(root)
+        )
+        for path, mtime_ms, size in sorted(listing):
             if "+tmp" in path:
                 continue
             if size == 0:  # zero-length guard, P7 (empty: coverage moot)
@@ -265,14 +290,19 @@ class RestructurePlan:
         With `shuffle_topics`, the order randomizes so replicated instances
         start on different topics (O5, RadarKafkaRestructure.kt:166-169)."""
         root = self.config.input_dir
+        list_dirs = (
+            self.storage_index.subdirs_of  # no extra LIST: read the index
+            if self.storage_index is not None
+            else self.source_storage.list_dirs
+        )
         found = []
-        for name in self.source_storage.list_dirs(root):
+        for name in list_dirs(root):
             cfg = self.config.topics.get(name)
             if cfg and cfg.exclude:  # P6
                 continue
             if any(
                 d.startswith("partition=")
-                for d in self.source_storage.list_dirs(os.path.join(root, name))
+                for d in list_dirs(os.path.join(root, name))
             ):
                 found.append(name)
         if self.config.shuffle_topics:
@@ -583,6 +613,10 @@ class RestructurePlan:
         are lock-guarded, and per-topic state (attempt registries) is
         per-file. FAIR scheduling lets short topics finish under long ones
         (set spark.scheduler.mode=FAIR for strict fairness)."""
+        if self.storage_index is not None:
+            # S9: one incremental index refresh per cycle — O(new files)
+            # LIST requests on the steady state, full re-sync on its timer
+            self.storage_index.update()
         topics = self.topics()
         n = max(1, int(self.config.num_threads or 1))
         if n == 1 or len(topics) <= 1:

@@ -265,6 +265,36 @@ class S3TargetStorage(TargetStorage):
                 names.append(cp["Prefix"].rstrip("/").rsplit("/", 1)[-1])
         return sorted(names)
 
+    def list_entries(
+        self, root: str, start_after: str | None = None
+    ) -> tuple[list[str], list[tuple[str, int, int]]]:
+        """Non-recursive LIST with true server-side `StartAfter` pushdown —
+        the request the incremental index issues per poll costs O(new keys),
+        which is the whole point of SURVEY S9 at millions of objects."""
+        bucket, key = parse_s3_url(root)
+        prefix = _as_prefix(key)
+        kwargs = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+        if start_after is not None:
+            kwargs["StartAfter"] = prefix + start_after
+        dirs: list[str] = []
+        files: list[tuple[str, int, int]] = []
+        paginator = self.client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(**kwargs):
+            for cp in page.get("CommonPrefixes", []):
+                dirs.append(cp["Prefix"].rstrip("/").rsplit("/", 1)[-1])
+            for obj in page.get("Contents", []):
+                name = obj["Key"][len(prefix):]
+                if "/" in name or not name:
+                    continue  # safety: only immediate children
+                files.append(
+                    (
+                        name,
+                        int(obj["LastModified"].timestamp() * 1000),
+                        int(obj["Size"]),
+                    )
+                )
+        return sorted(dirs), sorted(files)
+
     def mtime_ms(self, path: str) -> int:
         bucket, key = parse_s3_url(path)
         head = self.client.head_object(Bucket=bucket, Key=key)

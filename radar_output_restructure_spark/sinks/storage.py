@@ -138,6 +138,16 @@ class TargetStorage:
         """Names (not paths) of the immediate subdirectories of root."""
         raise NotImplementedError
 
+    def list_entries(
+        self, root: str, start_after: str | None = None
+    ) -> tuple[list[str], list[tuple[str, int, int]]]:
+        """ONE non-recursive LIST of `root`: (subdir names, files as
+        (name, mtime_ms, size)), files restricted to names sorting AFTER
+        `start_after` when given — the S3 ListObjectsV2 `StartAfter`
+        contract the incremental storage index builds on (SURVEY S9,
+        reference source/StorageIndexManager.kt:55-64)."""
+        raise NotImplementedError
+
     def mtime_ms(self, path: str) -> int:
         raise NotImplementedError
 
@@ -203,6 +213,24 @@ class LocalTargetStorage(TargetStorage):
 
     def mtime_ms(self, path: str) -> int:
         return int(os.stat(path).st_mtime * 1000)
+
+    def list_entries(
+        self, root: str, start_after: str | None = None
+    ) -> tuple[list[str], list[tuple[str, int, int]]]:
+        # scandir is O(dir size) locally either way; the start_after filter
+        # models the object-store LIST pushdown the index relies on
+        if not os.path.isdir(root):
+            return [], []
+        dirs: list[str] = []
+        files: list[tuple[str, int, int]] = []
+        with os.scandir(root) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                if e.is_dir():
+                    dirs.append(e.name)
+                elif start_after is None or e.name > start_after:
+                    st = e.stat()
+                    files.append((e.name, int(st.st_mtime * 1000), st.st_size))
+        return dirs, files
 
     def open_seekable(self, path: str):
         return open(path, "rb")
@@ -438,6 +466,26 @@ class HadoopTargetStorage(TargetStorage):
             for st in fs.listStatus(jpath)
             if st.isDirectory()
         )
+
+    def list_entries(
+        self, root: str, start_after: str | None = None
+    ) -> tuple[list[str], list[tuple[str, int, int]]]:
+        fs, jpath = self._fs_path(root)
+        if not fs.exists(jpath):
+            return [], []
+        dirs: list[str] = []
+        files: list[tuple[str, int, int]] = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                dirs.append(name)
+            elif start_after is None or name > start_after:
+                files.append(
+                    (name, int(st.getModificationTime()), int(st.getLen()))
+                )
+        dirs.sort()
+        files.sort()
+        return dirs, files
 
     def mtime_ms(self, path: str) -> int:
         fs, jpath = self._fs_path(path)

@@ -1,0 +1,154 @@
+"""Incremental source-storage index (SURVEY §2 S9's optimization half;
+reference source/StorageIndexManager.kt:29-95,
+source/InMemoryStorageIndex.kt:13-121).
+
+At millions of source files, re-LISTing the whole topic tree every poll
+cycle is the reference's stated pain point: each S3 LIST returns 1,000 keys,
+so an idle tick over 10M files costs 10,000 requests. The reference keeps an
+in-memory tree index and, per update, lists each directory only PAST its
+lexicographically-last known file (`startAfter`) — O(new files) requests —
+with two safety valves:
+
+* a FULL re-sync every `rescan_s` (default 3600 s) that also drops deleted
+  entries (reference `rescanDirectoryDuration`);
+* empty directories re-listed every `rescan_empty_s` (default 900 s) rather
+  than every tick (reference `rescanEmptyDuration`) — a topic that has never
+  produced data shouldn't cost a request per poll.
+
+Same trade-offs as the reference: a file that arrives with a name SORTING
+BEFORE the cursor (out-of-order upload) and a brand-new subdirectory under a
+file-bearing directory are both picked up by the next full sync, not the
+incremental pass — the Kafka sink's `<topic>+<partition>+<offset>` naming is
+monotonic per directory, so in practice only the full sync's deletion sweep
+matters.
+
+Driver-side only: the index is file METADATA (path, mtime, size), ~100 bytes
+per file; 10M files is ~1 GB on the driver, the same envelope as the
+reference's InMemoryStorageIndex (its own class doc carries the same
+caveat). The Spark executors never see this structure — candidate files
+flow into the normal read path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+
+class StorageIndexManager:
+    """In-memory tree index over `storage` rooted at `root`, updated
+    incrementally via per-directory `startAfter` cursors."""
+
+    def __init__(
+        self,
+        storage,
+        root: str,
+        rescan_s: float = 3600.0,
+        rescan_empty_s: float = 900.0,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.storage = storage
+        self.root = root.rstrip("/")
+        self.rescan_s = rescan_s
+        self.rescan_empty_s = rescan_empty_s
+        self._clock = clock
+        #: dir path -> {file name: (mtime_ms, size)}
+        self._files: dict[str, dict[str, tuple[int, int]]] = {}
+        #: dir path -> sorted subdir names
+        self._subdirs: dict[str, list[str]] = {}
+        self._next_sync = float("-inf")
+        self._next_empty_sync = float("-inf")
+        self.list_ops = 0  # cumulative, for tests/metrics
+
+    # -- update scheduling (StorageIndexManager.update) ---------------------
+
+    def update(self) -> int:
+        """Refresh the index honouring the re-scan intervals; returns the
+        number of LIST operations performed."""
+        now = self._clock()
+        if now >= self._next_sync:
+            return self.sync()
+        rescan_empty = now >= self._next_empty_sync
+        if rescan_empty:
+            self._next_empty_sync = now + self.rescan_empty_s
+        ops = self._update_level(self.root, rescan_empty)
+        self.list_ops += ops
+        return ops
+
+    def sync(self) -> int:
+        """Full re-list from the root: discovers everything, drops deleted
+        entries (reference StorageIndexManager.sync)."""
+        now = self._clock()
+        self._next_sync = now + self.rescan_s
+        self._next_empty_sync = now + self.rescan_empty_s
+        fresh_files: dict[str, dict[str, tuple[int, int]]] = {}
+        fresh_subdirs: dict[str, list[str]] = {}
+        ops = self._sync_level(self.root, fresh_files, fresh_subdirs)
+        self._files = fresh_files
+        self._subdirs = fresh_subdirs
+        self.list_ops += ops
+        return ops
+
+    def _sync_level(self, d: str, files, subdirs) -> int:
+        dirs, entries = self.storage.list_entries(d)
+        files[d] = {name: (m, s) for name, m, s in entries}
+        subdirs[d] = [n for n in dirs if n != "+tmp"]
+        ops = 1
+        for name in subdirs[d]:
+            ops += self._sync_level(os.path.join(d, name), files, subdirs)
+        return ops
+
+    def _update_level(self, d: str, rescan_empty: bool) -> int:
+        known_files = self._files.get(d, {})
+        known_dirs = self._subdirs.get(d, [])
+        ops = 0
+        if not known_files and not known_dirs:
+            # empty in the index: re-list only on the empty-rescan cadence
+            if rescan_empty:
+                dirs, entries = self.storage.list_entries(d)
+                self._files[d] = {name: (m, s) for name, m, s in entries}
+                self._subdirs[d] = [n for n in dirs if n != "+tmp"]
+                ops = 1
+                for name in self._subdirs[d]:
+                    ops += self._update_level(os.path.join(d, name), rescan_empty)
+            return ops
+        if known_files:
+            cursor = max(known_files)
+            dirs, entries = self.storage.list_entries(d, start_after=cursor)
+            ops = 1
+            for name, m, s in entries:
+                known_files[name] = (m, s)
+            for name in dirs:
+                if name != "+tmp" and name not in known_dirs:
+                    known_dirs.append(name)
+            known_dirs.sort()
+        for name in list(known_dirs):
+            ops += self._update_level(os.path.join(d, name), rescan_empty)
+        return ops
+
+    # -- read surface -------------------------------------------------------
+
+    def file_status_under(self, root: str) -> list[tuple[str, int, int]]:
+        """(path, mtime_ms, size) for every indexed file under `root` — the
+        drop-in replacement for storage.walk_file_status in listings."""
+        root = root.rstrip("/")
+        out: list[tuple[str, int, int]] = []
+        for d, files in self._files.items():
+            if d == root or d.startswith(root + os.sep):
+                out += [
+                    (os.path.join(d, name), m, s)
+                    for name, (m, s) in files.items()
+                ]
+        return out
+
+    def subdirs_of(self, d: str) -> list[str]:
+        """Immediate subdirectory names from the INDEX (no LIST request) —
+        the topic-discovery read path."""
+        return list(self._subdirs.get(d.rstrip("/"), []))
+
+    def remove(self, path: str) -> None:
+        """Drop one file (the cleaner deleted it) without waiting for the
+        next full sync (reference StorageIndex.remove)."""
+        d, name = os.path.split(path)
+        self._files.get(d, {}).pop(name, None)

@@ -246,6 +246,53 @@ def test_s3_kwargs_from_hadoop_conf(spark):
                 conf.set(k, v)
 
 
+def test_list_entries_start_after_pushdown(storage):
+    """S9: list_entries is ONE non-recursive LIST with server-side
+    StartAfter — the request shape the incremental storage index issues
+    per poll (reference source/StorageIndexManager.kt:55-64)."""
+    base = "idx/t/partition=0"
+    for name in ("t+0+0+9.parquet", "t+0+10+19.parquet", "t+0+20+29.parquet"):
+        storage.store_atomic(_url(f"{base}/{name}"), b"x")
+    storage.store_atomic(_url("idx/t/partition=1/t+1+0+9.parquet"), b"x")
+
+    dirs, files = storage.list_entries(_url("idx/t"))
+    assert dirs == ["partition=0", "partition=1"] and files == []
+
+    dirs, files = storage.list_entries(_url(base))
+    assert dirs == [] and [f[0] for f in files] == [
+        "t+0+0+9.parquet",
+        "t+0+10+19.parquet",
+        "t+0+20+29.parquet",
+    ]
+    assert all(m > 0 and s == 1 for _n, m, s in files)
+
+    _dirs, files = storage.list_entries(_url(base), start_after="t+0+10+19.parquet")
+    assert [f[0] for f in files] == ["t+0+20+29.parquet"]
+
+    _dirs, files = storage.list_entries(_url(base), start_after="t+0+20+29.parquet")
+    assert files == []
+
+
+def test_storage_index_over_s3(storage):
+    """The full incremental index driving a real S3 listing API."""
+    from radar_output_restructure_spark.sources.storage_index import (
+        StorageIndexManager,
+    )
+
+    root = _url("idxmgr")
+    storage.store_atomic(f"{root}/t/partition=0/t+0+0+9.parquet", b"x")
+    idx = StorageIndexManager(storage, root)
+    idx.update()
+    assert [p.rsplit("/", 1)[-1] for p, _m, _s in idx.file_status_under(root)] == [
+        "t+0+0+9.parquet"
+    ]
+    storage.store_atomic(f"{root}/t/partition=0/t+0+10+19.parquet", b"x")
+    idx.update()  # steady state: cursor listing picks up the new object
+    assert sorted(
+        p.rsplit("/", 1)[-1] for p, _m, _s in idx.file_status_under(root)
+    ) == ["t+0+0+9.parquet", "t+0+10+19.parquet"]
+
+
 def test_object_tags_end_offset(storage):
     """S8: `endOffset` object tag lookup (source/S3SourceStorage.kt:65-90).
     Files uploaded by the Kafka S3 sink without `+to` in the name carry the
