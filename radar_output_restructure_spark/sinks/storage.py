@@ -71,6 +71,30 @@ def storage_for(path: str, spark=None) -> "TargetStorage":
                 # fall through: Hadoop connector honors the exotic provider
             except ImportError:
                 pass  # fall through to the Hadoop connector
+        if scheme == "azure":
+            # the native REST backend's own scheme (the reference's
+            # `azure://` target type). Endpoint/credentials come from the
+            # session conf keys spark.radar.azure.* — explicit instances
+            # override as with S3.
+            from radar_output_restructure_spark.sinks.azure_storage import (
+                AzureTargetStorage,
+            )
+
+            conf = (spark.conf if spark is not None else None)
+            get = (lambda k: conf.get(k, None)) if conf else (lambda k: None)
+            endpoint = get("spark.radar.azure.endpoint")
+            if endpoint:
+                return AzureTargetStorage(
+                    endpoint_url=endpoint,
+                    account=get("spark.radar.azure.account"),
+                    account_key=get("spark.radar.azure.accountKey"),
+                    sas_token=get("spark.radar.azure.sasToken"),
+                )
+            raise ValueError(
+                "azure:// paths need spark.radar.azure.endpoint (and "
+                "account/accountKey or sasToken) in the session conf, or an "
+                "explicit AzureTargetStorage instance"
+            )
         if spark is None:
             raise ValueError(
                 f"{path!r} has a filesystem scheme; a SparkSession is "
