@@ -48,7 +48,13 @@ _GATE_HEAD = (
     "embedding_dedup_survivors",
     "embedding_quantize",
     "simhash_near_dup_docs",
+    # -- round-5 additions (never certified by definition) --
     "simhash_near_dup_docs_wide",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
     "corpus_vocabulary_docs",
     "doc_winnow_fingerprints",
     "doc_fingerprint_overlap",
@@ -84,11 +90,6 @@ _GATE_HEAD = (
     "dedup_keep_first",
     "offset_antijoin",
     "mp_enrichment",
-    "file_accounting",
-    "extraction_check",
-    "cleaner_candidates",
-    "event_time_cascade",
-    "asof_last_purchase",
 )
 
 

@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     # round-5 additions
     "simhash_near_dup_docs_wide",
+    "tpch_q9_profit_by_nation",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -1474,3 +1474,247 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(F.col("pk").alias("p_partkey"), "s_suppkey", "s_name", "acctbal_cents")
     )
+
+
+@register(
+    "tpch_q9_profit_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%a%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit rollup by supplier nation and order year (TPC-H
+    Q9 shape; the testdata schema has no partsupp, so profit omits the
+    supplycost term — the plan shape is what matters). Four-way fact⋈dims
+    star: the part-name LIKE filter pushes into the part scan BEFORE its
+    join (Catalyst pushdown), nation/part/supplier ride AQE broadcasts,
+    lineitem⋈orders shuffles on the order key once. year() and the money
+    arithmetic stay codegen'd; cents keep both engines bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("profit_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM pv)
+    SELECT l_partkey, value_cents
+    FROM pv, total
+    WHERE value_cents * 1000 > total_cents
+    """,
+)
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose traded value exceeds 0.1% of the corpus total (TPC-H
+    Q11's global-threshold HAVING shape, over lineitem value since the
+    schema has no partsupp). ONE aggregation builds the per-part frame; the
+    scalar total reduces FROM that frame (part-cardinality input, not a
+    second fact scan) and folds back as a broadcast 1-row cross join. The
+    threshold compares integer cents (value*1000 > total), so no float
+    fraction can flip a boundary part in either engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("value_cents")
+    )
+    total = pv.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional priority counts per line status (TPC-H Q12 shape; the
+    schema has no shipmode, l_linestatus plays its role). The year window
+    pushes into the lineitem scan; the CASE counts are map-side-combinable
+    sums so the single shuffle carries two longs per group, and the
+    orders join shuffles only the filtered fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_part_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    part_total AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+      FROM shipped GROUP BY 1
+    ),
+    big AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s
+      JOIN part_total t ON t.l_partkey = s.l_partkey
+      JOIN part p ON p.p_partkey = s.l_partkey AND p.p_name LIKE 'small%'
+      WHERE 2 * s.qty > t.total_qty
+    )
+    SELECT sup.s_suppkey, sup.s_name
+    FROM supplier sup JOIN big ON big.l_suppkey = sup.s_suppkey
+    """,
+)
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers dominating a filtered part's shipments (TPC-H Q20's nested
+    semi-join-with-correlated-threshold shape; availqty comes from shipped
+    quantity since the schema has no partsupp). The correlated `> half of
+    the part's total` decorrelates into one (supp, part) aggregate reused
+    TWICE — its own re-aggregation produces the per-part totals, so the
+    fact is scanned once. The name-filtered part dim broadcasts; the final
+    supplier semi-join is a distinct-then-join on the tiny winner set.
+    Threshold is integer (2*qty > total): engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long").alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    big = (
+        shipped.join(part_total, F.col("l_partkey") == F.col("pk"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.lit(2) * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return sup.join(big, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    ),
+    multi AS (
+      SELECT a.l_orderkey, a.l_suppkey
+      FROM late a
+      WHERE EXISTS (SELECT 1 FROM lineitem b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey)
+    )
+    SELECT s.s_name,
+           CAST(count(DISTINCT m.l_orderkey) AS BIGINT) AS numwait
+    FROM multi m JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who alone held up multi-supplier orders (TPC-H Q21's
+    EXISTS / NOT-EXISTS double self-join shape; 'late' is shipdate >
+    orderdate + 30 days since the schema has no commit/receipt dates).
+    Both correlated subqueries become LEFT SEMI / LEFT ANTI self-joins on
+    the order key — the Spark-native decorrelation — and both join against
+    the ALREADY-REDUCED late frame or the (orderkey, suppkey)-projected
+    fact, never the full-width fact twice. numwait counts distinct orders
+    (dedup against multi-line shipments), map-side partially aggregated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    lines = li.select(
+        F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("c_ok"), F.col("l_suppkey").alias("c_sk")
+    )
+    multi = (
+        late.join(
+            lines,
+            (F.col("l_orderkey") == F.col("b_ok"))
+            & (F.col("l_suppkey") != F.col("b_sk")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("c_ok"))
+            & (F.col("l_suppkey") != F.col("c_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        multi.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("numwait"))
+    )

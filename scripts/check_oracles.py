@@ -106,6 +106,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="write per-query verdicts to this artifact (ORACLES_LOCAL.json);"
+        " tests/test_registry_coverage.py asserts the committed artifact"
+        " still covers the whole registry all-green",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -117,10 +124,12 @@ def main() -> int:
     oracles = entry.oracle_sql()
     names = args.queries or list(queries)
     n_pass = n_fail = n_noracle = 0
+    results: dict[str, str] = {}
     for name in names:
         if name not in queries:
             print(f"{name}: NOT REGISTERED")
             n_fail += 1
+            results[name] = "fail"
             continue
         # per-query isolation: one raising query must not mask the rest of
         # the registry (the whole-gate abort is how a single bug hid three
@@ -130,19 +139,38 @@ def main() -> int:
             if name not in oracles:
                 print(f"{name}: no oracle (rows-only) -> {len(sdf)} rows")
                 n_noracle += 1
+                results[name] = "rows-only"
                 continue
             odf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             n_fail += 1
+            results[name] = "fail"
             continue
         print(f"{name}: spark={len(sdf)} oracle={len(odf)}")
         if compare(name, sdf, odf):
             print("  OK")
             n_pass += 1
+            results[name] = "pass"
         else:
             n_fail += 1
+            results[name] = "fail"
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf": args.sf,
+                    "registry_size": len(queries),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 

@@ -1,0 +1,51 @@
+"""Registry-coverage invariant (r4 verdict item 8): the committed
+ORACLES_LOCAL.json must certify EVERY registered query green. The driver's
+CORRECTNESS gate truncates at ~50 entries, so this locally-regenerated
+artifact is the only per-round record covering the whole registry; a query
+added (or broken) without re-running
+
+    python scripts/check_oracles.py --json ORACLES_LOCAL.json
+
+fails here, in-diff, instead of silently aging out of certification."""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "ORACLES_LOCAL.json")
+
+
+def test_oracles_artifact_covers_whole_registry():
+    import __spark_entry__ as entry
+
+    registry = set(entry.queries())
+    assert os.path.exists(ARTIFACT), (
+        "ORACLES_LOCAL.json missing — regenerate with "
+        "`python scripts/check_oracles.py --json ORACLES_LOCAL.json`"
+    )
+    with open(ARTIFACT) as fh:
+        artifact = json.load(fh)
+    results = artifact["results"]
+    uncovered = registry - set(results)
+    assert not uncovered, f"queries never certified locally: {sorted(uncovered)}"
+    stale = set(results) - registry
+    assert not stale, f"artifact references unregistered queries: {sorted(stale)}"
+    not_green = {n: v for n, v in results.items() if v == "fail"}
+    assert not not_green, f"certified-failing queries committed: {not_green}"
+
+
+def test_oracle_sql_and_queries_keys_match():
+    """Every query has an oracle (or is an explicitly known rows-only op) and
+    no oracle is orphaned — the driver's compare depends on both sides."""
+    import __spark_entry__ as entry
+
+    q, o = set(entry.queries()), set(entry.oracle_sql())
+    assert not o - q, f"oracles without queries: {sorted(o - q)}"
+    # rows-only entries are allowed by the driver but each one weakens the
+    # gate; keep the set explicit so additions are a conscious choice
+    known_rows_only: set[str] = set()
+    assert q - o == known_rows_only, (
+        f"queries without oracles changed: {sorted(q - o)}"
+    )
