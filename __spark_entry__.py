@@ -55,6 +55,7 @@ _GATE_HEAD = (
     "tpch_q12_priority_lines",
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
+    "source_quality_stats_docs",
     "corpus_vocabulary_docs",
     "doc_winnow_fingerprints",
     "doc_fingerprint_overlap",
@@ -89,7 +90,6 @@ _GATE_HEAD = (
     "dedup_keep_last",
     "dedup_keep_first",
     "offset_antijoin",
-    "mp_enrichment",
 )
 
 

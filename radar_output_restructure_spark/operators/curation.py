@@ -280,3 +280,54 @@ def near_dup_survivors(
         df[id_col] == removals["doc"],
         "left_anti",
     )
+
+
+def source_quality_stats(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_distinct_texts, n_dup_docs, tokens_total,
+    quality_sum_micro, mean_quality_micro): per-source corpus health — the
+    domain-level rollup a curation pipeline uses to set per-source sampling
+    weights and to spot mirror-heavy or boilerplate-heavy feeds.
+
+    One pass over the corpus: the per-doc quality score and token count are
+    map-only Column expressions (operators/text), the per-doc score rounds
+    to integer MICRO units before summing so the aggregate is
+    order-independent and engine-exact (float accumulation is not), and the
+    whole thing reduces in a single groupBy(source) with map-side combine.
+    Exact-duplicate pressure per source comes from count - countDistinct of
+    the normalized-content fingerprint digest computed in the same
+    projection — no second scan, no join. At 100 TB this shuffles one row
+    per (partition, source): the output is sources-sized.
+
+    mean_quality_micro is a SINGLE division of two exact integers, rounded
+    once — identical in any engine.
+    """
+    from radar_output_restructure_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("n_tok"),
+        F.round(quality_score(text_col) * 1_000_000)
+        .cast("long")
+        .alias("q_micro"),
+        F.md5(norm).alias("digest"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct(F.col("digest")).cast("long").alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("digest")))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum("q_micro").cast("long").alias("quality_sum_micro"),
+        F.round(F.sum("q_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_quality_micro"),
+    )

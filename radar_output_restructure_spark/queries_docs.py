@@ -924,3 +924,45 @@ def q_pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pmi_collocations(
         docs, min_count=PMI_MIN_COUNT, k=PMI_TOP_K
     )
+
+
+@register(
+    "source_quality_stats_docs",
+    f"""
+    WITH f AS (
+      SELECT source,
+             length(text) AS n_chars,
+             {_SQL_NTOK} AS n_tok,
+             {_SQL_NPUNCT} AS n_punct,
+             {_SQL_NSTOP} AS n_stop,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest
+      FROM documents
+    ), q AS (
+      SELECT source, n_tok, digest,
+             CAST(round(round((least(n_tok / 100.0, 1.0)
+                 + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 5, 1.0))
+                 + least(round(n_stop / greatest(n_tok, 1), 6) * 4, 1.0)) / 3, 6)
+                 * 1000000, 0) AS BIGINT) AS q_micro
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_texts,
+           CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_dup_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(q_micro) AS BIGINT) AS quality_sum_micro,
+           CAST(round(sum(q_micro) / count(*), 0) AS BIGINT) AS mean_quality_micro
+    FROM q GROUP BY source
+    """,
+)
+def q_source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-level) corpus health rollup: doc counts, exact-dup
+    pressure, token totals, and an engine-exact integer-micro mean quality -
+    the table per-source sampling weights are derived from
+    (operators/curation.source_quality_stats)."""
+    from radar_output_restructure_spark.operators.curation import (
+        source_quality_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return source_quality_stats(docs)
