@@ -143,6 +143,15 @@ def load_config(path: str) -> AppConfig:
         num_threads=int(worker.get("numThreads", 1)),
         end_offset_from_tags=tag_offsets,
         lock_dir=str(redis["lockPrefix"]) if redis.get("lockPrefix") else None,
+        # source.index (config/StorageIndexConfig.kt, README.md:140-143):
+        # presence of the block enables the incremental listing index
+        use_storage_index="index" in source,
+        index_rescan_s=float(
+            (source.get("index") or {}).get("fullSyncInterval", 3600)
+        ),
+        index_rescan_empty_s=float(
+            (source.get("index") or {}).get("emptyDirectorySyncInterval", 900)
+        ),
     )
     return AppConfig(
         inputs=[str(p) for p in (paths.get("inputs") or [])],

@@ -144,3 +144,31 @@ redis:
     cfg2 = load_config(str(plain))
     assert cfg2.restructure.end_offset_from_tags is False
     assert cfg2.restructure.lock_dir is None
+
+
+def test_storage_index_yaml_mapping(tmp_path):
+    """source.index (reference config/StorageIndexConfig.kt, README:140-143)
+    enables the S9 incremental listing index with the reference's interval
+    keys; absence keeps the plain re-walking listing."""
+    from radar_output_restructure_spark.config import load_config
+
+    cfg_file = tmp_path / "restructure.yml"
+    cfg_file.write_text(
+        """
+paths:
+  inputs: [/data/in]
+  output: /data/out
+source:
+  index:
+    fullSyncInterval: 1800
+    emptyDirectorySyncInterval: 300
+"""
+    )
+    cfg = load_config(str(cfg_file))
+    assert cfg.restructure.use_storage_index is True
+    assert cfg.restructure.index_rescan_s == 1800.0
+    assert cfg.restructure.index_rescan_empty_s == 300.0
+
+    plain = tmp_path / "plain.yml"
+    plain.write_text("paths:\n  output: /data/out\n")
+    assert load_config(str(plain)).restructure.use_storage_index is False
