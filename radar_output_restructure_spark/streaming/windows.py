@@ -361,3 +361,128 @@ def streaming_simhash_near_dup_pairs(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_ND_STATE_SCHEMA_WIDE = (
+    "docs array<bigint>, lo array<bigint>, hi array<bigint>"
+)
+
+
+def streaming_simhash_near_dup_pairs_wide(
+    df: DataFrame,
+    max_hamming: int = 3,
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming face of the WIDE (64-bit, 4x16-bit-band) simhash near-dup
+    — the scale geometry of `operators/dedup_scale.simhash_near_dup_pairs_
+    wide` with the same per-bucket state design as
+    `streaming_simhash_near_dup_pairs`. Input: (doc, fp_lo, fp_hi).
+
+    65,536 buckets per band means per-bucket state stays tiny even on
+    unbounded streams — the state-size argument for the wide geometry is
+    STRONGER in streaming, where the 32-bit variant's 256-per-band buckets
+    would accumulate every fingerprint the stream ever carries into 1,024
+    lists. Hamming verifies as popcount(lo xor lo') + popcount(hi xor hi').
+    """
+    bands, width = 4, 16
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    mask = (1 << width) - 1
+    half_of = {0: "fp_lo", 1: "fp_lo", 2: "fp_hi", 3: "fp_hi"}
+    banded = df.select(
+        "doc",
+        "fp_lo",
+        "fp_hi",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(half_of[i]), (i % 2) * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    )
+
+    if not df.isStreaming:
+        left = banded.select(
+            F.col("doc").alias("doc_a"),
+            F.col("fp_lo").alias("la"),
+            F.col("fp_hi").alias("ha"),
+            "band",
+            "bv",
+        )
+        right = banded.select(
+            F.col("doc").alias("doc_b"),
+            F.col("fp_lo").alias("lb"),
+            F.col("fp_hi").alias("hb"),
+            "band",
+            "bv",
+        )
+        hamming = (
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        ).cast("int")
+        return (
+            left.join(right, ["band", "bv"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            docs, los, his = state.get
+            docs, los, his = list(docs), list(los), list(his)
+        else:
+            docs, los, his = [], [], []
+        out_a, out_b, out_h = [], [], []
+        for pdf in pdfs:
+            for doc, lo, hi in sorted(
+                zip(
+                    pdf["doc"].tolist(),
+                    pdf["fp_lo"].tolist(),
+                    pdf["fp_hi"].tolist(),
+                )
+            ):
+                for sd, sl, sh in zip(docs, los, his):
+                    h = bin(sl ^ lo).count("1") + bin(sh ^ hi).count("1")
+                    if h <= max_hamming and sd != doc:
+                        a, b = sorted((sd, doc))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_h.append(h)
+                docs.append(doc)
+                los.append(lo)
+                his.append(hi)
+        state.update((docs, los, his))
+        if state_ttl_s is not None:
+            state.setTimeoutDuration(int(state_ttl_s * 1000))
+        if out_a:
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "hamming": out_h}
+            )
+
+    return banded.groupBy("band", "bv").applyInPandasWithState(
+        fn,
+        outputStructType=NEAR_DUP_PAIR_SCHEMA,
+        stateStructType=_ND_STATE_SCHEMA_WIDE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_s is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -318,3 +318,63 @@ def test_streaming_simhash_near_dup_matches_batch(spark, tmp_path):
         for r in streaming_simhash_near_dup_pairs(fp).collect()
     )
     assert batch == expected
+
+
+def test_streaming_simhash_wide_matches_batch(spark, tmp_path):
+    """The WIDE (64-bit / 16-bit-band) stateful detector matches the wide
+    batch operator across a micro-batch boundary — round-5 parity for the
+    scale-safe geometry."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash_near_dup_pairs_wide,
+        simhash_wide,
+    )
+    from radar_output_restructure_spark.streaming.windows import (
+        streaming_simhash_near_dup_pairs_wide,
+    )
+
+    words = [f"w{i}" for i in range(21)]
+    base = " ".join(w for w in words for _ in range(9))
+    texts = [
+        (0, base),
+        (1, base + " extra"),  # near-dup of 0 (strong vote margins)
+        (2, "completely different content about spark engines"),
+        (3, base),  # exact dup of 0
+        (4, "totally unrelated text on streaming state"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    expected = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs_wide(docs).collect()
+    )
+    assert expected, "fixture must contain at least one near-dup pair"
+
+    fp = simhash_wide(docs)
+    src = str(tmp_path / "fpw_stream")
+    fp.filter(F.col("doc") <= 1).coalesce(1).write.parquet(src)
+    fp.filter(F.col("doc") > 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc long, fp_lo long, fp_hi long"
+    ).parquet(src + "/*.parquet")
+    out = streaming_simhash_near_dup_pairs_wide(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_wide_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in spark.sql("select * from near_dup_wide_stream").collect()
+        }
+    )
+    assert got == expected
+    batch = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in streaming_simhash_near_dup_pairs_wide(fp).collect()
+    )
+    assert batch == expected
