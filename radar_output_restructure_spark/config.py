@@ -23,12 +23,21 @@ concept survives the engine swap:
                                          the shared lock DIRECTORY; the lock
                                          backend is O_EXCL files, not Redis)
 
+Plugin loading (reference `paths: factory:` + `Plugin#init(properties)`,
+config/PathConfig.kt createFactory, README.md:278-291): `paths.factory`
+names a PYTHON callable by dotted path (`pkg.mod:attr` or `pkg.mod.attr`);
+it is called with the `paths.properties` dict and returns a mapping of
+`${param}` name -> resolver `(df, event_ts) -> Column`, merged into the
+path DSL exactly like programmatic `path_params`. `paths.pathParams`
+maps individual `${param}` names straight to resolver callables by dotted
+path — the per-plugin form. Both run inside Catalyst like every built-in
+segment (the Spark-first equivalent of a RecordPathFactory JAR).
+
 Dropped concepts (documented, not errors): `redis.uri` (the file manifest
 replaces Redis offsets; locks are lock files under redis.lockPrefix
 reinterpreted as a directory), `worker.cacheSize`/`cacheOffsetsSize`
 (Spark manages memory), `source.s3|azure` credentials (storage access is
-Hadoop filesystem configuration — s3a:// / abfs:// URIs in paths.inputs),
-`source.index` intervals (driver listing + manifest).
+Hadoop filesystem configuration — s3a:// / abfs:// URIs in paths.inputs).
 """
 
 from __future__ import annotations
@@ -70,6 +79,34 @@ class AppConfig:
         cfg = copy.copy(self.restructure)
         cfg.input_dir = input_dir
         return cfg
+
+
+def load_plugin(spec: str):
+    """Resolve `pkg.mod:attr` (or `pkg.mod.attr`) to the named object —
+    the Python analog of the reference's plugin-JAR class loading
+    (config/PathConfig.kt createFactory)."""
+    import importlib
+
+    mod, _, attr = str(spec).partition(":")
+    if not attr:
+        mod, _, attr = str(spec).rpartition(".")
+    if not mod:
+        raise ValueError(f"plugin spec {spec!r} must name module and attribute")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def _path_params(paths: dict, path_props: dict) -> dict:
+    """U1/U5: `${param}` resolvers loaded from YAML. `paths.factory` is
+    called with the properties dict (the reference's Plugin#init contract)
+    and returns {param: resolver}; `paths.pathParams` maps params directly
+    to resolver callables."""
+    params: dict = {}
+    if paths.get("factory"):
+        factory = load_plugin(paths["factory"])
+        params.update(factory(dict(path_props)))
+    for name, spec in (paths.get("pathParams") or {}).items():
+        params[str(name)] = load_plugin(spec)
+    return params
 
 
 def _dedup(d: dict | None, default: DedupConfig | None = None) -> DedupConfig | None:
@@ -137,6 +174,7 @@ def load_config(path: str) -> AppConfig:
         compression=comp,
         exclude_fields=set(fmt.get("excludeFields") or ()),
         dedup=_dedup(fmt.get("deduplication"), DedupConfig()) or DedupConfig(),
+        path_params=_path_params(paths, path_props),
         topics=topics,
         max_files_per_topic=worker.get("maxFilesPerTopic"),
         minimum_file_age_s=float(worker.get("minimumFileAge", 60)),

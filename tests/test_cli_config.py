@@ -172,3 +172,58 @@ source:
     plain = tmp_path / "plain.yml"
     plain.write_text("paths:\n  output: /data/out\n")
     assert load_config(str(plain)).restructure.use_storage_index is False
+
+
+def test_plugin_factory_loaded_from_yaml(tmp_path, spark, monkeypatch):
+    """U1/U5 plugin loading (reference PathConfig.createFactory +
+    Plugin#init): paths.factory names a Python callable that receives the
+    properties dict and returns `${param}` resolvers; paths.pathParams maps
+    single params to resolvers. Both end up as working path segments."""
+    import sys
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from radar_output_restructure_spark.config import load_config
+    from radar_output_restructure_spark.plans.path_format import PathFormat
+
+    plug_dir = tmp_path / "plugmods"
+    plug_dir.mkdir()
+    (plug_dir / "my_path_plugin.py").write_text(
+        "from pyspark.sql import functions as F\n"
+        "def build(props):\n"
+        "    site = props.get('site', 'fallback')\n"
+        "    return {'site': lambda df, ts: F.lit(site)}\n"
+        "def shard(df, ts):\n"
+        "    return (F.col('key.userId').cast('string'))\n"
+    )
+    monkeypatch.syspath_prepend(str(plug_dir))
+    sys.modules.pop("my_path_plugin", None)
+
+    cfg_file = tmp_path / "restructure.yml"
+    cfg_file.write_text(
+        """
+paths:
+  output: /data/out
+  factory: my_path_plugin:build
+  pathParams:
+    shard: my_path_plugin.shard
+  properties:
+    format: "${projectId}/${site}/${shard}/${topic}/${filename}"
+    site: lab-7
+"""
+    )
+    cfg = load_config(str(cfg_file))
+    assert set(cfg.restructure.path_params) == {"site", "shard"}
+
+    # the loaded resolvers compile and evaluate inside the path DSL
+    pf = PathFormat(
+        fmt="${projectId}/${site}/${shard}/${topic}/${filename}",
+        custom_params=cfg.restructure.path_params,
+    )
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(key=Row(projectId="p", userId="u9", sourceId="s"), topic="t")]
+    )
+    out = pf.apply(df, event_ts=F.lit(0).cast("timestamp")).collect()[0]
+    assert out.output_path.startswith("p/lab-7/u9/t/")
