@@ -56,6 +56,8 @@ _GATE_HEAD = (
     "tpch_q20_part_promotion",
     "tpch_q21_waiting_suppliers",
     "source_quality_stats_docs",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_rerank_recall_at_k",
     "corpus_vocabulary_docs",
     "doc_winnow_fingerprints",
     "doc_fingerprint_overlap",
@@ -88,8 +90,6 @@ _GATE_HEAD = (
     "flatten_projection",
     "exclude_fields",
     "dedup_keep_last",
-    "dedup_keep_first",
-    "offset_antijoin",
 )
 
 

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "tpch_q11_important_parts",
     "tpch_q12_priority_lines",
     "tpch_q21_waiting_suppliers",
+    "source_quality_stats_docs",
+    "ann_ivfpq_rerank_topk",
 ]
 
 

@@ -1227,3 +1227,80 @@ def cosine_topk_ivfpq(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine re-ranking of an approximate candidate shortlist —
+    the REFINEMENT step every production IVF-PQ deployment runs: the
+    compressed index proposes `refine x k` candidates cheaply (ADC over
+    4-byte codes), then ONLY those candidates' raw vectors are read and
+    scored exactly, and the top-k comes from the exact scores. Recovers
+    most of the recall the code quantization loses while still never
+    scanning raw vectors for the untouched corpus.
+
+    Plan shape at 100 TB: `shortlist` is (queries x refine*k) rows —
+    kilobytes — so it BROADCASTS into a semi-join-shaped inner join that
+    prunes the corpus scan to candidate rows only; scoring is the same
+    map-only Arrow closure as `cosine_topk` (the oracle's exact
+    sequential-over-dimensions fold), and the final window ranks a
+    shortlist-sized frame. One corpus scan, no corpus shuffle.
+
+    (query_id, neighbor_id, sim, rank) with exact sims, rank <= k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
+    )
+    if not q_rows:
+        raise ValueError("exact_rerank requires a non-empty query set")
+    q_lists = [[float(x) for x in r.qv] for r in q_rows]
+    q_arr = np.array(q_lists, dtype=np.float64)
+    q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_index = {r.qid: i for i, r in enumerate(q_rows)}
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    ).join(
+        F.broadcast(shortlist.select("query_id", "neighbor_id")),
+        "neighbor_id",
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            # full-codebook affinities (the shared exact fold), then pick
+            # each row's own query column
+            aff = _codebook_affinities(x, q_arr, q_norms)
+            qidx = pdf["query_id"].map(q_index).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "sim": aff[np.arange(len(pdf)), qidx],
+                }
+            )
+
+    scored = cand.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

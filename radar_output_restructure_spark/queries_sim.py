@@ -1189,3 +1189,141 @@ def q_ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+# exact re-ranking of the IVF-PQ shortlist (production refinement step)
+RERANK_REFINE = 3
+
+
+def _ivfpq_shortlist_oracle_sql(k: int) -> str:
+    """The registered IVF-PQ oracle re-parameterized to a different k: its
+    single final `rank <= TOP_K` literal widens to the shortlist size
+    (verbatim nesting, same pattern as the recall compositions)."""
+    from radar_output_restructure_spark.queries import ORACLES
+
+    base = ORACLES["ann_ivfpq_topk"]
+    needle = f"WHERE rank <= {TOP_K}"
+    assert base.count(needle) == 1, "ivfpq oracle shape changed"
+    return base.replace(needle, f"WHERE rank <= {k}")
+
+
+def _rerank_oracle_sql() -> str:
+    shortlist = _ivfpq_shortlist_oracle_sql(TOP_K * RERANK_REFINE)
+    return f"""
+    WITH approx AS (SELECT query_id, neighbor_id FROM ({shortlist})),
+    rescored AS (
+      SELECT a.query_id, a.neighbor_id,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM approx a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c
+        ON c.vec_id = a.neighbor_id
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q
+        ON q.vec_id = a.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("ann_ivfpq_rerank_topk", _rerank_oracle_sql())
+def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-ranking — the full production retrieval shape: the
+    compressed index proposes refine*k candidates via ADC over 4-byte
+    codes, then only those candidates' raw vectors are scored exactly
+    (operators/similarity.exact_rerank: broadcast shortlist prunes the
+    corpus scan, map-only Arrow scoring, kilobyte final window). Recovers
+    the recall the code quantization loses at the cost of reading
+    refine*k raw vectors per query instead of zero."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        exact_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    shortlist = cosine_topk_ivfpq(
+        emb,
+        queries_df,
+        emb.filter(F.col("vec_id") < N_CENTROIDS),
+        k=TOP_K * RERANK_REFINE,
+        nprobe=NPROBE,
+        m=PQ_M,
+        codebook_k=PQ_K,
+        iters=PQ_ITERS,
+        dims=DIMS,
+    )
+    return exact_rerank(emb, queries_df, shortlist, k=TOP_K)
+
+
+def _rerank_recall_oracle_sql() -> str:
+    from radar_output_restructure_spark.queries import ORACLES
+
+    exact = ORACLES["cosine_topk_bruteforce"]
+    approx = _rerank_oracle_sql()
+    return f"""
+    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
+    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
+    matched AS (
+      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
+      FROM exact_k e
+      LEFT JOIN approx_k a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, n_matched,
+           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
+             AS recall_micro
+    FROM matched
+    """
+
+
+@register("ann_ivfpq_rerank_recall_at_k", _rerank_recall_oracle_sql())
+def q_ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-PQ WITH exact re-ranking against the exact ranking —
+    the number that justifies the refinement step: compare with
+    ann_ivfpq_recall_at_k to see how much recall the exact rescoring of a
+    3x shortlist buys back from the quantization error."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        exact_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    shortlist = cosine_topk_ivfpq(
+        emb,
+        queries_df,
+        emb.filter(F.col("vec_id") < N_CENTROIDS),
+        k=TOP_K * RERANK_REFINE,
+        nprobe=NPROBE,
+        m=PQ_M,
+        codebook_k=PQ_K,
+        iters=PQ_ITERS,
+        dims=DIMS,
+    )
+    approx = exact_rerank(emb, queries_df, shortlist, k=TOP_K).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    matched = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
+    )
+    return matched.select(
+        "query_id",
+        "n_matched",
+        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
+        .cast("long")
+        .alias("recall_micro"),
+    )
