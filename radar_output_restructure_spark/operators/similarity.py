@@ -1273,11 +1273,17 @@ def exact_rerank(
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
 
-    cand = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
-    ).join(
-        F.broadcast(shortlist.select("query_id", "neighbor_id")),
-        "neighbor_id",
+    cand = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+        )
+        .join(
+            F.broadcast(shortlist.select("query_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        # self-matches excluded like every top-k operator here (the IVF-PQ
+        # shortlist never proposes them, but a caller-built one might)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
 
     def score(batches):

@@ -1300,3 +1300,53 @@ def test_bpe_encode_counts_match_reference_segmentation(spark):
         words = t.split()
         assert rows[i] == (len(words), sum(len(segs[w]) for w in words))
     assert rows[2] == (0, 0)  # empty doc keeps zeros via the left join
+
+
+def test_exact_rerank_recovers_exact_topk(spark):
+    """exact_rerank over a shortlist that CONTAINS the true top-k must
+    return exactly the brute-force ranking (exact sims, exact order); a
+    shortlist missing a true neighbor degrades gracefully to the best
+    available candidates."""
+    import math
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk,
+        exact_rerank,
+    )
+
+    rng = [(i, [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in rng],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    exact = cosine_topk(emb, queries, k=3)
+    expected = sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rank) for r in exact.collect()
+    )
+
+    # full shortlist (everything): rerank == exact
+    full = emb.crossJoin(
+        queries.select(F.col("vec_id").alias("query_id"))
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in exact_rerank(emb, queries, full, k=3).collect()
+    )
+    assert got == expected
+
+    # shortlist missing one true neighbor: the remaining candidates rank
+    # in exact order without it
+    drop = expected[0][1]
+    partial = full.filter(
+        ~((F.col("query_id") == expected[0][0]) & (F.col("neighbor_id") == drop))
+    )
+    got2 = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in exact_rerank(emb, queries, partial, k=3).collect()
+    }
+    assert drop not in [
+        v for (q, _rk), v in got2.items() if q == expected[0][0]
+    ]
