@@ -4,14 +4,17 @@ Images/audio/video ride through the engine as `binary` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 `mapInPandas` signature, partition behavior — is real and tested. Decoding:
 
-* WAV (RIFF PCM), uncompressed 24-bit BMP, and non-interlaced 8-bit PNG
-  (gray/RGB/RGBA, stdlib zlib inflate + full filter reconstruction) decode
-  for REAL in pure stdlib+numpy (`decode_wav`, `decode_bmp`, `decode_png`)
-  — audio duration/RMS/peak and image dimensions/brightness come from
-  actual samples/pixels.
-* JPEG/GIF/MP4 (`decode_image` on other magic) raise NotImplementedError:
-  those codecs genuinely require PIL/libvips/ffmpeg, which are not in this
-  container; the real impl drops into the same mapInPandas batch loop.
+* WAV (RIFF PCM), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
+  (gray/RGB/RGBA, stdlib zlib inflate + full filter reconstruction), and
+  GIF87a/89a first frames (full LZW decompression with variable code
+  widths and the KwKwK case, interlace de-weave, transparency-aware means)
+  decode for REAL in pure stdlib+numpy (`decode_wav`, `decode_bmp`,
+  `decode_png`, `decode_gif`) — audio duration/RMS/peak and image
+  dimensions/brightness come from actual samples/pixels.
+* JPEG/MP4 (`decode_image` on other magic) raise NotImplementedError:
+  those codecs genuinely require PIL/libvips/ffmpeg (DCT/container
+  pipelines), which are not in this container; the real impl drops into
+  the same mapInPandas batch loop.
 * `extract_features` computes deterministic byte-level features (length,
   md5 digest, ascii ratio) — codec-independent profiling.
 
@@ -211,18 +214,155 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW (spec appendix F): variable code width starting at
+    min_code_size+1, clear/end codes, dictionary grows to 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = pos = 0
+    n = len(data)
+    while True:
+        while bits < code_size:
+            if pos >= n:
+                return out  # missing end code: tolerate truncated streams
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode the FIRST frame of a GIF87a/89a by hand: logical screen
+    descriptor, global/local color table, full LZW decompression of the
+    image data (variable-width codes, clear/end handling, the KwKwK case),
+    interlace de-weave, transparency-aware channel means. Pure
+    stdlib+numpy — same feature dict as `decode_bmp`/`decode_png`."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    gct_size = 2 << (flags & 0x07)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        gct = np.frombuffer(payload, np.uint8, gct_size * 3, pos).reshape(-1, 3)
+        pos += gct_size * 3
+    transparent = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension block
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control: transparency index
+                size = payload[pos]
+                if size >= 4 and payload[pos + 1] & 0x01:
+                    transparent = payload[pos + 4]
+            while payload[pos]:  # sub-blocks until terminator
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor: decode this (first) frame
+            width, height = struct.unpack_from("<HH", payload, pos + 5)
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                lct_size = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    payload, np.uint8, lct_size * 3, pos
+                ).reshape(-1, 3)
+                pos += lct_size * 3
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                size = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            if len(idx) < width * height:
+                raise ValueError("GIF pixel data shorter than frame")
+            px = np.array(idx[: width * height], dtype=np.int32).reshape(
+                height, width
+            )
+            if iflags & 0x40:  # interlaced: de-weave the 4 passes
+                order = np.concatenate(
+                    [
+                        np.arange(0, height, 8),
+                        np.arange(4, height, 8),
+                        np.arange(2, height, 4),
+                        np.arange(1, height, 2),
+                    ]
+                )
+                de = np.empty_like(px)
+                de[order] = px
+                px = de
+            rgb = table[px]  # (h, w, 3)
+            mask = (
+                px != transparent
+                if transparent is not None
+                else np.ones_like(px, dtype=bool)
+            )
+            vis = rgb[mask]
+            if len(vis) == 0:
+                vis = rgb.reshape(-1, 3)
+            means = vis.reshape(-1, 3).mean(axis=0)
+            return {
+                "width": int(width),
+                "height": int(height),
+                "mean_r": round(float(means[0]), 6),
+                "mean_g": round(float(means[1]), 6),
+                "mean_b": round(float(means[2]), 6),
+            }
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image(payload: bytes) -> dict:
-    """Dispatch on magic bytes. BMP and PNG decode for real; JPEG/GIF
-    require PIL/libvips (not in this container) and raise
+    """Dispatch on magic bytes. BMP, PNG and GIF decode for real; JPEG
+    requires a DCT pipeline (PIL/libvips, not in this container) and raises
     NotImplementedError — the real implementation slots into the same
     mapInPandas batch loop."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "JPEG/GIF decoding requires PIL/libvips (not in container); "
-        "BMP, PNG and WAV decode natively"
+        "JPEG decoding requires PIL/libvips (not in container); "
+        "BMP, PNG, GIF and WAV decode natively"
     )
 
 

@@ -1350,3 +1350,146 @@ def test_exact_rerank_recovers_exact_topk(spark):
     assert drop not in [
         v for (q, _rk), v in got2.items() if q == expected[0][0]
     ]
+
+
+# --- GIF fixtures: a real LZW encoder so decode round-trips are genuine ----
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Dictionary-building GIF LZW encoder (the inverse of the operator's
+    decoder): variable code width, clear at start, end code at EOF."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out_bits = []
+
+    def emit(code, size):
+        for i in range(size):
+            out_bits.append((code >> i) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    buf = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], code_size)
+    emit(end, code_size)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            b |= bit << j
+        by.append(b)
+    return bytes(by)
+
+
+def _make_gif(px_idx, palette, interlace=False, transparent=None):
+    """Assemble a single-frame GIF89a from an index raster + RGB palette."""
+    import struct as _s
+
+    h, w = len(px_idx), len(px_idx[0])
+    n = max(2, (len(palette) - 1).bit_length())
+    gct_flag = 0x80 | (n - 1)
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", w, h, gct_flag, 0, 0)
+    for i in range(1 << n):
+        rgb = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes(rgb)
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    iflags = 0x40 if interlace else 0
+    out += bytes([0x2C]) + _s.pack("<HHHHB", 0, 0, w, h, iflags)
+    flat = [p for row in px_idx for p in row]
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        flat = [p for y in order for p in px_idx[y]]
+    min_code = max(2, n)
+    data = _gif_lzw_encode(flat, min_code)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_golden():
+    """Hand-assembled 4x3 GIF with a known palette: exact means."""
+    from radar_output_restructure_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    px = [[0, 1, 2, 3], [3, 2, 1, 0], [0, 0, 1, 1]]
+    gif = _make_gif(px, palette)
+    meta = decode_gif(gif)
+    assert (meta["width"], meta["height"]) == (4, 3)
+    import numpy as np
+
+    expect = np.array([palette[i] for row in px for i in row]).mean(axis=0)
+    got = (meta["mean_r"], meta["mean_g"], meta["mean_b"])
+    assert np.allclose(got, expect, atol=1e-5)
+    assert decode_image(gif)["width"] == 4  # magic dispatch
+
+
+def test_gif_decode_lzw_roundtrip_large():
+    """A 31x17 pseudo-random raster stresses real dictionary growth (code
+    width increases past min_code_size+1) and multi-sub-block packing."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import decode_gif
+
+    rng = np.random.RandomState(3)
+    palette = [tuple(int(v) for v in rng.randint(0, 256, 3)) for _ in range(16)]
+    px = rng.randint(0, 16, size=(17, 31)).tolist()
+    meta = decode_gif(_make_gif(px, palette))
+    expect = np.array([palette[i] for row in px for i in row]).mean(axis=0)
+    assert (meta["width"], meta["height"]) == (31, 17)
+    assert np.allclose(
+        (meta["mean_r"], meta["mean_g"], meta["mean_b"]), expect, atol=1e-5
+    )
+
+
+def test_gif_decode_interlaced_and_transparent():
+    """Adam-style 4-pass interlacing de-weaves, and the transparency index
+    is excluded from the channel means (GIF89a graphic control)."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import decode_gif
+
+    palette = [(200, 0, 0), (0, 200, 0), (0, 0, 200), (50, 50, 50)]
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 4, size=(10, 6)).tolist()
+    plain = decode_gif(_make_gif(px, palette))
+    woven = decode_gif(_make_gif(px, palette, interlace=True))
+    assert (
+        woven["mean_r"],
+        woven["mean_g"],
+        woven["mean_b"],
+    ) == (plain["mean_r"], plain["mean_g"], plain["mean_b"])
+
+    trans = decode_gif(_make_gif(px, palette, transparent=3))
+    flat = [palette[i] for row in px for i in row if i != 3]
+    expect = np.array(flat).mean(axis=0)
+    assert np.allclose(
+        (trans["mean_r"], trans["mean_g"], trans["mean_b"]), expect, atol=1e-5
+    )
