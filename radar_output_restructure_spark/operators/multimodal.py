@@ -5,16 +5,21 @@ metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
 `mapInPandas` signature, partition behavior — is real and tested. Decoding:
 
 * WAV (RIFF PCM), uncompressed 24-bit BMP, non-interlaced 8-bit PNG
-  (gray/RGB/RGBA, stdlib zlib inflate + full filter reconstruction), and
+  (gray/RGB/RGBA, stdlib zlib inflate + full filter reconstruction),
   GIF87a/89a first frames (full LZW decompression with variable code
-  widths and the KwKwK case, interlace de-weave, transparency-aware means)
-  decode for REAL in pure stdlib+numpy (`decode_wav`, `decode_bmp`,
-  `decode_png`, `decode_gif`) — audio duration/RMS/peak and image
-  dimensions/brightness come from actual samples/pixels.
-* JPEG/MP4 (`decode_image` on other magic) raise NotImplementedError:
-  those codecs genuinely require PIL/libvips/ffmpeg (DCT/container
-  pipelines), which are not in this container; the real impl drops into
-  the same mapInPandas batch loop.
+  widths and the KwKwK case, interlace de-weave, transparency-aware
+  means), and BASELINE JPEG (SOF0: canonical Huffman entropy decode with
+  DC prediction and restart markers, dequantize + zigzag, exact float
+  IDCT, chroma upsampling for any sampling layout incl. 4:2:0,
+  YCbCr->RGB) decode for REAL in pure stdlib+numpy (`decode_wav`,
+  `decode_bmp`, `decode_png`, `decode_gif`, `decode_jpeg`) — audio
+  duration/RMS/peak and image dimensions/brightness come from actual
+  samples/pixels. Test fixtures are produced by REAL encoders written in
+  the test suite (PNG forward filters, GIF dictionary-building LZW,
+  JPEG forward DCT + annex-K tables), so round-trips are genuine.
+* Progressive JPEG (SOF2), arithmetic coding, and video containers raise
+  NotImplementedError (ffmpeg territory); the real impl drops into the
+  same mapInPandas batch loop.
 * `extract_features` computes deterministic byte-level features (length,
   md5 digest, ascii ratio) — codec-independent profiling.
 
@@ -28,6 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import struct
 from collections.abc import Iterator
 
@@ -350,19 +356,21 @@ def decode_gif(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Dispatch on magic bytes. BMP, PNG and GIF decode for real; JPEG
-    requires a DCT pipeline (PIL/libvips, not in this container) and raises
-    NotImplementedError — the real implementation slots into the same
-    mapInPandas batch loop."""
+    """Dispatch on magic bytes. BMP, PNG, GIF and baseline JPEG decode for
+    real in pure stdlib+numpy; anything else (video containers, progressive
+    JPEG) raises NotImplementedError — the real implementation slots into
+    the same mapInPandas batch loop."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG decoding requires PIL/libvips (not in container); "
-        "BMP, PNG, GIF and WAV decode natively"
+        "video/container decoding requires ffmpeg (not in container); "
+        "BMP, PNG, GIF, baseline JPEG and WAV decode natively"
     )
 
 
@@ -433,3 +441,267 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# --- baseline JPEG (ITU T.81 sequential DCT, Huffman) ----------------------
+
+#: zigzag order: zigzag_index[i] = raster position of the i-th scanned coeff
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    """The 8-point DCT-III basis C with C[u, x] = a(u) cos((2x+1)u pi/16):
+    block = C.T @ coeffs @ C inverts the forward DCT exactly (float64)."""
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.bits = 0
+
+    def _fill(self) -> bool:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: caller resyncs via restart()
+                return False
+            else:
+                return False  # real marker: scan over
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.bits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.bits == 0 and not self._fill():
+            return 0  # past the scan: T.81 pads with 1s; 0 ends cleanly
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and realign to a byte boundary."""
+        self.acc = 0
+        self.bits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _jpeg_build_huffman(bits: list[int], values: list[int]) -> dict:
+    """(length, code) -> symbol per T.81 C.2 canonical code assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_symbol(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to the signed difference."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a BASELINE sequential JPEG (SOF0, Huffman, 8-bit) by hand:
+    marker walk, canonical Huffman tables, per-MCU entropy decode with DC
+    prediction and restart intervals, dequantize + zigzag de-order, exact
+    float IDCT, chroma upsampling (any h/v sampling factors incl. 4:2:0),
+    YCbCr->RGB (JFIF full-range). Pure stdlib+numpy. Returns the shared
+    image-feature dict. Progressive (SOF2) and arithmetic coding raise
+    NotImplementedError."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only baseline JPEG (SOF0) supported, got SOF marker "
+                f"0xFF{marker:02X}"
+            )
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                qt[tq] = np.array(list(seg[p + 1 : p + 65]), dtype=np.float64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_build_huffman(
+                    bits, values
+                )
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"w": width, "h": height, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan_sel = {}
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_sel[cs] = (tables >> 4, tables & 0x0F)
+            data_pos = pos + 2 + seg_len
+            return _jpeg_decode_scan(
+                payload, data_pos, frame, qt, huff_dc, huff_ac, scan_sel,
+                restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG contains no scan")
+
+
+def _jpeg_decode_scan(
+    payload, data_pos, frame, qt, huff_dc, huff_ac, scan_sel, restart_interval
+):
+    import numpy as np
+
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    idct = _jpeg_idct_matrix()
+    zz = JPEG_ZIGZAG
+
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
+        )
+    pred = {c["id"]: 0 for c in comps}
+    reader = _JpegBitReader(payload, data_pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.restart()
+                for cid in pred:
+                    pred[cid] = 0
+            mcu_count += 1
+            for c in comps:
+                dc_t, ac_t = scan_sel[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coeffs = np.zeros(64)
+                        t = _jpeg_decode_symbol(reader, huff_dc[dc_t])
+                        diff = _jpeg_extend(reader.read_bits(t), t)
+                        pred[c["id"]] += diff
+                        coeffs[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_symbol(reader, huff_ac[ac_t])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            coeffs[k] = _jpeg_extend(reader.read_bits(s), s)
+                            k += 1
+                        dq = coeffs * qt[c["tq"]]
+                        block = np.zeros((8, 8))
+                        block.flat[zz] = dq  # de-zigzag to raster order
+                        px = idct.T @ block @ idct + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each component to full resolution and crop to (h, w)
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:  # grayscale
+        ych = np.clip(full[0], 0, 255)
+        mean = float(ych.mean())
+        means = (mean, mean, mean)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = np.clip(y + 1.402 * cr, 0, 255)
+        g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0, 255)
+        b = np.clip(y + 1.772 * cb, 0, 255)
+        means = (float(r.mean()), float(g.mean()), float(b.mean()))
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_r": round(means[0], 6),
+        "mean_g": round(means[1], 6),
+        "mean_b": round(means[2], 6),
+    }

@@ -1493,3 +1493,350 @@ def test_gif_decode_interlaced_and_transparent():
     assert np.allclose(
         (trans["mean_r"], trans["mean_g"], trans["mean_b"]), expect, atol=1e-5
     )
+
+
+# --- JPEG fixtures: a real baseline encoder so decode round-trips are
+# genuine (forward DCT + quantize + canonical Huffman, T.81 annex K tables)
+
+_JPEG_STD_LUM_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_encode_codes(bits, vals):
+    """(symbol -> (code, length)) canonical assignment, mirror of C.2."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.bits += 1
+            if self.bits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.bits = 0
+
+    def flush(self):
+        while self.bits:  # pad with 1s per T.81
+            self.write(1, 1)
+
+
+def _make_jpeg_gray(px):
+    """Encode an HxW uint8 grayscale image as a baseline JPEG (one
+    component, standard luminance quant + Huffman tables)."""
+    import math as _m
+    import struct as _s
+
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+    )
+
+    h, w = px.shape
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = _m.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * _m.cos((2 * x + 1) * u * _m.pi / 16)
+    q = np.array(_JPEG_STD_LUM_Q, dtype=np.float64)
+    dc_codes = _jpeg_encode_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _jpeg_encode_codes(_AC_BITS, _AC_VALS)
+
+    bw = _JpegBitWriter()
+    pred = 0
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = np.pad(px.astype(np.float64), ((0, ph - h), (0, pw - w)), "edge")
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            block = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coeffs = c @ block @ c.T  # forward DCT
+            zz = coeffs.flat[JPEG_ZIGZAG]
+            qz = np.round(zz / q).astype(int)
+
+            def cat(v):
+                return 0 if v == 0 else int(abs(v)).bit_length()
+
+            def raw_bits(v, t):
+                return v if v >= 0 else v + (1 << t) - 1
+
+            diff = int(qz[0]) - pred
+            pred = int(qz[0])
+            t = cat(diff)
+            bw.write(*dc_codes[t])
+            if t:
+                bw.write(raw_bits(diff, t), t)
+            run = 0
+            for k in range(1, 64):
+                v = int(qz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                t = cat(v)
+                bw.write(*ac_codes[(run << 4) | t])
+                bw.write(raw_bits(v, t), t)
+                run = 0
+            if run:
+                bw.write(*ac_codes[0x00])  # EOB
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + bytes(
+        _JPEG_STD_LUM_Q
+    )
+    out += b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + _s.pack(">H", 19 + len(vals)) + bytes(
+            [tc << 4]
+        ) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_jpeg_decode_roundtrip_gray():
+    """Encode a smooth grayscale gradient with a REAL baseline encoder
+    (forward DCT + annex-K tables), decode with the operator: dimensions
+    exact, mean luma within quantization error, and a flat block decodes
+    near-exactly (DC-only path)."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:21]
+    px = ((yy * 5 + xx * 3) % 200 + 20).astype(np.uint8)
+    jpg = _make_jpeg_gray(px)
+    meta = decode_jpeg(jpg)
+    assert (meta["width"], meta["height"]) == (21, 24)
+    assert abs(meta["mean_r"] - float(px.mean())) < 3.0  # quantization error
+    assert meta["mean_r"] == meta["mean_g"] == meta["mean_b"]
+    assert decode_image(jpg)["width"] == 21  # magic dispatch
+
+    # DC-only flat block: (77-128)*8/16 = -25.5 quantizes to -26, which
+    # decodes to exactly 76 — one DC quantization step from the source
+    flat = np.full((8, 8), 77, dtype=np.uint8)
+    m2 = decode_jpeg(_make_jpeg_gray(flat))
+    assert m2["mean_r"] == 76.0
+    exact = np.full((8, 8), 80, dtype=np.uint8)  # (80-128)*8/16 = -24 exact
+    assert decode_jpeg(_make_jpeg_gray(exact))["mean_r"] == 80.0
+
+
+def test_jpeg_decode_textured_blocks():
+    """A high-frequency checkerboard exercises the AC run-length path (ZRL,
+    EOB, multi-category coefficients)."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(5)
+    base = np.indices((16, 16)).sum(axis=0) % 2 * 180 + 30
+    noise = rng.randint(-20, 21, size=(16, 16))
+    px = np.clip(base + noise, 0, 255).astype(np.uint8)
+    meta = decode_jpeg(_make_jpeg_gray(px))
+    assert (meta["width"], meta["height"]) == (16, 16)
+    # heavy quantization on a checkerboard still keeps the mean close
+    assert abs(meta["mean_r"] - float(px.mean())) < 8.0
+
+
+def test_jpeg_progressive_rejected():
+    import pytest as _pytest
+
+    from radar_output_restructure_spark.operators.multimodal import decode_jpeg
+
+    # SOI + SOF2 header: progressive must raise, not mis-decode
+    payload = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with _pytest.raises(NotImplementedError, match="SOF0"):
+        decode_jpeg(payload)
+
+
+def _make_jpeg_color(rgb, subsample=False):
+    """Encode an HxWx3 uint8 RGB image as baseline JPEG — 4:4:4, or 4:2:0
+    when `subsample` (4 luma + 2 chroma blocks per MCU, chroma = 2x2 box
+    mean). One shared quant/Huffman table set for all components."""
+    import math as _m
+    import struct as _s
+
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+    )
+
+    h, w, _ = rgb.shape
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = _m.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * _m.cos((2 * x + 1) * u * _m.pi / 16)
+    q = np.array(_JPEG_STD_LUM_Q, dtype=np.float64)
+    dc_codes = _jpeg_encode_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _jpeg_encode_codes(_AC_BITS, _AC_VALS)
+    bw = _JpegBitWriter()
+    pred = {0: 0, 1: 0, 2: 0}
+
+    def pad_to(plane, bh, bw_):
+        ph = (plane.shape[0] + bh - 1) // bh * bh
+        pw = (plane.shape[1] + bw_ - 1) // bw_ * bw_
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            "edge",
+        )
+
+    def emit_block(plane, y0, x0, comp):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        qz = np.round((c @ block @ c.T).flat[JPEG_ZIGZAG] / q).astype(int)
+
+        def cat(v):
+            return 0 if v == 0 else int(abs(v)).bit_length()
+
+        def raw(v, t):
+            return v if v >= 0 else v + (1 << t) - 1
+
+        diff = int(qz[0]) - pred[comp]
+        pred[comp] = int(qz[0])
+        t = cat(diff)
+        bw.write(*dc_codes[t])
+        if t:
+            bw.write(raw(diff, t), t)
+        run = 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write(*ac_codes[0xF0])
+                run -= 16
+            t = cat(v)
+            bw.write(*ac_codes[(run << 4) | t])
+            bw.write(raw(v, t), t)
+            run = 0
+        if run:
+            bw.write(*ac_codes[0x00])
+
+    if subsample:  # 4:2:0
+        mcu = 16
+        yp = pad_to(y, 16, 16)
+        cbs = pad_to(cb, 16, 16).reshape(-1, 2, yp.shape[1] // 2, 2).mean((1, 3))
+        crs = pad_to(cr, 16, 16).reshape(-1, 2, yp.shape[1] // 2, 2).mean((1, 3))
+        for my in range(0, yp.shape[0], mcu):
+            for mx in range(0, yp.shape[1], mcu):
+                for by in (0, 8):
+                    for bx in (0, 8):
+                        emit_block(yp, my + by, mx + bx, 0)
+                emit_block(cbs, my // 2, mx // 2, 1)
+                emit_block(crs, my // 2, mx // 2, 2)
+        samp = [0x22, 0x11, 0x11]
+    else:  # 4:4:4
+        yp, cbs, crs = pad_to(y, 8, 8), pad_to(cb, 8, 8), pad_to(cr, 8, 8)
+        for my in range(0, yp.shape[0], 8):
+            for mx in range(0, yp.shape[1], 8):
+                emit_block(yp, my, mx, 0)
+                emit_block(cbs, my, mx, 1)
+                emit_block(crs, my, mx, 2)
+        samp = [0x11, 0x11, 0x11]
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + bytes(_JPEG_STD_LUM_Q)
+    sof = _s.pack(">HBHHB", 17, 8, h, w, 3)
+    for i in range(3):
+        sof += bytes([i + 1, samp[i], 0])
+    out += b"\xff\xc0" + sof
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + _s.pack(">H", 19 + len(vals)) + bytes(
+            [tc << 4]
+        ) + bytes(bits) + bytes(vals)
+    sos = _s.pack(">HB", 12, 3)
+    for i in range(3):
+        sos += bytes([i + 1, 0x00])
+    out += b"\xff\xda" + sos + bytes([0, 63, 0])
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_color_444_and_420():
+    """Color round-trip through both common sampling layouts: channel means
+    within quantization error of the source, 4:2:0 within a bit more (the
+    2x2 chroma box filter)."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.RandomState(9)
+    base = np.zeros((24, 20, 3))
+    base[:, :, 0] = np.linspace(40, 200, 20)[None, :]
+    base[:, :, 1] = np.linspace(60, 180, 24)[:, None]
+    base[:, :, 2] = 90.0
+    rgb = np.clip(base + rng.randint(-10, 11, base.shape), 0, 255).astype(
+        np.uint8
+    )
+    expect = rgb.reshape(-1, 3).mean(axis=0)
+
+    m444 = decode_jpeg(_make_jpeg_color(rgb, subsample=False))
+    assert (m444["width"], m444["height"]) == (20, 24)
+    got444 = np.array([m444["mean_r"], m444["mean_g"], m444["mean_b"]])
+    assert np.all(np.abs(got444 - expect) < 4.0), (got444, expect)
+
+    m420 = decode_jpeg(_make_jpeg_color(rgb, subsample=True))
+    assert (m420["width"], m420["height"]) == (20, 24)
+    got420 = np.array([m420["mean_r"], m420["mean_g"], m420["mean_b"]])
+    assert np.all(np.abs(got420 - expect) < 6.0), (got420, expect)
