@@ -380,8 +380,14 @@ def test_decode_image_unsupported_codec_raises():
 
     from radar_output_restructure_spark.operators.multimodal import decode_image
 
-    with _pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\xff\xd8\xff\xe0....")  # JPEG/JFIF magic
+    # an MP4 ftyp box: video containers stay documented-unsupported
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_image(b"\x00\x00\x00\x18ftypisom....")
+    # progressive JPEG dispatches into decode_jpeg and rejects SOF2 there
+    with _pytest.raises(NotImplementedError, match="SOF0"):
+        decode_image(
+            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
 
 
 def _make_png(px, channels: int, filters: list[int]) -> bytes:
