@@ -17,9 +17,12 @@ metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
   samples/pixels. Test fixtures are produced by REAL encoders written in
   the test suite (PNG forward filters, GIF dictionary-building LZW,
   JPEG forward DCT + annex-K tables), so round-trips are genuine.
-* Progressive JPEG (SOF2), arithmetic coding, and video containers raise
-  NotImplementedError (ffmpeg territory); the real impl drops into the
-  same mapInPandas batch loop.
+* MP4/MOV containers get a METADATA probe (`probe_mp4`: ISO-BMFF box
+  walk — mvhd duration, per-track tkhd dimensions + hdlr handler types)
+  — the duration/resolution pass a video-curation pipeline filters on
+  before any GPU touches the payload. FRAME decode, progressive JPEG
+  (SOF2) and arithmetic coding raise NotImplementedError (ffmpeg/codec
+  territory); the real impl drops into the same mapInPandas batch loop.
 * `extract_features` computes deterministic byte-level features (length,
   md5 digest, ascii ratio) — codec-independent profiling.
 
@@ -705,3 +708,107 @@ def _jpeg_decode_scan(
         "mean_g": round(means[1], 6),
         "mean_b": round(means[2], 6),
     }
+
+
+# --- ISO-BMFF (MP4/MOV) metadata probe -------------------------------------
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ffprobe-lite over the ISO base media file format: walk the box tree
+    (size+fourcc headers, 64-bit largesize supported), read `mvhd` for
+    timescale/duration, every `trak`'s `tkhd` for dimensions and `hdlr`
+    for the handler type. Returns {duration_s, n_tracks, width, height,
+    has_video, has_audio, brand}. FRAME decode stays NotImplementedError
+    (codec territory); this is the metadata pass a curation pipeline runs
+    to filter/bucket video corpora by duration and resolution before any
+    GPU touches the payload."""
+
+    def walk(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            fourcc = buf[pos + 4 : pos + 8]
+            header = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                header = 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = end - pos
+            if size < header or pos + size > end:
+                raise ValueError("corrupt ISO-BMFF box structure")
+            yield fourcc, pos + header, pos + size
+            pos += size
+
+    top = {f: (a, b) for f, a, b in walk(payload, 0, len(payload))}
+    if b"ftyp" not in top:
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    brand = payload[top[b"ftyp"][0] : top[b"ftyp"][0] + 4].decode(
+        "ascii", "replace"
+    )
+    if b"moov" not in top:
+        raise ValueError("ISO-BMFF payload has no moov box")
+
+    duration_s = 0.0
+    n_tracks = 0
+    width = height = 0
+    has_video = has_audio = False
+    moov_a, moov_b = top[b"moov"]
+    for fourcc, a, b in walk(payload, moov_a, moov_b):
+        if fourcc == b"mvhd":
+            version = payload[a]
+            if version == 1:
+                timescale, duration = struct.unpack_from(">IQ", payload, a + 20)
+            else:
+                timescale, duration = struct.unpack_from(">II", payload, a + 12)
+            duration_s = round(duration / timescale, 6) if timescale else 0.0
+        elif fourcc == b"trak":
+            n_tracks += 1
+            tw = th = 0
+            handler = b""
+            for f2, a2, b2 in walk(payload, a, b):
+                if f2 == b"tkhd":
+                    version = payload[a2]
+                    off = a2 + (96 if version == 1 else 84)
+                    w16, h16 = struct.unpack_from(">II", payload, off)
+                    tw, th = w16 >> 16, h16 >> 16  # 16.16 fixed point
+                elif f2 == b"mdia":
+                    for f3, a3, b3 in walk(payload, a2, b2):
+                        if f3 == b"hdlr":
+                            handler = payload[a3 + 8 : a3 + 12]
+            if handler == b"vide":
+                has_video = True
+                if not width:
+                    width, height = tw, th
+            elif handler == b"soun":
+                has_audio = True
+    return {
+        "brand": brand,
+        "duration_s": duration_s,
+        "n_tracks": n_tracks,
+        "width": int(width),
+        "height": int(height),
+        "has_video": has_video,
+        "has_audio": has_audio,
+    }
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, brand string, duration_s double, n_tracks int, "
+    "width int, height int, has_video boolean, has_audio boolean"
+)
+
+
+def video_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas video-metadata extraction over a binary `payload` column
+    — the same Arrow-batched plumbing as `image_features`/`audio_features`,
+    one probe per payload, no frame decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                meta = probe_mp4(bytes(payload))
+                rows.append({"doc_id": doc_id, **meta})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(batches, VIDEO_META_SCHEMA)

@@ -1846,3 +1846,85 @@ def test_jpeg_decode_color_444_and_420():
     assert (m420["width"], m420["height"]) == (20, 24)
     got420 = np.array([m420["mean_r"], m420["mean_g"], m420["mean_b"]])
     assert np.all(np.abs(got420 - expect) < 6.0), (got420, expect)
+
+
+# --- MP4 fixtures: hand-assembled ISO-BMFF box trees -----------------------
+
+
+def _box(fourcc, payload=b"", *children):
+    body = payload + b"".join(children)
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _make_mp4(duration_s=12.5, timescale=1000, tracks=(("vide", 640, 360), ("soun", 0, 0))):
+    import struct as _s
+
+    mvhd = _box(
+        b"mvhd",
+        bytes(1) + bytes(3)  # version 0 + flags
+        + bytes(8)  # creation/modification
+        + _s.pack(">II", timescale, int(duration_s * timescale))
+        + bytes(80),
+    )
+    traks = []
+    for handler, w, h in tracks:
+        tkhd = _box(
+            b"tkhd",
+            bytes(4) + bytes(80) + _s.pack(">II", w << 16, h << 16),
+        )
+        hdlr = _box(b"hdlr", bytes(8) + handler.encode() + bytes(12))
+        traks.append(_box(b"trak", b"", tkhd, _box(b"mdia", b"", hdlr)))
+    return _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2") + _box(
+        b"moov", b"", mvhd, *traks
+    )
+
+
+def test_probe_mp4_metadata():
+    from radar_output_restructure_spark.operators.multimodal import probe_mp4
+
+    meta = probe_mp4(_make_mp4())
+    assert meta == {
+        "brand": "isom",
+        "duration_s": 12.5,
+        "n_tracks": 2,
+        "width": 640,
+        "height": 360,
+        "has_video": True,
+        "has_audio": True,
+    }
+    audio_only = probe_mp4(_make_mp4(duration_s=3.0, tracks=(("soun", 0, 0),)))
+    assert audio_only["has_video"] is False and audio_only["has_audio"] is True
+    assert audio_only["duration_s"] == 3.0 and audio_only["width"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        probe_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_video_metadata_mapinpandas(spark):
+    """The Arrow-batched plumbing over real container bytes."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(_make_mp4(duration_s=5.0))),
+            Row(
+                doc_id=2,
+                payload=bytearray(
+                    _make_mp4(duration_s=9.0, tracks=(("vide", 1280, 720),))
+                ),
+            ),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in video_metadata(df).collect()}
+    assert out[1].duration_s == 5.0 and out[1].width == 640
+    assert out[2].width == 1280 and out[2].has_audio is False
+    assert out[2].brand == "isom"
