@@ -57,6 +57,8 @@ HEAVY = [
     "doc_bigram_logprob",
     "simhash_near_dup_docs",
     "simhash_near_dup_docs_wide",
+    "ann_ivfpq_rerank_topk",
+    "source_quality_stats_docs",
     "doc_fingerprint_overlap",
     "bpe_merges_docs",
     "cosine_range_search",
