@@ -29,67 +29,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver's gate records only the first ~50 dict entries, so ordering
-#: chooses which queries get a CORRECTNESS row each round. Round-5 rotation
-#: (VERDICT r4 item 1): put the 21 queries that have never had a driver-green
-#: row FIRST, then the 14 whose last row is round 3 (several had their LSH
-#: semantics changed in r4), then the reference-core set. The r4-certified
-#: TPC-H/doc queries ride the tail for one round — their r4 rows stand, and
-#: scripts/check_oracles.py still verifies the full registry locally.
+#: chooses which queries get a CORRECTNESS row each round. Round-6 rotation
+#: (continuing the r4-verdict rotation policy): the 44 queries whose last
+#: driver-green row is round 4 — the reference-core set, TPC-H, and the doc
+#: text/curation set — go FIRST so they regain fresh rows; round-6 additions
+#: follow; the entire round-5-certified head rides the tail (its r5 rows
+#: stand, and scripts/check_oracles.py still verifies the full registry
+#: locally each round via the committed ORACLES_LOCAL.json).
 _GATE_HEAD = (
-    # -- never driver-certified (r3/r4 additions past the 50-slot cap) --
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall_at_k",
-    "ann_recall_at_k",
-    "cosine_range_search",
-    "knn_label_accuracy",
-    "embedding_near_dup_pairs_auto",
-    "embedding_dup_clusters",
-    "embedding_dedup_survivors",
-    "embedding_quantize",
-    "simhash_near_dup_docs",
-    # -- round-5 additions (never certified by definition) --
-    "simhash_near_dup_docs_wide",
-    "tpch_q9_profit_by_nation",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lines",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "source_quality_stats_docs",
-    "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_rerank_recall_at_k",
-    "corpus_vocabulary_docs",
-    "doc_winnow_fingerprints",
-    "doc_fingerprint_overlap",
-    "temperature_mixture_docs",
-    "doc_length_quantiles",
-    "bpe_merges_docs",
-    "bpe_encode_docs",
-    "pmi_collocations_docs",
-    "dedup_clusters_docs",
-    "dedup_survivors_docs",
-    # -- last certified in r3; LSH plane-family semantics changed in r4 --
-    "minhash_signatures_docs",
-    "minhash_lsh_pairs_docs",
-    "simhash_docs",
-    "cosine_topk_bruteforce",
-    "ann_lsh_topk",
-    "multimodal_features",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "session_windows_events",
-    "hourly_event_counts",
-    "embedding_near_dup_pairs",
-    "embedding_norms",
-    "jaccard_pairs_docs",
-    "asof_next_purchase",
-    # -- reference-core set (r4-green; keep inside the 50-slot window) --
+    # -- reference-core set (last driver-green: r4) --
     "restructure_flagship",
     "time_bin_hourly",
     "sanitize_ids",
     "flatten_projection",
     "exclude_fields",
     "dedup_keep_last",
+    "dedup_keep_first",
+    "offset_antijoin",
+    "mp_enrichment",
+    "file_accounting",
+    "extraction_check",
+    "cleaner_candidates",
+    "event_time_cascade",
+    "top_events_per_user",
+    # -- TPC-H set (last driver-green: r4) --
+    "tpch_q1_pricing",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    # -- events / time-series (last driver-green: r4) --
+    "asof_last_purchase",
+    "rolling_1h_user_stats",
+    "event_props_json",
+    "event_attribution_windows",
+    # -- doc text/curation set (last driver-green: r4) --
+    "doc_token_stats",
+    "doc_quality",
+    "doc_lang_id",
+    "dedup_exact_docs",
+    "doc_unigram_logprob",
+    "doc_bigram_logprob",
+    "char_ngram_jaccard_docs",
+    "doc_tfidf_top_terms",
+    "stratified_sample_docs",
+    "doc_contamination",
+    "doc_repetition",
+    "doc_redact_pii",
+    "doc_sliding_chunks",
+    "doc_pack_chunks",
+    "curation_pipeline_docs",
+    # -- round-6 additions (never certified) go here, before the tail --
 )
 
 

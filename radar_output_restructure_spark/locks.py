@@ -139,7 +139,10 @@ class FileRemoteLockManager(RemoteLockManager):
 
     def acquire_lock(self, name: str) -> RemoteLock | None:
         path = self._path(name)
-        tmp = f"{path}.w.{self.uuid}"
+        # Per-call unique tmp name: two threads of one manager share
+        # self.uuid, and a shared tmp path lets the loser's finally-unlink
+        # race the winner's os.link (same pattern as storage.py's writers).
+        tmp = f"{path}.w.{self.uuid}.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump({"owner": self.uuid, "expires_at": time.time() + self.ttl_s}, fh)
         try:

@@ -767,8 +767,12 @@ def probe_mp4(payload: bytes) -> dict:
             handler = b""
             for f2, a2, b2 in walk(payload, a, b):
                 if f2 == b"tkhd":
+                    # ISO 14496-12 tkhd layout: 4 (FullBox) + times/ids/
+                    # duration (20 v0 / 32 v1) + 8 reserved + 8 layer/
+                    # alternate_group/volume/reserved + 36 matrix = 76/88
+                    # before the 16.16 width/height pair.
                     version = payload[a2]
-                    off = a2 + (96 if version == 1 else 84)
+                    off = a2 + (88 if version == 1 else 76)
                     w16, h16 = struct.unpack_from(">II", payload, off)
                     tw, th = w16 >> 16, h16 >> 16  # 16.16 fixed point
                 elif f2 == b"mdia":

@@ -383,6 +383,14 @@ def streaming_simhash_near_dup_pairs_wide(
     STRONGER in streaming, where the 32-bit variant's 256-per-band buckets
     would accumulate every fingerprint the stream ever carries into 1,024
     lists. Hamming verifies as popcount(lo xor lo') + popcount(hi xor hi').
+
+    Known streaming divergence (shared with the 32-bit streaming variant):
+    a pair whose fingerprints collide in several bands is emitted once PER
+    colliding band — up to 4x — because per-band state partitions cannot
+    see each other's emissions and `flatMapGroupsWithState` output cannot
+    be re-aggregated with `.distinct()` in append mode. The batch path
+    dedups cross-band hits; stream consumers that count pairs must dedup
+    (doc_a, doc_b) downstream, e.g. per micro-batch in `foreachBatch`.
     """
     bands, width = 4, 16
     if bands <= max_hamming:

@@ -1858,7 +1858,41 @@ def _box(fourcc, payload=b"", *children):
     return _s.pack(">I", 8 + len(body)) + fourcc + body
 
 
-def _make_mp4(duration_s=12.5, timescale=1000, tracks=(("vide", 640, 360), ("soun", 0, 0))):
+def _unity_matrix():
+    import struct as _s
+
+    # The identity transform every real muxer writes: 16.16 fixed-point
+    # diagonal (1.0, 1.0) with a 2.30 fixed-point 1.0 in the w slot.
+    return _s.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+
+
+def _make_tkhd(w, h, version=0):
+    """Spec-exact ISO 14496-12 tkhd payload: FullBox(4) + creation/
+    modification/track_ID/reserved/duration (20 v0, 32 v1) + 8 reserved
+    + layer/alternate_group/volume/reserved (8) + matrix (36) + 16.16
+    width/height."""
+    import struct as _s
+
+    times = bytes(32) if version == 1 else bytes(20)
+    return _box(
+        b"tkhd",
+        bytes([version]) + bytes(3)  # version + flags
+        + times
+        + bytes(8)  # reserved[2]
+        + bytes(8)  # layer, alternate_group, volume, reserved
+        + _unity_matrix()
+        + _s.pack(">II", w << 16, h << 16),
+    )
+
+
+def _make_mp4(
+    duration_s=12.5,
+    timescale=1000,
+    tracks=(("vide", 640, 360), ("soun", 0, 0)),
+    tkhd_version=0,
+):
     import struct as _s
 
     mvhd = _box(
@@ -1870,10 +1904,7 @@ def _make_mp4(duration_s=12.5, timescale=1000, tracks=(("vide", 640, 360), ("sou
     )
     traks = []
     for handler, w, h in tracks:
-        tkhd = _box(
-            b"tkhd",
-            bytes(4) + bytes(80) + _s.pack(">II", w << 16, h << 16),
-        )
+        tkhd = _make_tkhd(w, h, version=tkhd_version)
         hdlr = _box(b"hdlr", bytes(8) + handler.encode() + bytes(12))
         traks.append(_box(b"trak", b"", tkhd, _box(b"mdia", b"", hdlr)))
     return _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2") + _box(
@@ -1897,6 +1928,10 @@ def test_probe_mp4_metadata():
     audio_only = probe_mp4(_make_mp4(duration_s=3.0, tracks=(("soun", 0, 0),)))
     assert audio_only["has_video"] is False and audio_only["has_audio"] is True
     assert audio_only["duration_s"] == 3.0 and audio_only["width"] == 0
+
+    # Version-1 tkhd shifts width/height by the 64-bit time fields.
+    v1 = probe_mp4(_make_mp4(tracks=(("vide", 1920, 1080),), tkhd_version=1))
+    assert (v1["width"], v1["height"]) == (1920, 1080)
 
     import pytest as _pytest
 
