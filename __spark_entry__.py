@@ -91,7 +91,10 @@ _GATE_HEAD = (
     "doc_sliding_chunks",
     "doc_pack_chunks",
     "curation_pipeline_docs",
-    # -- round-6 additions (never certified) go here, before the tail --
+    # -- round-6 additions (never certified) --
+    "ann_int8_topk",
+    "ann_int8_recall_at_k",
+    "source_cap_docs",
 )
 
 

@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "tpch_q21_waiting_suppliers",
     "source_quality_stats_docs",
     "ann_ivfpq_rerank_topk",
+    # round-6 additions
+    "ann_int8_topk",
+    "source_cap_docs",
 ]
 
 

@@ -331,3 +331,44 @@ def source_quality_stats(
         .cast("long")
         .alias("mean_quality_micro"),
     )
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int = 20,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, source, source_rank): at most `cap` documents per source,
+    keeping the highest-quality ones — the per-domain cap every web-crawl
+    pipeline applies so that mirror farms and SEO hosts cannot dominate the
+    training mixture no matter how many pages they serve.
+
+    Ranking is (quality DESC, doc_id ASC) with the quality score rounded to
+    integer MICRO units first, so the kept set is engine-exact (the same
+    q_micro discipline as `source_quality_stats`). One hash shuffle on
+    source; the window orders rows WITHIN each source partition only — no
+    global sort, and with AQE a skewed mega-domain still bounds at its own
+    group size (the pathological domain is precisely the one the cap is
+    for, and `cap` rows of it survive).
+    """
+    from radar_output_restructure_spark.operators.text import quality_score
+
+    from pyspark.sql import Window as W
+
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.round(quality_score(text_col) * 1_000_000)
+        .cast("long")
+        .alias("__q_micro"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("__q_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= cap)
+        .select("doc_id", "source", "source_rank")
+    )

@@ -639,6 +639,120 @@ def quantize_embeddings(
     )
 
 
+def int8_code_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """(vec_id, q: array<bigint>): the int8 code VECTOR of every embedding
+    — `quantize_embeddings`' exact arithmetic (scale = max|x| coalesced to
+    1, q = round(x / scale * qmax) HALF_UP) kept in array form for scoring
+    instead of exploded for storage. JVM-side Column algebra end to end:
+    the codes whole-stage-codegen out of the scan with zero shuffle and
+    zero Python at any corpus size.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.col(vec_col)
+    scale = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    src = df.select(
+        F.col(id_col).alias("vec_id"), v.alias("__v"), scale.alias("__s")
+    )
+    return src.select(
+        "vec_id",
+        F.transform(
+            F.col("__v"),
+            lambda x: F.round(x.cast("double") / F.col("__s") * qmax).cast(
+                "bigint"
+            ),
+        ).alias("q"),
+    )
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine over int8-QUANTIZED vectors — the memory-
+    bandwidth-bound scoring path a billion-scale serving tier runs when
+    the corpus must fit in RAM (8x smaller than float64; int8 dot products
+    SIMD-accelerate 4-16x on every ISA).
+
+    (query_id, neighbor_id, sim, rank) where sim is the cosine of the CODE
+    vectors: the per-vector scales cancel in cosine, so the whole score is
+    an INTEGER dot over ±127 codes divided by two integer-sum norms —
+    exact in any accumulation order on any engine (the one arithmetic in
+    this module where no fold-order discipline is needed), with a single
+    rounded division at the end. Same per-batch local top-k prune as
+    `cosine_topk`: kilobytes reach the final window regardless of corpus
+    size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        int8_code_vectors(queries, id_col, vec_col, bits).collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not q_rows:
+        raise ValueError("cosine_topk_int8 requires a non-empty query set")
+    q_ids_arr = np.array([r.vec_id for r in q_rows])
+    q_codes = np.array([[int(x) for x in r.q] for r in q_rows], dtype=np.int64)
+    q_norms = np.sqrt((q_codes * q_codes).sum(axis=1).astype(np.float64))
+    nq = len(q_rows)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            nbr = pdf["vec_id"].to_numpy()
+            dots = x @ q_codes.T  # exact integer matmul
+            x_norms = np.sqrt((x * x).sum(axis=1).astype(np.float64))
+            sims = _round6_spark(
+                dots.astype(np.float64) / (q_norms[None, :] * x_norms[:, None])
+            )
+            qcol, ncol, scol = [], [], []
+            for j in range(nq):
+                valid = nbr != q_ids_arr[j]
+                sims_j = sims[valid, j]
+                nbr_j = nbr[valid]
+                take = np.lexsort((nbr_j, -sims_j))[:k]
+                qcol.append(np.repeat(q_ids_arr[j], len(take)))
+                ncol.append(nbr_j[take])
+                scol.append(sims_j[take])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "sim": np.concatenate(scol),
+                }
+            )
+
+    pruned = int8_code_vectors(corpus, id_col, vec_col, bits).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k: int = 16,
@@ -1142,11 +1256,15 @@ def cosine_topk_ivfpq(
     `_round6_spark`), identical to `cosine_topk_pq`'s scoring, so the SQL
     oracle replays training + encoding + probing + ADC bit-for-bit.
 
-    The 100 TB shape: candidate generation is a broadcast join of the
-    query probe cells against the cell-indexed code table (codes 16x
-    smaller than the vectors); each (query, neighbor) pair meets in the
-    neighbor's single home cell, so no distinct is needed; the ranking
-    window sees only probed-cell candidates.
+    The 100 TB shape: the corpus-side index row (home cell + m-byte PQ
+    code) is produced by ONE fused Arrow pass — both are per-row functions
+    of the embedding, so deriving them as separate frames and joining on
+    vec_id (the pre-round-6 plan) paid a full corpus shuffle for a join
+    whose two sides were the same scan. Candidate generation is then a
+    broadcast join of the query probe cells against that map-only indexed
+    frame; each (query, neighbor) pair meets in the neighbor's single home
+    cell, so no distinct is needed; the ranking window sees only
+    probed-cell candidates.
     """
     import numpy as np
     import pandas as pd
@@ -1154,17 +1272,63 @@ def cosine_topk_ivfpq(
     codebooks = train_pq_codebooks(
         corpus, m, codebook_k, iters, id_col, vec_col, dims
     )
-    codes = pq_encode(corpus, codebooks, id_col, vec_col)
-    corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
-        "vec_id", "cell"
+
+    # fused encode + home-cell assignment: one Arrow pass, zero shuffle
+    cent_rows = sorted(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+        ).collect(),
+        key=lambda r: r.cell,
     )
+    coarse_cells = np.array([row.cell for row in cent_rows])
+    coarse_lists = [[float(x) for x in row.centroid] for row in cent_rows]
+    coarse = np.array(coarse_lists, dtype=np.float64)
+    coarse_norms = np.array(
+        [math_sqrt(_seq_sq_sum(c)) for c in coarse_lists]
+    )
+    pq_cents = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    pq_norms = [
+        np.array([math_sqrt(_seq_sq_sum(c)) for c in cb]) for cb in codebooks
+    ]
+    sd_enc = dims // m
+    id_type_in = corpus.schema[id_col].dataType.simpleString()
+    cell_type = centroids.schema[id_col].dataType.simpleString()
+    code_cols = [f"code_{s}" for s in range(m)]
+    index_schema = f"vec_id {id_type_in}, cell {cell_type}, " + ", ".join(
+        f"{c} int" for c in code_cols
+    )
+
+    def index_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            aff = _codebook_affinities(x, coarse, coarse_norms)
+            home = np.argsort(-aff, axis=1, kind="stable")[:, 0]
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": coarse_cells[home],
+            }
+            for s in range(m):
+                sub_aff = _codebook_affinities(
+                    x[:, s * sd_enc : (s + 1) * sd_enc],
+                    pq_cents[s],
+                    pq_norms[s],
+                )
+                cols[code_cols[s]] = np.argsort(
+                    -sub_aff, axis=1, kind="stable"
+                )[:, 0].astype(np.int32)
+            yield pd.DataFrame(cols)
+
+    indexed = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(index_rows, index_schema)
+
     query_cells = ivf_cells(
         queries, centroids, id_col, vec_col, nprobe=nprobe
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    cand = (
-        codes.join(corpus_cells, "vec_id")
-        .join(F.broadcast(query_cells), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
+    cand = indexed.join(F.broadcast(query_cells), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
     )
 
     q_rows = sorted(

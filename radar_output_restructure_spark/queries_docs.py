@@ -966,3 +966,50 @@ def q_source_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return source_quality_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# per-source document cap (web-pipeline per-domain cap)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 20
+
+
+@register(
+    "source_cap_docs",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             {_SQL_NTOK} AS n_tok,
+             {_SQL_NPUNCT} AS n_punct,
+             {_SQL_NSTOP} AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source,
+             CAST(round(round((least(n_tok / 100.0, 1.0)
+                 + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 5, 1.0))
+                 + least(round(n_stop / greatest(n_tok, 1), 6) * 4, 1.0)) / 3, 6)
+                 * 1000000, 0) AS BIGINT) AS q_micro
+      FROM f
+    )
+    SELECT doc_id, source, source_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY q_micro DESC, doc_id ASC)
+               AS INTEGER) AS source_rank
+      FROM q
+    ) WHERE source_rank <= {SOURCE_CAP}
+    """,
+)
+def q_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most SOURCE_CAP docs per source, keeping the highest-quality ones —
+    the per-domain cap that stops mirror farms dominating the training
+    mixture (operators/curation.per_source_cap). Integer-micro quality
+    ranking keeps the survivor set engine-exact."""
+    from radar_output_restructure_spark.operators.curation import (
+        per_source_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return per_source_cap(docs, cap=SOURCE_CAP)

@@ -1327,3 +1327,131 @@ def q_ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized ANN: exact integer-dot scoring over 8x-compressed codes
+# ---------------------------------------------------------------------------
+
+_SQL_INT8_CODES = f"""
+    sc AS (
+      SELECT vec_id, CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale
+      FROM (SELECT vec_id,
+                   list_max([abs(CAST(embedding[i] AS DOUBLE))
+                             for i in range(1, {DIMS + 1})]) AS m
+            FROM embeddings)
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             [CAST(round(CAST(e.embedding[i] AS DOUBLE) / s.scale * 127.0)
+                   AS BIGINT) for i in range(1, {DIMS + 1})] AS q
+      FROM embeddings e JOIN sc s ON s.vec_id = e.vec_id
+    )
+"""
+
+_SQL_INT8_DOT = f"list_sum([qa[i] * qb[i] for i in range(1, {DIMS + 1})])"
+_SQL_INT8_QNORM = (
+    f"sqrt(CAST(list_sum([qa[i] * qa[i] for i in range(1, {DIMS + 1})])"
+    " AS DOUBLE))"
+)
+_SQL_INT8_CNORM = (
+    f"sqrt(CAST(list_sum([qb[i] * qb[i] for i in range(1, {DIMS + 1})])"
+    " AS DOUBLE))"
+)
+
+
+@register(
+    "ann_int8_topk",
+    f"""
+    WITH {_SQL_INT8_CODES},
+    qs AS (SELECT vec_id AS query_id, q AS qa FROM codes
+           WHERE vec_id < {N_QUERIES}),
+    cs AS (SELECT vec_id AS neighbor_id, q AS qb FROM codes),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(CAST({_SQL_INT8_DOT} AS DOUBLE)
+                   / ({_SQL_INT8_QNORM} * {_SQL_INT8_CNORM}), 6) AS sim
+      FROM cs, qs WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over int8-quantized code vectors — the
+    RAM-resident serving path (8x smaller corpus, SIMD integer dots). The
+    per-vector scales cancel in cosine, so the score is an integer dot
+    over two integer-sum norms: exact in any accumulation order on any
+    engine, the one ANN variant needing no fold-order discipline
+    (operators/similarity.cosine_topk_int8)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_int8(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K
+    )
+
+
+def _int8_recall_oracle_sql() -> str:
+    """Recall@k of the int8 path against full-precision brute force — the
+    quantization-loss gauge, composed verbatim from the two oracles."""
+    from radar_output_restructure_spark.queries import ORACLES
+
+    exact = ORACLES["cosine_topk_bruteforce"]
+    approx = ORACLES["ann_int8_topk"]
+    return f"""
+    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
+    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
+    matched AS (
+      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
+      FROM exact_k e
+      LEFT JOIN approx_k a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, n_matched,
+           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
+             AS recall_micro
+    FROM matched
+    """
+
+
+@register("ann_int8_recall_at_k", _int8_recall_oracle_sql())
+def q_ann_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized scoring vs full-precision brute force:
+    how much ranking the 8x compression costs (typically near-lossless at
+    64 dims). Same composition shape as ann_recall_at_k."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_int8(emb, queries_df, k=TOP_K).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    matched = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
+    )
+    return matched.select(
+        "query_id",
+        "n_matched",
+        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
+        .cast("long")
+        .alias("recall_micro"),
+    )

@@ -1963,3 +1963,99 @@ def test_video_metadata_mapinpandas(spark):
     assert out[1].duration_s == 5.0 and out[1].width == 640
     assert out[2].width == 1280 and out[2].has_audio is False
     assert out[2].brand == "isom"
+
+
+def test_int8_code_vectors_matches_quantize(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        int8_code_vectors,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -1.0, 0.25, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.1, 0.2, -0.3, 0.4]),
+        ]
+    )
+    vecs = {r.vec_id: list(r.q) for r in int8_code_vectors(df).collect()}
+    exploded = {
+        (r.vec_id, r.dim): r.q for r in quantize_embeddings(df).collect()
+    }
+    for vid, q in vecs.items():
+        assert q == [exploded[(vid, d + 1)] for d in range(4)]
+
+
+def test_cosine_topk_int8(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_int8,
+        int8_code_vectors,
+    )
+
+    rows = [
+        Row(vec_id=i, embedding=[((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    got = cosine_topk_int8(df, df.filter("vec_id < 3"), k=4).collect()
+    # reference: quantize via the operator itself, then exact integer math
+    codes = {r.vec_id: [int(x) for x in r.q] for r in int8_code_vectors(df).collect()}
+
+    def sim(a, b):
+        dot = sum(x * y for x, y in zip(codes[a], codes[b]))
+        na = math.sqrt(sum(x * x for x in codes[a]))
+        nb = math.sqrt(sum(x * x for x in codes[b]))
+        return dot / (na * nb)
+
+    for qid in range(3):
+        expect = sorted(
+            ((round(sim(qid, n), 6), n) for n in codes if n != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        mine = sorted(
+            [(r.sim, r.neighbor_id, r.rank) for r in got if r.query_id == qid],
+            key=lambda t: t[2],
+        )
+        assert [(s, n) for s, n, _ in mine] == expect
+        assert [r for _, _, r in mine] == [1, 2, 3, 4]
+    # self-matches excluded
+    assert all(r.query_id != r.neighbor_id for r in got)
+
+
+def test_per_source_cap(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.curation import (
+        per_source_cap,
+    )
+
+    rows = []
+    for s in ("a", "b"):
+        for i in range(5):
+            # doc quality rises with longer, stopword-ier text
+            rows.append(
+                Row(
+                    doc_id=len(rows),
+                    source=s,
+                    text=("the and is of " * (i + 1)).strip(),
+                )
+            )
+    df = spark.createDataFrame(rows)
+    out = per_source_cap(df, cap=3).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == {"a", "b"}
+    for s, kept in by_source.items():
+        assert len(kept) == 3
+        assert sorted(r.source_rank for r in kept) == [1, 2, 3]
+    # ties broken by doc_id asc within equal quality; cap keeps best-quality
+    # docs (the longer repeats score higher on the length term)
+    a_ids = {r.doc_id for r in by_source["a"]}
+    assert 4 in a_ids and 0 not in a_ids
