@@ -37,13 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: stand, and scripts/check_oracles.py still verifies the full registry
 #: locally each round via the committed ORACLES_LOCAL.json).
 _GATE_HEAD = (
-    # -- reference-core set (last driver-green: r4) --
+    # -- round-6 additions (never certified) --
+    "ann_int8_topk",
+    "ann_int8_recall_at_k",
+    "source_cap_docs",
+    "cms_heavy_hitters_docs",
+    "hll_distinct_docs",
+    # -- reference-core set (last driver-green: r4; the leftovers of this
+    #    section past the 50-slot cap were re-certified in r5 and can wait) --
     "restructure_flagship",
-    "time_bin_hourly",
-    "sanitize_ids",
-    "flatten_projection",
-    "exclude_fields",
-    "dedup_keep_last",
     "dedup_keep_first",
     "offset_antijoin",
     "mp_enrichment",
@@ -91,10 +93,9 @@ _GATE_HEAD = (
     "doc_sliding_chunks",
     "doc_pack_chunks",
     "curation_pipeline_docs",
-    # -- round-6 additions (never certified) --
-    "ann_int8_topk",
-    "ann_int8_recall_at_k",
-    "source_cap_docs",
+    # r4-green entries displaced past slot 50 by the round-6 additions:
+    # time_bin_hourly, sanitize_ids, flatten_projection, exclude_fields,
+    # dedup_keep_last — all re-certified in r5, due again in round 7.
 )
 
 

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     # round-6 additions
     "ann_int8_topk",
     "source_cap_docs",
+    "cms_heavy_hitters_docs",
+    "hll_distinct_docs",
 ]
 
 

@@ -347,12 +347,19 @@ def per_source_cap(
 
     Ranking is (quality DESC, doc_id ASC) with the quality score rounded to
     integer MICRO units first, so the kept set is engine-exact (the same
-    q_micro discipline as `source_quality_stats`). One hash shuffle on
-    source; the window orders rows WITHIN each source partition only — no
-    global sort, and with AQE a skewed mega-domain still bounds at its own
-    group size (the pathological domain is precisely the one the cap is
-    for, and `cap` rows of it survive).
+    q_micro discipline as `source_quality_stats`).
+
+    Scale shape: per-group top-k via LOCAL pruning — each Arrow batch keeps
+    only its own top-`cap` rows per source (safe because the ordering is a
+    strict total order, so the global top-cap is contained in the union of
+    batch top-caps — the `cosine_topk` prune argument applied to groups).
+    The window then ranks at most tasks x sources x cap rows; the full
+    corpus never shuffles. The first cut windowed the raw corpus and went
+    x6.5 at 10x tiling (every row shuffled + per-group full sort); this
+    shape's shuffle is cap-bounded no matter how mirror-heavy a domain is.
     """
+    import pandas as pd
+
     from radar_output_restructure_spark.operators.text import quality_score
 
     from pyspark.sql import Window as W
@@ -362,13 +369,31 @@ def per_source_cap(
         F.col(source_col).alias("source"),
         F.round(quality_score(text_col) * 1_000_000)
         .cast("long")
-        .alias("__q_micro"),
+        .alias("q_micro"),
+    )
+    id_type = scored.schema["doc_id"].dataType.simpleString()
+    src_type = scored.schema["source"].dataType.simpleString()
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["source", "q_micro", "doc_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            yield pdf.groupby("source", sort=False).head(cap)
+
+    pruned = scored.mapInPandas(
+        local_topk,
+        f"doc_id {id_type}, source {src_type}, q_micro long",
     )
     w = W.partitionBy("source").orderBy(
-        F.col("__q_micro").desc(), F.col("doc_id").asc()
+        F.col("q_micro").desc(), F.col("doc_id").asc()
     )
     return (
-        scored.withColumn("source_rank", F.row_number().over(w))
+        pruned.withColumn("source_rank", F.row_number().over(w))
         .filter(F.col("source_rank") <= cap)
         .select("doc_id", "source", "source_rank")
     )

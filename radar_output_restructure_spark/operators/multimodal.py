@@ -57,10 +57,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", payload).withColumn("meta", meta)
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Decode a RIFF/WAVE PCM payload with the stdlib `wave` module: real
-    sample data, no external libs. Returns rate/channels/duration plus
-    RMS and peak amplitude over the (normalized) samples."""
+def _wav_samples(payload: bytes):
+    """(normalized float64 samples, sample_rate, channels, n_frames) of a
+    RIFF/WAVE PCM payload (stdlib `wave` decode, interleaved channels)."""
     import wave
 
     import numpy as np
@@ -78,7 +77,16 @@ def decode_wav(payload: bytes) -> dict:
     if width == 1:
         samples -= 128.0  # 8-bit WAV is unsigned
     full_scale = float(2 ** (8 * width - 1))
-    norm = samples / full_scale
+    return samples / full_scale, rate, channels, n_frames
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE PCM payload with the stdlib `wave` module: real
+    sample data, no external libs. Returns rate/channels/duration plus
+    RMS and peak amplitude over the (normalized) samples."""
+    import numpy as np
+
+    norm, rate, channels, n_frames = _wav_samples(payload)
     return {
         "sample_rate": rate,
         "channels": channels,
@@ -88,9 +96,8 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def decode_bmp(payload: bytes) -> dict:
-    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER) by hand: real
-    pixels, no external libs. Returns dimensions and per-channel means."""
+def _bmp_pixels(payload: bytes):
+    """(h, w, 3) uint8 RGB array of an uncompressed 24-bit BMP."""
     import numpy as np
 
     if payload[:2] != b"BM":
@@ -113,6 +120,34 @@ def decode_bmp(payload: bytes) -> dict:
     px = rows.reshape(h, width, 3)[:, :, ::-1]  # BGR -> RGB
     if flipped:
         px = px[::-1]
+    return px
+
+
+def encode_bmp(px) -> bytes:
+    """Inverse of `_bmp_pixels`: serialize an (h, w, 3) uint8 RGB array as
+    an uncompressed bottom-up 24-bit BMP — the round-trippable output
+    format for the resize operator (no codec dependency)."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return header + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER) by hand: real
+    pixels, no external libs. Returns dimensions and per-channel means."""
+    px = _bmp_pixels(payload)
+    h, width = px.shape[0], px.shape[1]
     means = px.reshape(-1, 3).mean(axis=0)
     return {
         "width": width,
@@ -129,13 +164,9 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> dict:
-    """Decode a non-interlaced 8-bit PNG (grayscale / gray+alpha / RGB /
-    RGBA) in pure stdlib+numpy: chunk walk, zlib inflate of the IDAT
-    stream, then full scanline filter reconstruction (None/Sub/Up/Average/
-    Paeth per the PNG spec §9). Returns the same feature dict as
-    `decode_bmp`; alpha is ignored for the channel means and grayscale
-    replicates into all three."""
+def _png_pixels(payload: bytes):
+    """(h, w, channels) uint8 array of a non-interlaced 8-bit PNG (full
+    scanline filter reconstruction per spec §9)."""
     import zlib
 
     import numpy as np
@@ -207,7 +238,18 @@ def decode_png(payload: bytes) -> dict:
                     raise ValueError(f"invalid PNG filter type {f}")
         out[y] = rec
         prev = rec
-    px = out.reshape(height, width, channels)
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Decode a non-interlaced 8-bit PNG (grayscale / gray+alpha / RGB /
+    RGBA) in pure stdlib+numpy: chunk walk, zlib inflate of the IDAT
+    stream, then full scanline filter reconstruction (None/Sub/Up/Average/
+    Paeth per the PNG spec §9). Returns the same feature dict as
+    `decode_bmp`; alpha is ignored for the channel means and grayscale
+    replicates into all three."""
+    px = _png_pixels(payload)
+    height, width, channels = px.shape
     if channels <= 2:  # grayscale (+alpha): replicate into RGB
         mean = float(px[:, :, 0].mean())
         means = (mean, mean, mean)
@@ -266,12 +308,14 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     return out
 
 
-def decode_gif(payload: bytes) -> dict:
-    """Decode the FIRST frame of a GIF87a/89a by hand: logical screen
-    descriptor, global/local color table, full LZW decompression of the
-    image data (variable-width codes, clear/end handling, the KwKwK case),
-    interlace de-weave, transparency-aware channel means. Pure
-    stdlib+numpy — same feature dict as `decode_bmp`/`decode_png`."""
+def _gif_frames(payload: bytes):
+    """Yield EVERY frame of a GIF87a/89a as
+    (rgb (h, w, 3) uint8, mask (h, w) bool, left, top): the full block
+    walk — logical screen descriptor, global/local color tables, per-frame
+    graphic-control transparency (a GCE applies to the next image only),
+    LZW decompression, interlace de-weave. Frames are yielded as their own
+    rects (left/top offsets preserved); animation compositing/disposal is
+    the caller's business."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -296,8 +340,8 @@ def decode_gif(payload: bytes) -> dict:
             while payload[pos]:  # sub-blocks until terminator
                 pos += 1 + payload[pos]
             pos += 1
-        elif b0 == 0x2C:  # image descriptor: decode this (first) frame
-            width, height = struct.unpack_from("<HH", payload, pos + 5)
+        elif b0 == 0x2C:  # image descriptor
+            left, top, width, height = struct.unpack_from("<HHHH", payload, pos + 1)
             iflags = payload[pos + 9]
             pos += 10
             table = gct
@@ -316,6 +360,7 @@ def decode_gif(payload: bytes) -> dict:
                 size = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + size])
                 pos += 1 + size
+            pos += 1  # block terminator
             idx = _gif_lzw_decode(b"".join(chunks), min_code)
             if len(idx) < width * height:
                 raise ValueError("GIF pixel data shorter than frame")
@@ -340,21 +385,33 @@ def decode_gif(payload: bytes) -> dict:
                 if transparent is not None
                 else np.ones_like(px, dtype=bool)
             )
-            vis = rgb[mask]
-            if len(vis) == 0:
-                vis = rgb.reshape(-1, 3)
-            means = vis.reshape(-1, 3).mean(axis=0)
-            return {
-                "width": int(width),
-                "height": int(height),
-                "mean_r": round(float(means[0]), 6),
-                "mean_g": round(float(means[1]), 6),
-                "mean_b": round(float(means[2]), 6),
-            }
+            yield rgb, mask, int(left), int(top)
+            transparent = None  # a GCE governs only the image it precedes
         elif b0 == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Decode the FIRST frame of a GIF87a/89a by hand: logical screen
+    descriptor, global/local color table, full LZW decompression of the
+    image data (variable-width codes, clear/end handling, the KwKwK case),
+    interlace de-weave, transparency-aware channel means. Pure
+    stdlib+numpy — same feature dict as `decode_bmp`/`decode_png`."""
+    for rgb, mask, _left, _top in _gif_frames(payload):
+        height, width = rgb.shape[0], rgb.shape[1]
+        vis = rgb[mask]
+        if len(vis) == 0:
+            vis = rgb.reshape(-1, 3)
+        means = vis.reshape(-1, 3).mean(axis=0)
+        return {
+            "width": int(width),
+            "height": int(height),
+            "mean_r": round(float(means[0]), 6),
+            "mean_g": round(float(means[1]), 6),
+            "mean_b": round(float(means[2]), 6),
+        }
     raise ValueError("GIF contains no image frame")
 
 
@@ -549,13 +606,14 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(payload: bytes) -> dict:
+def decode_jpeg(payload: bytes, return_pixels: bool = False):
     """Decode a BASELINE sequential JPEG (SOF0, Huffman, 8-bit) by hand:
     marker walk, canonical Huffman tables, per-MCU entropy decode with DC
     prediction and restart intervals, dequantize + zigzag de-order, exact
     float IDCT, chroma upsampling (any h/v sampling factors incl. 4:2:0),
     YCbCr->RGB (JFIF full-range). Pure stdlib+numpy. Returns the shared
-    image-feature dict. Progressive (SOF2) and arithmetic coding raise
+    image-feature dict, or with `return_pixels` the (h, w, 3) uint8 RGB
+    array. Progressive (SOF2) and arithmetic coding raise
     NotImplementedError."""
     import numpy as np
 
@@ -621,14 +679,15 @@ def decode_jpeg(payload: bytes) -> dict:
             data_pos = pos + 2 + seg_len
             return _jpeg_decode_scan(
                 payload, data_pos, frame, qt, huff_dc, huff_ac, scan_sel,
-                restart_interval,
+                restart_interval, return_pixels=return_pixels,
             )
         pos += 2 + seg_len
     raise ValueError("JPEG contains no scan")
 
 
 def _jpeg_decode_scan(
-    payload, data_pos, frame, qt, huff_dc, huff_ac, scan_sel, restart_interval
+    payload, data_pos, frame, qt, huff_dc, huff_ac, scan_sel,
+    restart_interval, return_pixels=False,
 ):
     import numpy as np
 
@@ -693,6 +752,9 @@ def _jpeg_decode_scan(
         full.append(p[:h, :w])
     if len(full) == 1:  # grayscale
         ych = np.clip(full[0], 0, 255)
+        if return_pixels:
+            gray = np.round(ych).astype(np.uint8)
+            return np.repeat(gray[:, :, None], 3, axis=2)
         mean = float(ych.mean())
         means = (mean, mean, mean)
     else:
@@ -700,6 +762,8 @@ def _jpeg_decode_scan(
         r = np.clip(y + 1.402 * cr, 0, 255)
         g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0, 255)
         b = np.clip(y + 1.772 * cb, 0, 255)
+        if return_pixels:
+            return np.round(np.stack([r, g, b], axis=2)).astype(np.uint8)
         means = (float(r.mean()), float(g.mean()), float(b.mean()))
     return {
         "width": int(w),
@@ -816,3 +880,194 @@ def video_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(id_col, "payload").mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+# --- resize / frame-sample operators ---------------------------------------
+
+
+def decode_image_pixels(payload: bytes):
+    """(h, w, 3) uint8 RGB pixels, dispatched on magic bytes — the pixel
+    form of `decode_image` for operators that transform rather than
+    summarize. Grayscale replicates into RGB; GIF yields its first frame's
+    rect; alpha is dropped."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        return np.ascontiguousarray(_bmp_pixels(payload))
+    if payload[:8] == PNG_MAGIC:
+        px = _png_pixels(payload)
+        if px.shape[2] <= 2:  # gray (+alpha)
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(px[:, :, :3])
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        for rgb, _mask, _left, _top in _gif_frames(payload):
+            return np.ascontiguousarray(rgb.astype(np.uint8))
+        raise ValueError("GIF contains no image frame")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload, return_pixels=True)
+    raise NotImplementedError(
+        "pixel decode supports BMP, PNG, GIF, baseline JPEG"
+    )
+
+
+def resize_image_nn(px, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, 3) array: index maps are
+    floor(i * src / dst) — pure integer arithmetic, so the output is
+    deterministic on any platform (no filtering kernels, no float
+    coordinates)."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    if h == 0 or w == 0 or out_w <= 0 or out_h <= 0:
+        raise ValueError("cannot resize empty image or to empty size")
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[rows][:, cols]
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched thumbnailing: decode (BMP/PNG/GIF/JPEG), nearest-
+    neighbor resize, re-encode as uncompressed 24-bit BMP — the
+    normalization pass a vision-training pipeline runs so every downstream
+    consumer sees one size and one codec. Map-only at any corpus size; the
+    output column is `binary` and round-trips through `decode_bmp`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                px = decode_image_pixels(bytes(payload))
+                resized = resize_image_nn(px, out_w, out_h)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": out_w,
+                        "height": out_h,
+                        "payload": encode_bmp(resized),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame int, start_s double, rms double, peak double"
+)
+
+
+def audio_frame_rms(
+    df: DataFrame,
+    n_frames: int = 4,
+    frame_s: float = 0.1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched audio frame sampling: `n_frames` evenly spaced windows
+    of `frame_s` seconds per WAV payload, each reduced to RMS + peak — the
+    fixed-cost acoustic profile a curation pipeline computes instead of
+    shipping whole waveforms downstream. Frame starts are integer sample
+    indices floor(i * (n - len) / (n_frames - 1)), so the sampling grid is
+    deterministic; a payload shorter than one frame yields its single
+    whole-signal frame."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows = []
+        for pdf in it:
+            out_rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                norm, rate, channels, _nf = _wav_samples(bytes(payload))
+                frame_len = max(int(frame_s * rate) * channels, channels)
+                n = len(norm)
+                if n <= frame_len:
+                    starts = [0]
+                    frame_len = max(n, 1)
+                elif n_frames == 1:
+                    starts = [0]
+                else:
+                    span = n - frame_len
+                    starts = [
+                        (i * span) // (n_frames - 1) for i in range(n_frames)
+                    ]
+                for fi, s in enumerate(starts):
+                    seg = norm[s : s + frame_len]
+                    out_rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame": fi,
+                            "start_s": round(s / (rate * channels), 6)
+                            if rate
+                            else 0.0,
+                            "rms": round(float(np.sqrt((seg**2).mean())), 6)
+                            if len(seg)
+                            else 0.0,
+                            "peak": round(float(np.abs(seg).max()), 6)
+                            if len(seg)
+                            else 0.0,
+                        }
+                    )
+            yield pd.DataFrame(out_rows)
+
+    return df.select(id_col, "payload").mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = (
+    "doc_id long, frame int, n_frames int, left int, top int, "
+    "width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def gif_frame_features(
+    df: DataFrame, max_frames: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched animated-GIF frame sampling: decode EVERY frame
+    (`_gif_frames` walks the whole block stream), keep `max_frames` evenly
+    spaced ones, and reduce each to its rect geometry + transparency-aware
+    channel means — real frame-sampling over a real multi-frame container,
+    the shape a video pipeline uses once a codec is available (MP4 frame
+    decode stays NotImplementedError by documented design; `probe_mp4`
+    covers its metadata)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = list(_gif_frames(bytes(payload)))
+                total = len(frames)
+                if total > max_frames:  # evenly spaced keep-set
+                    keep = sorted(
+                        {
+                            (i * (total - 1)) // (max_frames - 1)
+                            for i in range(max_frames)
+                        }
+                    )
+                else:
+                    keep = list(range(total))
+                for fi in keep:
+                    rgb, mask, left, top = frames[fi]
+                    vis = rgb[mask]
+                    if len(vis) == 0:
+                        vis = rgb.reshape(-1, 3)
+                    means = vis.reshape(-1, 3).mean(axis=0)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame": fi,
+                            "n_frames": total,
+                            "left": left,
+                            "top": top,
+                            "width": rgb.shape[1],
+                            "height": rgb.shape[0],
+                            "mean_r": round(float(means[0]), 6),
+                            "mean_g": round(float(means[1]), 6),
+                            "mean_b": round(float(means[2]), 6),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, GIF_FRAME_SCHEMA)

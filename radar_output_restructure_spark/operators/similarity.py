@@ -674,6 +674,31 @@ def int8_code_vectors(
     )
 
 
+def _int8_codes_np(x, bits: int = 8):
+    """Vectorized int8 quantization with EXACTLY the engines' HALF_UP
+    rounding: q = round(x / scale * qmax), scale = max|x| (1 if zero).
+
+    numpy has no half-away-from-zero round, and the naive floor(v + 0.5)
+    overcounts for the double just below 0.5 (v + 0.5 rounds UP to 1.0 in
+    IEEE): the guard subtracts 1 wherever floor(v + 0.5) - v > 0.5, which
+    reproduces round-half-away on the exact binary value — the same result
+    as DuckDB's C round() and Spark's shortest-repr BigDecimal HALF_UP
+    (shortest-repr comparisons against .5 agree with exact-binary ones
+    except at exact ties, where all agree). Verified against the JVM
+    `int8_code_vectors` path in tests.
+    """
+    import numpy as np
+
+    scale = np.abs(x).max(axis=1)
+    scale[scale == 0.0] = 1.0
+    qmax = float(2 ** (bits - 1) - 1)
+    v = (x / scale[:, None]) * qmax
+    av = np.abs(v)
+    r = np.floor(av + 0.5)
+    r = np.where(r - av > 0.5, r - 1.0, r)
+    return (np.sign(v) * r).astype(np.int64)
+
+
 def cosine_topk_int8(
     corpus: DataFrame,
     queries: DataFrame,
@@ -695,34 +720,50 @@ def cosine_topk_int8(
     rounded division at the end. Same per-batch local top-k prune as
     `cosine_topk`: kilobytes reach the final window regardless of corpus
     size.
+
+    Quantization happens INSIDE the Arrow scorer (`_int8_codes_np`), not
+    as a JVM Column transform: higher-order array functions evaluate
+    interpreted per element, and the 64-element round/divide lambda was
+    the whole runtime at 10x tiling (8.4 of 8.7 s). Scoring is a float64
+    BLAS matmul that is still EXACT — codes are +-127, so every product
+    and partial sum stays far below 2^53, and integer-valued doubles add
+    exactly in any order (numpy's int64 matmul has no BLAS path).
     """
     import numpy as np
     import pandas as pd
 
     q_rows = sorted(
-        int8_code_vectors(queries, id_col, vec_col, bits).collect(),
-        key=lambda r: r.vec_id,
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect(),
+        key=lambda r: r.qid,
     )
     if not q_rows:
         raise ValueError("cosine_topk_int8 requires a non-empty query set")
-    q_ids_arr = np.array([r.vec_id for r in q_rows])
-    q_codes = np.array([[int(x) for x in r.q] for r in q_rows], dtype=np.int64)
+    q_ids_arr = np.array([r.qid for r in q_rows])
+    q_codes = _int8_codes_np(
+        np.array([[float(x) for x in r.qv] for r in q_rows], dtype=np.float64),
+        bits,
+    )
     q_norms = np.sqrt((q_codes * q_codes).sum(axis=1).astype(np.float64))
     nq = len(q_rows)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
 
+    q_codes_f = q_codes.astype(np.float64)
+
     def score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            raw = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            x = _int8_codes_np(raw, bits)
             nbr = pdf["vec_id"].to_numpy()
-            dots = x @ q_codes.T  # exact integer matmul
+            dots = x.astype(np.float64) @ q_codes_f.T
             x_norms = np.sqrt((x * x).sum(axis=1).astype(np.float64))
             sims = _round6_spark(
-                dots.astype(np.float64) / (q_norms[None, :] * x_norms[:, None])
+                dots / (q_norms[None, :] * x_norms[:, None])
             )
             qcol, ncol, scol = [], [], []
             for j in range(nq):
@@ -741,9 +782,9 @@ def cosine_topk_int8(
                 }
             )
 
-    pruned = int8_code_vectors(corpus, id_col, vec_col, bits).mapInPandas(
-        score, out_schema
-    )
+    pruned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

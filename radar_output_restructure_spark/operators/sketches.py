@@ -1,0 +1,234 @@
+"""Distributed frequency/cardinality sketches with EXACT cross-engine
+determinism — count-min heavy hitters and a HyperLogLog distinct count.
+
+Sketches are the canonical 100 TB answer when the exact aggregate is
+either too hot (a vocabulary-sized shuffle for one frequent-terms query)
+or only needed approximately (distinct counts for capacity planning). Both
+sketches here are MERGEABLE by construction — counters add, registers
+max — so Spark's map-side combine does the merging and the shuffle is
+bounded by the SKETCH size (d x width counters, m registers per group),
+not the data.
+
+Both are also bit-deterministic across engines, which is unusual for
+sketch implementations and is what lets the DuckDB oracles replay them
+hash-for-hash:
+
+* hashing is the repo-standard 53-bit md5 Horner fold (`operators/text`),
+  not engine-local murmur;
+* count-min counters are exact integers; the estimate is an integer min;
+* the HLL register sum uses the integer form S = sum(2^(46 - M[j])) —
+  every term is a bigint (rank <= 46, m=256 terms keep S < 2^55), so the
+  sum is exact in ANY accumulation order, and the raw estimate is a
+  SINGLE division alpha*m^2*2^46 / S. The small-range (linear-counting)
+  correction needs ln(), whose last ulp differs between libms, so the
+  operator emits the RAW estimate plus n_zero_registers and leaves the
+  correction to the caller — determinism over polish, documented here.
+
+No reference analog (the reference keeps exact per-file accounting); the
+shapes are the standard Flajolet-Martin / Cormode-Muthukrishnan designs
+re-expressed as DataFrame aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.operators.text import horner_fold
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+HLL_M = 256  # 2^8 registers
+_HLL_WBITS = 46  # h < 2^53, w = h div 256 < 2^45 -> bin length <= 45
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(2**_HLL_WBITS)
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    """One row per whitespace token (the repo-standard tokenization)."""
+    return df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def _cms_bucket(md: Column, row: int, width: int) -> Column:
+    """Row-r count-min bucket: Horner fold of the r-th disjoint 8-hex-char
+    span of ONE md5(token) digest, mod width. One md5 per token feeds all
+    `depth` rows (disjoint spans of a cryptographic digest are independent
+    hash families) — the first cut hashed md5('r:tok') per row and the
+    depth x md5 cost was the whole sketch runtime at 10x tiling."""
+    h: Column = F.lit(0).cast("bigint")
+    for j in range(row * 8 + 1, row * 8 + 9):
+        h = (h * 131 + F.ascii(F.substring(md, j, 1))) % 9007199254740881
+    return h % width
+
+
+def _cms_bucket_sql(md_expr: str, row: int, width: int) -> str:
+    """DuckDB text of `_cms_bucket` — identical arithmetic, shared
+    constants with operators/text.FP_BASE/FP_PRIME."""
+    h = "0"
+    for j in range(row * 8 + 1, row * 8 + 9):
+        h = f"(({h}) * 131 + ascii(substr({md_expr}, {j}, 1))) % 9007199254740881"
+    return f"({h}) % {width}"
+
+
+def cms_counters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, bucket, cnt): the count-min counter table. ONE corpus scan;
+    the groupBy(row, bucket) shuffle carries at most depth x width rows
+    per map task after map-side combine — sketch-sized, not data-sized."""
+    toks = _tokens(df, text_col).select(F.md5(F.col("tok")).alias("md"))
+    banded = toks.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("md"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        )
+    )
+    return banded.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    threshold: int,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(token, exact_n, cms_count): tokens whose count-min estimate clears
+    `threshold`, with the exact count alongside (the demo/validation pair —
+    CMS guarantees cms_count >= exact_n, equality when the token's buckets
+    saw no collisions).
+
+    The counter table is sketch-sized (depth x width longs), so the
+    estimate join BROADCASTS it against the vocabulary frame; the min over
+    depth rows is an exact integer aggregate. Two bounded shuffles total:
+    counters (sketch-sized) and the vocabulary groupBy.
+    """
+    counters = cms_counters(df, text_col, depth, width)
+    toks = _tokens(df, text_col)
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    banded = vocab.select(
+        "tok",
+        "exact_n",
+        F.md5(F.col("tok")).alias("md"),
+    ).select(
+        "tok",
+        "exact_n",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("md"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ),
+    )
+    est = (
+        banded.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cms_count"))
+    )
+    return est.filter(F.col("cms_count") >= threshold).select(
+        F.col("tok").alias("token"), "exact_n", "cms_count"
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_registers_hit, n_zero_registers, hll_estimate,
+    exact_distinct): per-group HyperLogLog raw cardinality estimate of the
+    distinct token set, exact count alongside.
+
+    No distinct() pass is needed — duplicate tokens hash to the same
+    (register, rank) and max() absorbs them, which is the whole point of
+    the sketch: the shuffle after map-side combine is at most m=256 rows
+    per group per task regardless of token volume. Register ranks use
+    length(bin(w)) — exact integer bit-length on both engines — and the
+    register sum is the exact-integer form described in the module
+    docstring.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+    h = horner_fold(F.md5(F.col("tok")))
+    hashed = toks.select("grp", h.alias("h")).select(
+        "grp",
+        (F.col("h") % HLL_M).alias("reg"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    ranked = hashed.select(
+        "grp",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(_HLL_WBITS))
+        .otherwise(F.lit(_HLL_WBITS) - F.length(F.bin(F.col("w"))))
+        .cast("int")
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("grp", "reg").agg(F.max("rank").alias("m_rank"))
+
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    all_regs = groups.crossJoin(
+        F.broadcast(
+            regs.sparkSession.range(HLL_M).select(
+                F.col("id").cast("bigint").alias("reg")
+            )
+        )
+    )
+    full = all_regs.join(regs, ["grp", "reg"], "left").select(
+        "grp", "reg", F.coalesce(F.col("m_rank"), F.lit(0)).alias("m_rank")
+    )
+    summed = full.groupBy("grp").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_WBITS} - m_rank)")
+        )
+        .cast("long")
+        .alias("s"),
+        F.sum(F.when(F.col("m_rank") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_registers_hit"),
+        F.sum(F.when(F.col("m_rank") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_registers"),
+    )
+    exact = toks.groupBy("grp").agg(
+        F.count_distinct(F.col("tok")).cast("long").alias("exact_distinct")
+    )
+    return (
+        summed.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_registers_hit",
+            "n_zero_registers",
+            F.round(
+                F.lit(HLL_NUMERATOR) / F.col("s").cast("double"), 6
+            ).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )

@@ -1013,3 +1013,151 @@ def q_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return per_source_cap(docs, cap=SOURCE_CAP)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sketches: count-min heavy hitters + HyperLogLog distinct
+# ---------------------------------------------------------------------------
+
+from radar_output_restructure_spark.operators import sketches as _sk  # noqa: E402
+from radar_output_restructure_spark.operators.sketches import (  # noqa: E402
+    HLL_NUMERATOR,
+)
+
+CMS_Q_DEPTH = 4
+CMS_Q_WIDTH = 64  # vocabulary-sized corpus: narrow sketch so collisions occur
+CMS_Q_THRESHOLD = 800
+HLL_Q_M = 256
+HLL_Q_WBITS = 46
+
+_SQL_TOKS = r"""
+      SELECT tok
+      FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+      WHERE tok != ''
+"""
+
+_SQL_LANG_TOKS = r"""
+      SELECT lang, tok
+      FROM (SELECT lang,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+      WHERE tok != ''
+"""
+
+
+@register(
+    "cms_heavy_hitters_docs",
+    f"""
+    WITH toks AS ({_SQL_TOKS}),
+    tmd AS (SELECT md5(tok) AS md FROM toks),
+    tb AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_sk._cms_bucket_sql('md', r, CMS_Q_WIDTH)} AS bucket FROM tmd"
+          for r in range(CMS_Q_DEPTH)
+      )}
+    ),
+    counters AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM tb GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT tok, md5(tok) AS md, CAST(count(*) AS BIGINT) AS exact_n
+      FROM toks GROUP BY tok
+    ),
+    vb AS (
+      {" UNION ALL ".join(
+          f"SELECT tok, exact_n, {r} AS r, "
+          f"{_sk._cms_bucket_sql('md', r, CMS_Q_WIDTH)} AS bucket FROM vocab"
+          for r in range(CMS_Q_DEPTH)
+      )}
+    ),
+    est AS (
+      SELECT vb.tok, vb.exact_n, CAST(min(c.cnt) AS BIGINT) AS cms_count
+      FROM vb JOIN counters c ON c.r = vb.r AND c.bucket = vb.bucket
+      GROUP BY 1, 2
+    )
+    SELECT tok AS token, exact_n, cms_count
+    FROM est WHERE cms_count >= {CMS_Q_THRESHOLD}
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with the exact count alongside: the
+    mergeable-counter frequency sketch whose shuffle is bounded by the
+    sketch (depth x width counters after map-side combine), not the token
+    volume — with 53-bit md5-Horner bucket hashing so the DuckDB oracle
+    replays the counters bit-for-bit. cms_count >= exact_n always
+    (operators/sketches.cms_heavy_hitters)."""
+    from radar_output_restructure_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return cms_heavy_hitters(
+        docs,
+        threshold=CMS_Q_THRESHOLD,
+        depth=CMS_Q_DEPTH,
+        width=CMS_Q_WIDTH,
+    )
+
+
+@register(
+    "hll_distinct_docs",
+    f"""
+    WITH toks AS ({_SQL_LANG_TOKS}),
+    h AS (
+      SELECT lang, {X.horner_fold_sql("md")} AS h
+      FROM (SELECT lang, md5(tok) AS md FROM toks)
+    ),
+    rk AS (
+      SELECT lang, h % {HLL_Q_M} AS reg,
+             CASE WHEN h // {HLL_Q_M} = 0 THEN {HLL_Q_WBITS}
+                  ELSE {HLL_Q_WBITS} - length(bin(h // {HLL_Q_M}))
+             END AS rank
+      FROM h
+    ),
+    regs AS (SELECT lang, reg, max(rank) AS m_rank FROM rk GROUP BY 1, 2),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    allr AS (
+      SELECT l.lang, g.reg
+      FROM langs l CROSS JOIN (SELECT unnest(range({HLL_Q_M})) AS reg) g
+    ),
+    full_ AS (
+      SELECT a.lang, a.reg, coalesce(r.m_rank, 0) AS m_rank
+      FROM allr a LEFT JOIN regs r ON r.lang = a.lang AND r.reg = a.reg
+    ),
+    s AS (
+      SELECT lang,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_Q_WBITS} - m_rank)) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN m_rank > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_registers_hit,
+             CAST(sum(CASE WHEN m_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_registers
+      FROM full_ GROUP BY lang
+    ),
+    ex AS (
+      SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+      FROM toks GROUP BY lang
+    )
+    SELECT s.lang, n_registers_hit, n_zero_registers,
+           round({HLL_NUMERATOR!r} / CAST(s.s AS DOUBLE), 6) AS hll_estimate,
+           exact_distinct
+    FROM s JOIN ex ON ex.lang = s.lang
+    """,
+)
+def q_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language HyperLogLog distinct-token estimate with the exact
+    count alongside. Registers merge by max (map-side combine bounds the
+    shuffle at 256 rows/group/task); the register sum is the exact-integer
+    form sum(2^(46-M[j])), so the raw estimate is bit-identical on any
+    engine and accumulation order. Raw estimate only — the linear-counting
+    correction needs ln(), which is not cross-libm exact
+    (operators/sketches.hll_distinct)."""
+    from radar_output_restructure_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return hll_distinct(docs)

@@ -62,6 +62,11 @@ HEAVY = [
     "doc_fingerprint_overlap",
     "bpe_merges_docs",
     "cosine_range_search",
+    "ann_int8_topk",
+    "source_cap_docs",
+    "ann_ivfpq_topk",
+    "cms_heavy_hitters_docs",
+    "hll_distinct_docs",
 ]
 
 ID_STRIDE = 10_000_000

@@ -2059,3 +2059,255 @@ def test_per_source_cap(spark):
     # docs (the longer repeats score higher on the length term)
     a_ids = {r.doc_id for r in by_source["a"]}
     assert 4 in a_ids and 0 not in a_ids
+
+
+def test_cms_heavy_hitters_overestimates_exact(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="apple apple apple banana"),
+            Row(doc_id=1, text="apple banana cherry"),
+            Row(doc_id=2, text="apple durian durian"),
+        ]
+    )
+    # narrow width forces collisions; estimate must never undercount
+    rows = {r.token: r for r in cms_heavy_hitters(docs, threshold=1, width=4).collect()}
+    assert rows["apple"].exact_n == 5
+    for r in rows.values():
+        assert r.cms_count >= r.exact_n
+    # wide sketch: no collisions, estimates exact
+    wide = {r.token: r for r in cms_heavy_hitters(docs, threshold=2, width=1024).collect()}
+    assert wide["apple"].cms_count == 5
+    assert wide["durian"].cms_count == 2
+    assert "cherry" not in wide  # below threshold
+
+
+def test_hll_distinct_estimate(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.sketches import hll_distinct
+
+    rows = [
+        Row(lang="en", text=" ".join(f"tok{i}" for i in range(200)))
+    ] + [
+        # duplicated token stream must not move the registers
+        Row(lang="en", text=" ".join(f"tok{i}" for i in range(200))),
+        Row(lang="de", text="eins zwei drei"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.lang: r for r in hll_distinct(df).collect()}
+    en = out["en"]
+    assert en.exact_distinct == 200
+    # raw HLL at m=256, n=200: generous band, deterministic value
+    assert 50 < en.hll_estimate < 800
+    assert en.n_registers_hit + en.n_zero_registers == 256
+    de = out["de"]
+    assert de.exact_distinct == 3
+    assert de.n_registers_hit <= 3
+    # duplicate-absorption: a third copy of the en stream changes nothing
+    df2 = spark.createDataFrame(rows + [rows[0]])
+    out2 = {r.lang: r for r in hll_distinct(df2).collect()}
+    assert out2["en"].hll_estimate == en.hll_estimate
+
+
+# --- resize / frame-sample operators ---------------------------------------
+
+
+def test_resize_image_nn_golden():
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        resize_image_nn,
+    )
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    small = resize_image_nn(px, 2, 2)
+    # index map: floor(i * 4 / 2) -> rows/cols [0, 2]
+    assert small.shape == (2, 2, 3)
+    assert (small == px[[0, 2]][:, [0, 2]]).all()
+    big = resize_image_nn(px, 8, 8)
+    assert big.shape == (8, 8, 3)
+    assert (big[::2, ::2] == px).all()  # every source pixel survives
+
+
+def test_encode_bmp_roundtrip():
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        _bmp_pixels,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    payload = encode_bmp(px)
+    assert (_bmp_pixels(payload) == px).all()
+    meta = decode_bmp(payload)
+    assert (meta["width"], meta["height"]) == (7, 5)
+
+
+def test_resize_images_mapinpandas(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        _bmp_pixels,
+        decode_image_pixels,
+        encode_bmp,
+        resize_images,
+    )
+
+    # quadrant-colored 4x4 BMP: nearest-neighbor 2x2 keeps one px/quadrant
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = (255, 0, 0)
+    px[:2, 2:] = (0, 255, 0)
+    px[2:, :2] = (0, 0, 255)
+    px[2:, 2:] = (9, 9, 9)
+    df = spark.createDataFrame([Row(doc_id=1, payload=encode_bmp(px))])
+    out = resize_images(df, 2, 2).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (2, 2)
+    got = _bmp_pixels(bytes(out[0].payload))
+    assert (got == px[[0, 2]][:, [0, 2]]).all()
+
+    # pixel dispatch also covers PNG / GIF / JPEG payloads
+    png = _make_png(
+        np.array([[10, 20, 30, 40]], np.uint8).reshape(1, 4, 1), 1, [0]
+    )  # 4x1 gray
+    ppx = decode_image_pixels(png)
+    assert ppx.shape == (1, 4, 3) and (ppx[0, 1] == 20).all()
+    gif = _make_gif([[0, 1], [1, 0]], [(255, 0, 0), (0, 255, 0)])
+    gpx = decode_image_pixels(gif)
+    assert gpx.shape == (2, 2, 3) and tuple(gpx[0, 0]) == (255, 0, 0)
+
+
+def test_audio_frame_rms(spark):
+    import struct as _s
+    import numpy as np
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        audio_frame_rms,
+    )
+
+    # 1 s mono 8 kHz int16: first half amplitude A, second half 2A
+    import wave as _wave
+    import io as _io
+
+    a = 8000
+    samples = np.concatenate(
+        [np.full(4000, a, np.int16), np.full(4000, 2 * a, np.int16)]
+    )
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    df = spark.createDataFrame([Row(doc_id=1, payload=buf.getvalue())])
+    rows = sorted(audio_frame_rms(df, n_frames=3, frame_s=0.1).collect(),
+                  key=lambda r: r.frame)
+    assert [r.frame for r in rows] == [0, 1, 2]
+    lo = round(a / 32768.0, 6)
+    hi = round(2 * a / 32768.0, 6)
+    assert rows[0].rms == lo and rows[0].peak == lo     # all-low frame
+    assert rows[2].rms == hi and rows[2].peak == hi     # all-high frame
+    assert lo < rows[1].rms < hi                        # straddles the step
+    assert rows[2].start_s == round((8000 - 800) / 8000, 6)
+
+
+def _make_gif_multi(frames, palette, transparent=None):
+    """Assemble a multi-frame GIF89a: each entry of `frames` is
+    (px_idx, left, top). Reuses the single-frame builder's encoder."""
+    import struct as _s
+
+    screen_h = max(len(f[0]) + f[2] for f in frames)
+    screen_w = max(len(f[0][0]) + f[1] for f in frames)
+    n = max(2, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", screen_w, screen_h, 0x80 | (n - 1), 0, 0)
+    for i in range(1 << n):
+        rgb = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes(rgb)
+    for px_idx, left, top in frames:
+        h, w = len(px_idx), len(px_idx[0])
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += bytes([0x2C]) + _s.pack("<HHHHB", left, top, w, h, 0)
+        flat = [p for row in px_idx for p in row]
+        min_code = max(2, n)
+        data = _gif_lzw_encode(flat, min_code)
+        out += bytes([min_code])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])  # block terminator
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_gif_frame_features(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        decode_gif,
+        gif_frame_features,
+    )
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 0, 0)]
+    frames = [
+        ([[0, 0], [0, 0]], 0, 0),   # all red
+        ([[1, 1], [1, 1]], 1, 1),   # all green, offset rect
+        ([[2, 2], [2, 2]], 0, 0),   # all blue
+    ]
+    gif = _make_gif_multi(frames, palette)
+    # first-frame decode must agree with the single-frame path
+    assert decode_gif(gif)["mean_r"] == 255.0
+    df = spark.createDataFrame([Row(doc_id=1, payload=gif)])
+    rows = sorted(gif_frame_features(df).collect(), key=lambda r: r.frame)
+    assert [r.frame for r in rows] == [0, 1, 2]
+    assert all(r.n_frames == 3 for r in rows)
+    assert (rows[0].mean_r, rows[1].mean_g, rows[2].mean_b) == (255.0, 255.0, 255.0)
+    assert (rows[1].left, rows[1].top) == (1, 1)
+    # max_frames sampling keeps first + last
+    sampled = sorted(
+        gif_frame_features(df, max_frames=2).collect(), key=lambda r: r.frame
+    )
+    assert [r.frame for r in sampled] == [0, 2]
+
+
+def test_int8_codes_np_matches_jvm(spark):
+    """The Arrow-side quantizer must reproduce the JVM Column path
+    bit-for-bit, including the half-up edge just below 0.5."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        _int8_codes_np,
+        int8_code_vectors,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-2, 2, (50, 8))
+    vecs[0] = 0.0  # zero vector
+    # all three of these scale to a v == 0.5 tie (the middle one lands on
+    # 0.5 after the division/multiplication round-trip): half-up ties must
+    # go AWAY from zero on both engines
+    vecs[1] = [1.0, 0.49999999999999994 / 127.0, 0.5 / 127.0, -0.5 / 127.0,
+               0, 0, 0, 0]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in row])
+         for i, row in enumerate(vecs)]
+    )
+    jvm = {r.vec_id: list(r.q) for r in int8_code_vectors(df).collect()}
+    rows = sorted(jvm)
+    raw = np.array([[float(x) for x in vecs[i]] for i in rows])
+    npc = _int8_codes_np(raw)
+    for i in rows:
+        assert list(npc[i]) == jvm[i], (i, list(npc[i]), jvm[i])
+    assert jvm[1][1] == 1 and jvm[1][2] == 1 and jvm[1][3] == -1
