@@ -43,9 +43,9 @@ _GATE_HEAD = (
     "source_cap_docs",
     "cms_heavy_hitters_docs",
     "hll_distinct_docs",
+    "ann_ivf_persisted_topk",
     # -- reference-core set (last driver-green: r4; the leftovers of this
     #    section past the 50-slot cap were re-certified in r5 and can wait) --
-    "restructure_flagship",
     "dedup_keep_first",
     "offset_antijoin",
     "mp_enrichment",
@@ -93,9 +93,10 @@ _GATE_HEAD = (
     "doc_sliding_chunks",
     "doc_pack_chunks",
     "curation_pipeline_docs",
-    # r4-green entries displaced past slot 50 by the round-6 additions:
-    # time_bin_hourly, sanitize_ids, flatten_projection, exclude_fields,
-    # dedup_keep_last — all re-certified in r5, due again in round 7.
+    # r4/r5-green entries displaced past slot 50 by the round-6 additions:
+    # restructure_flagship, time_bin_hourly, sanitize_ids,
+    # flatten_projection, exclude_fields, dedup_keep_last — all
+    # re-certified in r5, due again in round 7.
 )
 
 

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "source_cap_docs",
     "cms_heavy_hitters_docs",
     "hll_distinct_docs",
+    "ann_ivf_persisted_topk",
 ]
 
 

@@ -1455,3 +1455,52 @@ def q_ann_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: write-once cell-partitioned parquet, pruned probes
+# ---------------------------------------------------------------------------
+
+
+def _persisted_ivf_oracle_sql() -> str:
+    """The persisted probe is semantically IDENTICAL to cosine_topk_ivf —
+    the index on disk changes WHERE candidates are read from (partition-
+    pruned cell directories), not WHAT they are — so its oracle is the
+    IVF-flat oracle verbatim."""
+    from radar_output_restructure_spark.queries import ORACLES
+
+    return ORACLES["ann_ivf_topk"]
+
+
+@register("ann_ivf_persisted_topk", _persisted_ivf_oracle_sql())
+def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-side IVF path: the corpus is materialized ONCE as a
+    cell-partitioned parquet index (operators/ann_index.write_ivf_index;
+    fused assign+write, idempotent per sf_dir), and the query probes read
+    ONLY their nprobe cell directories via Catalyst partition pruning —
+    at 100 TB a probe scans the probed fraction, not the corpus. Results
+    are bit-identical to the in-session `ann_ivf_topk`, so the oracle is
+    shared."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from radar_output_restructure_spark.operators.ann_index import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    tag = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/spark_graft_ivf_index_{tag}"
+    marker = _os.path.join(path, "_SUCCESS")
+    if not _os.path.exists(marker):  # write-once per sf_dir, like any index
+        write_ivf_index(emb, centroids, path)
+    return probe_ivf_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        centroids,
+        k=TOP_K,
+        nprobe=NPROBE,
+    )

@@ -67,6 +67,7 @@ HEAVY = [
     "ann_ivfpq_topk",
     "cms_heavy_hitters_docs",
     "hll_distinct_docs",
+    "ann_ivf_persisted_topk",
 ]
 
 ID_STRIDE = 10_000_000

@@ -378,3 +378,49 @@ def test_streaming_simhash_wide_matches_batch(spark, tmp_path):
         for r in streaming_simhash_near_dup_pairs_wide(fp).collect()
     )
     assert batch == expected
+
+
+def test_streaming_cms_counters_match_batch(spark, tmp_path):
+    """Count-min counters are mergeable by construction (counters add), so
+    the streaming plan is the same groupBy in update mode across
+    micro-batches — final counter table must equal the batch sketch."""
+    import os
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.sketches import (
+        cms_counters,
+    )
+
+    rows = [
+        Row(doc_id=i, text=f"tok{i % 5} tok{i % 3} shared")
+        for i in range(40)
+    ]
+    src = os.path.join(str(tmp_path), "docs")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(rows[:20]).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[20:]).coalesce(1).write.mode("append").parquet(src)
+
+    batch_counts = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counters(spark.read.parquet(src)).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        cms_counters(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_counts = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    assert stream_counts == batch_counts
