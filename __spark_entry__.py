@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from radar_output_restructure_spark import queries as q  # noqa: E402
 from radar_output_restructure_spark import queries_docs  # noqa: E402,F401  (registers doc queries)
+from radar_output_restructure_spark import queries_events  # noqa: E402,F401  (registers funnel/retention queries)
 from radar_output_restructure_spark import queries_sim  # noqa: E402,F401  (registers sim queries)
 from radar_output_restructure_spark import queries_stream  # noqa: E402,F401  (registers streaming/session queries)
 
@@ -38,6 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: locally each round via the committed ORACLES_LOCAL.json).
 _GATE_HEAD = (
     # -- round-6 additions (never certified) --
+    "paragraph_dedup_docs",
+    "bloom_decontaminate_docs",
+    "train_split_docs",
+    "quality_resample_docs",
+    "event_funnel",
+    "retention_cohorts",
+    "event_path_topk",
     "ann_int8_topk",
     "ann_int8_recall_at_k",
     "source_cap_docs",
@@ -96,7 +104,14 @@ _GATE_HEAD = (
     # r4/r5-green entries displaced past slot 50 by the round-6 additions:
     # restructure_flagship, time_bin_hourly, sanitize_ids,
     # flatten_projection, exclude_fields, dedup_keep_last — all
-    # re-certified in r5, due again in round 7.
+    # re-certified in r5, due again in round 7. The seven late-round-6
+    # queries (paragraph_dedup / bloom_decontaminate / train_split /
+    # quality_resample / event_funnel / retention_cohorts /
+    # event_path_topk) take the first slots as never-certified; that
+    # pushes stratified_sample_docs, doc_contamination, doc_repetition,
+    # doc_redact_pii, doc_sliding_chunks, doc_pack_chunks and
+    # curation_pipeline_docs (r4-green, locally green in
+    # ORACLES_LOCAL.json) to the round-7 rotation.
 )
 
 

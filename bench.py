@@ -125,6 +125,13 @@ BENCH_QUERIES = [
     "cms_heavy_hitters_docs",
     "hll_distinct_docs",
     "ann_ivf_persisted_topk",
+    "paragraph_dedup_docs",
+    "bloom_decontaminate_docs",
+    "train_split_docs",
+    "quality_resample_docs",
+    "event_funnel",
+    "retention_cohorts",
+    "event_path_topk",
 ]
 
 

@@ -397,3 +397,141 @@ def per_source_cap(
         .filter(F.col("source_rank") <= cap)
         .select("doc_id", "source", "source_rank")
     )
+
+
+SEG_K = 8  # words per dedup segment (the synthetic stand-in for a "line")
+SEG_MIN_DF = 2  # corpus-wide df at which a segment counts as boilerplate
+
+
+def segment_dedup(
+    df: DataFrame,
+    k: int = SEG_K,
+    min_df: int = SEG_MIN_DF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_segments, n_kept, clean_fp): C4-style corpus-wide repeated-
+    segment removal. Every document is cut into consecutive `k`-word
+    segments (the whitespace-free analogue of C4's "lines"); any segment
+    whose corpus-wide document frequency reaches `min_df` is boilerplate and
+    is dropped from EVERY document; the survivors re-join in original order
+    and `clean_fp` is the 53-bit md5-Horner fingerprint of that cleaned
+    text (NULL when nothing survives).
+
+    Scale shape, in three scan-bounded stages:
+
+    * segmenting is MAP-ONLY — one split + HOF slices per document, the
+      segment array inline-explodes to (doc, seg_idx, seg) with one md5 per
+      segment materialized immediately (never re-hashed downstream);
+    * the duplicate-segment set is one groupBy(seg md5) with map-side
+      combine, filtered to df >= min_df BEFORE it meets the corpus again —
+      the dup set is proportional to the *duplicated* fraction, not the
+      corpus, so the anti-join below is AQE-broadcastable in the normal
+      case and degrades to a hash join when a boilerplate-heavy crawl
+      outgrows the threshold (nothing is pinned);
+    * reassembly is one groupBy(doc) collecting (seg_idx, seg) pairs — the
+      only corpus-sized shuffle, keyed by doc id (near-uniform by
+      construction).
+
+    Unlike suffix-array exact-substring dedup this needs no global sort and
+    no position arithmetic across documents — the trade C4 itself makes.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import split_words
+    from radar_output_restructure_spark.operators.text import horner_fold
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), split_words(text_col).alias("__w")
+    )
+    n = F.size("__w")
+    nseg = (F.lit(1) + ((F.greatest(n, F.lit(1)) - 1) / F.lit(k)).cast("int")).cast(
+        "int"
+    )
+    seg = lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i * k + 1, k))  # noqa: E731
+    segs = F.transform(F.sequence(F.lit(0), nseg - 1), seg)
+    base = staged.select("doc_id", nseg.cast("bigint").alias("n_segments"), segs.alias("__segs"))
+    exploded = base.select(
+        "doc_id", F.posexplode("__segs").alias("seg_idx", "seg")
+    ).withColumn("__h", F.md5("seg"))
+    dup = (
+        exploded.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("__h")
+    )
+    kept = exploded.join(dup, "__h", "left_anti")
+    clean = (
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        )
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        horner_fold(F.md5(clean)).alias("clean_fp"),
+    )
+    return (
+        base.select("doc_id", "n_segments")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            "clean_fp",
+        )
+    )
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "#split",
+) -> DataFrame:
+    """Append (bucket, split): the deterministic train/val/test assignment.
+
+    bucket = 53-bit md5-Horner hash of (id || salt) mod 100; split is
+    'train' below `train_pct`, 'val' below train+val, else 'test'. The salt
+    decorrelates the split from every other id-hash decision in the
+    pipeline (sampling, resampling, sharding), and the assignment is
+    map-only, content-independent, and stable under corpus growth — adding
+    documents never moves an existing one across the split boundary, the
+    property a random() split lacks and the one that keeps eval sets
+    uncontaminated across corpus refreshes.
+    """
+    bucket = (
+        F.expr(md5_horner_sql(f"CAST(`{id_col}` AS STRING) || '{salt}'")) % 100
+    ).cast("int")
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def quality_resample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "#rs",
+) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli resampling (the DSIR-style
+    importance-sampling shape): each document is kept with probability equal
+    to its composite quality score, decided by comparing the 53-bit id-hash
+    (salted, so it is independent of the split/sample hashes) against the
+    score in integer MICRO units — no RNG state, map-only, reproducible
+    row-for-row on any engine.
+
+    High-quality documents survive at ~their score, low-quality ones thin
+    out proportionally — the soft alternative to a hard quality cutoff,
+    preserving distributional coverage of the tail instead of truncating it.
+    """
+    from radar_output_restructure_spark.operators.text import quality_score
+
+    w_micro = F.round(quality_score(text_col) * 1_000_000).cast("long")
+    u = F.expr(md5_horner_sql(f"CAST(`{id_col}` AS STRING) || '{salt}'")) % 1_000_000
+    return df.withColumn("weight_micro", w_micro).filter(u < F.col("weight_micro"))

@@ -232,3 +232,89 @@ def hll_distinct(
             "exact_distinct",
         )
     )
+
+
+BLOOM_M = 65536  # bits (2^16; sized so the eval set loads the filter lightly)
+BLOOM_K = 4  # hash functions = disjoint md5 spans (rows 0..3 of _cms_bucket)
+BLOOM_G = 8  # words per shingle fed to the filter
+
+
+def bloom_ngram_filter(
+    probe_df: DataFrame,
+    eval_df: DataFrame,
+    g: int = BLOOM_G,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_grams, n_hits, flagged): Bloom-filter n-gram
+    decontamination — the 100 TB shape of "does this training document
+    share any `g`-gram with the eval/benchmark set".
+
+    The eval side is folded into an m-bit Bloom filter (k bit positions
+    per gram, each a Horner fold of a disjoint 8-hex-char span of ONE
+    md5 per gram — the `_cms_bucket` family); the filter is built in a
+    single-row aggregate and BROADCAST, so probing the corpus is
+    map-only: one md5 per sliding gram, k O(1) `element_at` lookups, a
+    per-doc count. Nothing corpus-sized ever shuffles — the exact-join
+    alternative (corpus grams x eval grams) shuffles every gram in the
+    corpus, which is precisely what a 13-gram overlap check against a
+    fixed benchmark must not do at scale.
+
+    One-sided error only: `flagged = n_hits > 0` can false-positive at
+    the standard (1 - e^{-kn/m})^k rate but never false-negative, so it
+    is a safe PRE-FILTER — run the exact check (`contamination_scores`)
+    on the flagged sliver only. Deterministic bit-for-bit across
+    engines: positions are exact integer arithmetic, the filter is a
+    boolean array, no RNG.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import split_words
+
+    def grams(df: DataFrame) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias("doc_id"), split_words(text_col).alias("__w")
+        )
+        n = F.size("__w")
+        gram = lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, g))  # noqa: E731
+        arr = F.when(
+            n >= g, F.transform(F.sequence(F.lit(1), n - g + 1), gram)
+        ).otherwise(F.array().cast("array<string>"))
+        return staged.select(
+            "doc_id", F.explode(arr).alias("gram")
+        ).withColumn("__md", F.md5("gram"))
+
+    eval_pos = None
+    for r in range(k):
+        p = grams(eval_df).select(_cms_bucket(F.col("__md"), r, m).alias("p"))
+        eval_pos = p if eval_pos is None else eval_pos.unionAll(p)
+    bloom = eval_pos.distinct().agg(
+        F.collect_set("p").alias("__set")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.array_contains(F.col("__set"), j),
+        ).alias("__bloom")
+    )
+
+    probed = grams(probe_df).crossJoin(F.broadcast(bloom))
+    hit = F.lit(True)
+    for r in range(k):
+        hit = hit & F.element_at(
+            F.col("__bloom"), (_cms_bucket(F.col("__md"), r, m) + 1).cast("int")
+        )
+    hits = probed.groupBy("doc_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits")
+    )
+    base = probe_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.size(split_words(text_col)) - (g - 1), F.lit(0)
+        ).cast("bigint").alias("n_grams"),
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
+    )

@@ -1161,3 +1161,195 @@ def q_hll_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return hll_distinct(docs)
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide segment dedup (C4 line-dedup), splits, resampling, bloom
+# ---------------------------------------------------------------------------
+
+from radar_output_restructure_spark.operators.curation import (  # noqa: E402
+    SEG_K,
+    SEG_MIN_DF,
+)
+from radar_output_restructure_spark.operators.sketches import (  # noqa: E402
+    BLOOM_G,
+    BLOOM_K,
+    BLOOM_M,
+    _cms_bucket_sql,
+)
+
+_SEG_DEDUP_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, words, len(words) AS n FROM w),
+    nsegd AS (
+      SELECT doc_id, words,
+             1 + (greatest(n, 1) - 1) // {SEG_K} AS nseg
+      FROM sized
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(words[i*{SEG_K}+1 : i*{SEG_K}+{SEG_K}], ' ') AS seg
+      FROM nsegd, unnest(range(nseg)) AS t(i)
+    ),
+    hashed AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h FROM segs),
+    dup AS (SELECT h FROM hashed GROUP BY h HAVING count(*) >= {SEG_MIN_DF}),
+    kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM dup)),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS mh
+      FROM kept GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, CAST(nseg AS BIGINT) AS n_segments FROM nsegd)
+    SELECT b.doc_id, b.n_segments,
+           coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           {X.horner_fold_sql('mh')} AS clean_fp
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("paragraph_dedup_docs", _SEG_DEDUP_SQL)
+def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide repeated-segment removal: consecutive 8-word
+    segments with document frequency >= 2 anywhere in the corpus are
+    boilerplate and vanish from every document; survivors re-join in order
+    and are fingerprinted. Map-only segmenting, one map-side-combined
+    groupBy for the dup set (filtered small BEFORE rejoining the corpus, so
+    AQE broadcasts the anti-join), one doc-keyed shuffle for reassembly
+    (operators/curation.segment_dedup)."""
+    from radar_output_restructure_spark.operators.curation import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return segment_dedup(docs)
+
+
+_BLOOM_P = [_cms_bucket_sql("mh", r, BLOOM_M) for r in range(BLOOM_K)]
+_BLOOM_POS_COLS = ", ".join(f"{p} AS p{r}" for r, p in enumerate(_BLOOM_P))
+_BLOOM_BITS_UNION = " UNION ALL ".join(
+    f"SELECT p{r} AS p FROM pos WHERE doc_id < {EVAL_SET_MAX_ID}"
+    for r in range(BLOOM_K)
+)
+_BLOOM_ALL_IN = " AND ".join(
+    f"p{r} IN (SELECT p FROM bits)" for r in range(BLOOM_K)
+)
+
+_BLOOM_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, words, len(words) AS n FROM w),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(words[i : i+{BLOOM_G - 1}], ' ')) AS mh
+      FROM sized,
+           unnest(range(1, greatest(n - {BLOOM_G} + 2, 1))) AS t(i)
+    ),
+    pos AS (SELECT doc_id, {_BLOOM_POS_COLS} FROM grams),
+    bits AS (SELECT DISTINCT p FROM ({_BLOOM_BITS_UNION})),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM pos
+      WHERE doc_id >= {EVAL_SET_MAX_ID} AND {_BLOOM_ALL_IN}
+      GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(greatest(n - {BLOOM_G} + 1, 0) AS BIGINT) AS n_grams
+      FROM sized WHERE doc_id >= {EVAL_SET_MAX_ID}
+    )
+    SELECT b.doc_id, b.n_grams,
+           coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS flagged
+    FROM base b LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@register("bloom_decontaminate_docs", _BLOOM_SQL)
+def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter n-gram decontamination: the eval slice's sliding 8-gram
+    set folds into a broadcast 4096-bit filter (3 disjoint-md5-span bit
+    positions per gram); probing the training corpus is map-only — one md5
+    per gram, three O(1) element_at lookups — so nothing corpus-sized
+    shuffles, unlike the exact gram-join. One-sided error: flagged docs are
+    a superset of true overlaps; run the exact check on the sliver
+    (operators/sketches.bloom_ngram_filter)."""
+    from radar_output_restructure_spark.operators.sketches import (
+        bloom_ngram_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    out = bloom_ngram_filter(
+        docs.filter(F.col("doc_id") >= EVAL_SET_MAX_ID),
+        docs.filter(F.col("doc_id") < EVAL_SET_MAX_ID),
+    )
+    return out.withColumn("flagged", F.col("flagged").cast("int"))
+
+
+@register(
+    "train_split_docs",
+    f"""
+    SELECT doc_id, lang,
+           CAST(({X.md5_horner_sql("CAST(doc_id AS STRING) || '#split'")}) % 100
+                AS INT) AS bucket,
+           CASE WHEN ({X.md5_horner_sql("CAST(doc_id AS STRING) || '#split'")}) % 100 < 80
+                THEN 'train'
+                WHEN ({X.md5_horner_sql("CAST(doc_id AS STRING) || '#split'")}) % 100 < 90
+                THEN 'val' ELSE 'test' END AS split_name
+    FROM documents
+    """,
+)
+def q_train_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split (80/10/10): salted
+    53-bit id-hash mod 100, map-only, stable under corpus growth — adding
+    documents never moves an existing one across the boundary, the property
+    that keeps eval sets uncontaminated across refreshes
+    (operators/curation.train_split)."""
+    from radar_output_restructure_spark.operators.curation import train_split
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return train_split(docs).select(
+        "doc_id", "lang", "bucket", F.col("split").alias("split_name")
+    )
+
+
+@register(
+    "quality_resample_docs",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             {_SQL_NTOK} AS n_tokens,
+             {_SQL_NPUNCT} AS n_punct,
+             {_SQL_NSTOP} AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             CAST(round(
+               round((least(n_tokens / 100.0, 1.0)
+                      + (1.0 - least(round(n_punct / greatest(n_chars, 1), 6) * 5, 1.0))
+                      + least(round(n_stop / greatest(n_tokens, 1), 6) * 4, 1.0)) / 3,
+                     6) * 1000000, 0) AS BIGINT) AS weight_micro
+      FROM f
+    )
+    SELECT doc_id, source, weight_micro
+    FROM q
+    WHERE ({X.md5_horner_sql("CAST(doc_id AS STRING) || '#rs'")}) % 1000000
+          < weight_micro
+    """,
+)
+def q_quality_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic Bernoulli resampling (DSIR-lite):
+    keep each document with probability = its composite quality score,
+    decided by a salted id-hash against the score in integer micros —
+    map-only, no RNG state, reproducible row-for-row
+    (operators/curation.quality_resample)."""
+    from radar_output_restructure_spark.operators.curation import (
+        quality_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return quality_resample(docs).select("doc_id", "source", "weight_micro")

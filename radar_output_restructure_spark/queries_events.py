@@ -1,0 +1,125 @@
+"""Product-analytics queries over `events`: funnels, retention, paths.
+
+Same contract as queries.py — every Spark builder is paired with a DuckDB
+oracle producing identical values; lags and counts are exact integers
+(microseconds / bigint counts), never accumulated floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.queries import register
+from radar_output_restructure_spark.sources.tables import load_table
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@register(
+    "event_funnel",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.ts1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3,
+           (SELECT CAST(sum(epoch_us(ts2) - epoch_us(ts1)) AS BIGINT)
+            FROM s2 JOIN s1 USING (user_id)) AS sum_lag1_us,
+           (SELECT CAST(sum(epoch_us(ts3) - epoch_us(ts2)) AS BIGINT)
+            FROM s3 JOIN s2 USING (user_id)) AS sum_lag2_us
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-sequence view->click->purchase funnel: per-step converting
+    user counts + exact integer microsecond lag sums. ONE shuffle on
+    user_id (per-user step timestamps aggregate into small sorted arrays;
+    the sequential min-after-min resolves map-side) versus the oracle's k
+    chained self-joins (operators/funnel.funnel)."""
+    from radar_output_restructure_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, steps=FUNNEL_STEPS)
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events
+    ),
+    j AS (
+      SELECT a.user_id, f.cohort_date,
+             datediff('day', f.cohort_date, a.active_date) AS dd
+      FROM activity a JOIN first f USING (user_id)
+    )
+    SELECT CAST(cohort_date AS VARCHAR) AS cohort_date,
+           CAST(dd // 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j WHERE dd >= 0
+    GROUP BY cohort_date, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-signup date,
+    counted into floor(days-since-cohort/7) buckets for every active day.
+    Two user-keyed aggregations + one tiny rollup — no event-by-event
+    self-join (operators/funnel.retention_cohorts)."""
+    from radar_output_restructure_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = retention_cohorts(ev)
+    # DATE values serialize engine-differently in the compare harness;
+    # ISO-string form is identical on both sides
+    return out.withColumn("cohort_date", F.col("cohort_date").cast("string"))
+
+
+@register(
+    "event_path_topk",
+    """
+    WITH s AS (
+      SELECT event_type AS s0,
+             lead(event_type, 1) OVER w AS s1,
+             lead(event_type, 2) OVER w AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s0 || '>' || s1 || '>' || s2 AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM s WHERE s2 IS NOT NULL
+    GROUP BY path
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 10
+    """,
+)
+def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 consecutive event-type trigrams: one window over (ts,
+    event_id) — a strict total order, so lead() is deterministic under
+    timestamp ties — then a count-topk with lexical tie-break
+    (operators/funnel.event_path_topk)."""
+    from radar_output_restructure_spark.operators.funnel import (
+        event_path_topk,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_path_topk(ev)

@@ -68,6 +68,8 @@ HEAVY = [
     "cms_heavy_hitters_docs",
     "hll_distinct_docs",
     "ann_ivf_persisted_topk",
+    "paragraph_dedup_docs",
+    "bloom_decontaminate_docs",
 ]
 
 ID_STRIDE = 10_000_000
