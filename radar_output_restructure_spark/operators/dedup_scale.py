@@ -674,3 +674,52 @@ def duplicate_clusters(
             stacklevel=2,
         )
     return labels
+
+
+def source_minhash_similarity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(source_a, source_b, n_matching, est_jaccard): estimated shingle-set
+    Jaccard between every pair of SOURCES — the mirror/partial-dump overlap
+    matrix that tells a 100 TB crawl which domains to collapse before
+    doc-level dedup even starts.
+
+    The MinHash signature of a source's UNION of shingles is just
+    `minhash_wide` keyed by the source instead of the doc id (min is
+    insensitive to cross-document repeats), so the corpus contributes ONE
+    shuffle row per source; the pairwise stage then joins a
+    domain-cardinality frame against itself — kilobytes, broadcast — and
+    scores each pair by the matching-slot fraction, the unbiased Jaccard
+    estimator. The exact alternative (shingle-set self-join across source
+    pairs) shuffles every posting against every co-occurring source and
+    dies on stop-grams; this plan never materializes a shingle past the
+    signature aggregate.
+    """
+    wide = minhash_wide(
+        df, text_col=text_col, id_col=group_col, k=k, num_hashes=num_hashes
+    )
+    a = wide.select(
+        F.col("doc").alias("source_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = wide.select(
+        F.col("doc").alias("source_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            matches.cast("bigint").alias("n_matching"),
+            F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+    )

@@ -1515,3 +1515,75 @@ def exact_rerank(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, n_dups, kept): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023) — cluster the embedding space with the deterministic
+    k-means codebook, verify exact cosine ONLY within each cluster, and
+    greedily keep one representative per duplicate relation (a vector is
+    dropped when it has an above-threshold neighbor with a smaller id in
+    its cell; the paper's keep-farthest-from-centroid rule is swapped for
+    the id rule so the result is a pure function of the data — no
+    tie-ordering ambiguity across engines). `n_dups` counts a vector's
+    above-threshold same-cell neighbors in either direction.
+
+    Scale shape — this is the whole point of SemDeDup over all-pairs
+    near-dup: with k chosen ~ n / target_cell_size the per-cell population
+    is CONSTANT, so the quadratic exact-verify work is (n/k choose 2) * k
+    = O(n * cell_size) — linear in the corpus at fixed cell size — while
+    plain LSH near-dup has no such occupancy guarantee under semantic
+    clustering drift. The plan is: one map-only home-cell assignment
+    (`ivf_cells`, codebook in the closure), ONE shuffle of the corpus to
+    its cells, per-cell Arrow pairwise verification emitting only
+    above-threshold pairs (`near_dup_pairs_from_buckets`), and a single
+    explode+groupBy over those pairs (pair-set-sized, not corpus-sized) to
+    derive per-vector dup counts and the keep flag. Training the codebook
+    is `train_ivf_centroids` (bounded Lloyd partials).
+
+    Reference analogue: none (the reference has no embedding ops); this
+    backs the training-data-pipeline curation path (SURVEY §2 additions).
+    """
+    cells = ivf_cells(
+        emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select("vec_id", "cell")
+    buckets = cells.select(
+        F.lit(0).alias("table"), F.col("cell").alias("bucket"), "vec_id"
+    )
+    pairs = near_dup_pairs_from_buckets(
+        emb, buckets, threshold, id_col=id_col, vec_col=vec_col
+    )
+    # one scan of the pair set: each pair contributes a neighbor count to
+    # both sides and a "dropped" vote to the larger id (vec_a < vec_b by
+    # construction in the verifier)
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"), F.lit(0).alias("d")
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"), F.lit(1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.vec_id", "e.d")
+    agg = sides.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.max("d").alias("__dropped"),
+    )
+    return (
+        cells.join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.coalesce("__dropped", F.lit(0)) == 0).cast("int").alias("kept"),
+        )
+    )

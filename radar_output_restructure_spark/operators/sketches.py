@@ -254,13 +254,24 @@ def bloom_ngram_filter(
 
     The eval side is folded into an m-bit Bloom filter (k bit positions
     per gram, each a Horner fold of a disjoint 8-hex-char span of ONE
-    md5 per gram — the `_cms_bucket` family); the filter is built in a
-    single-row aggregate and BROADCAST, so probing the corpus is
-    map-only: one md5 per sliding gram, k O(1) `element_at` lookups, a
-    per-doc count. Nothing corpus-sized ever shuffles — the exact-join
-    alternative (corpus grams x eval grams) shuffles every gram in the
-    corpus, which is precisely what a 13-gram overlap check against a
-    fixed benchmark must not do at scale.
+    md5 per gram — the `_cms_bucket` family); the filter ships to the
+    executors inside an Arrow mapInPandas closure (the codebook pattern:
+    a set of <= m distinct bit positions is driver-small BY DEFINITION —
+    it IS the object every decontamination system broadcasts), so
+    probing the corpus is map-only: one md5 per sliding gram, k
+    vectorized numpy bitset lookups, per-batch partial hit counts, one
+    doc-keyed combine. Nothing corpus-sized ever shuffles — the
+    exact-join alternative (corpus grams x eval grams) shuffles every
+    gram in the corpus, which is precisely what a 13-gram overlap check
+    against a fixed benchmark must not do at scale.
+
+    Plan history: the first cut built the bitset as a 65536-element
+    BOOLEAN ARRAY COLUMN (interpreted transform + array_contains per
+    element = m x |set| lambda steps) and crossJoined it onto the probe
+    frame, where the join materialized the whole array into EVERY gram
+    row — 17 s at sf0.1 against ~1.5 s for this form, the same
+    copy-down failure the IVF codebook path hit with its broadcast
+    crossJoin (similarity.ivf_cells docstring).
 
     One-sided error only: `flagged = n_hits > 0` can false-positive at
     the standard (1 - e^{-kn/m})^k rate but never false-negative, so it
@@ -284,27 +295,56 @@ def bloom_ngram_filter(
             "doc_id", F.explode(arr).alias("gram")
         ).withColumn("__md", F.md5("gram"))
 
-    eval_pos = None
-    for r in range(k):
-        p = grams(eval_df).select(_cms_bucket(F.col("__md"), r, m).alias("p"))
-        eval_pos = p if eval_pos is None else eval_pos.unionAll(p)
-    bloom = eval_pos.distinct().agg(
-        F.collect_set("p").alias("__set")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.array_contains(F.col("__set"), j),
-        ).alias("__bloom")
-    )
+    import numpy as np
+    import pandas as pd
 
-    probed = grams(probe_df).crossJoin(F.broadcast(bloom))
-    hit = F.lit(True)
-    for r in range(k):
-        hit = hit & F.element_at(
-            F.col("__bloom"), (_cms_bucket(F.col("__md"), r, m) + 1).cast("int")
+    # eval-side fold: k bucket rows per gram (JVM Horner, cheap — the eval
+    # set is benchmark-sized), distinct positions collected to the driver.
+    # The collect is bounded by m regardless of eval-set size.
+    eval_grams = grams(eval_df)
+    pos_rows = F.explode(
+        F.array(*[_cms_bucket(F.col("__md"), r, m) for r in range(k)])
+    ).alias("p")
+    positions = eval_grams.select(pos_rows).distinct().collect()
+    bits = np.zeros(m, dtype=bool)
+    bits[[int(row.p) for row in positions]] = True
+
+    def _positions_np(md: pd.Series, row: int) -> np.ndarray:
+        # exact numpy replay of _cms_bucket: Horner over the ascii codes of
+        # the r-th 8-hex-char span, mod FP_PRIME then mod width. h < p and
+        # p * 131 + 127 < 2^63, so int64 never overflows.
+        codes = (
+            md.str.slice(row * 8, row * 8 + 8)
+            .apply(lambda s: [ord(c) for c in s])
+            .to_list()
         )
-    hits = probed.groupBy("doc_id").agg(
-        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits")
+        arr = np.asarray(codes, dtype=np.int64)
+        h = np.zeros(len(arr), dtype=np.int64)
+        for j in range(8):
+            h = (h * 131 + arr[:, j]) % 9007199254740881
+        return h % m
+
+    id_type = probe_df.schema[id_col].dataType.simpleString()
+
+    def probe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hit = np.ones(len(pdf), dtype=bool)
+            for r in range(k):
+                hit &= bits[_positions_np(pdf["__md"], r)]
+            part = (
+                pd.DataFrame({"doc_id": pdf["doc_id"], "h": hit.astype("int64")})
+                .groupby("doc_id", as_index=False)["h"]
+                .sum()
+            )
+            yield part.rename(columns={"h": "n_hits"})
+
+    hits = (
+        grams(probe_df)
+        .mapInPandas(probe, f"doc_id {id_type}, n_hits long")
+        .groupBy("doc_id")
+        .agg(F.sum("n_hits").cast("long").alias("n_hits"))
     )
     base = probe_df.select(
         F.col(id_col).alias("doc_id"),

@@ -512,6 +512,64 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cosine at or above which two same-cell vectors are semantic duplicates
+SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH {_sql_kmeans_ctes(N_CENTROIDS, KM_ITERS)},
+    cells AS ({_sql_trained_cells("", 1, KM_ITERS)}),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
+      FROM cells a JOIN cells b USING (cell)
+      WHERE a.vec_id < b.vec_id
+    ),
+    sims AS (
+      SELECT vec_a, vec_b,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
+    ),
+    pairs AS (SELECT vec_a, vec_b FROM sims WHERE sim >= {SEMDEDUP_TAU}),
+    sides AS (
+      SELECT vec_a AS vec_id, 0 AS d FROM pairs
+      UNION ALL
+      SELECT vec_b AS vec_id, 1 AS d FROM pairs
+    ),
+    agg AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups, max(d) AS dropped
+      FROM sides GROUP BY vec_id
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+           coalesce(a.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+           CAST(coalesce(a.dropped, 0) = 0 AS INT) AS kept
+    FROM cells c LEFT JOIN agg a USING (vec_id)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: deterministic k-means clusters the
+    embedding space, exact cosine verifies ONLY within each cluster, and
+    the smaller id survives each above-threshold relation. Per-cell
+    population is held constant by sizing k with the corpus, so the
+    quadratic verify work stays linear overall — the property that makes
+    SemDeDup the curation-scale semantic dedup (operators/similarity.
+    semantic_dedup). Oracle replays the identical Lloyd training as
+    unrolled CTEs, so even cluster assignments hash-match."""
+    from radar_output_restructure_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(
+        emb, k=N_CENTROIDS, iters=KM_ITERS, dims=DIMS
+    )
+    return semantic_dedup(emb, centroids, SEMDEDUP_TAU)
+
+
 @register(
     "embedding_quantize",
     f"""

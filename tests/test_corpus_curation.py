@@ -180,8 +180,12 @@ def test_bloom_partial_overlap_counts_shared_grams_only(spark):
     assert out["flagged"] and out["n_hits"] == 1
 
 
-def test_bloom_probe_plan_is_broadcast_only(spark):
-    """The probe side must not shuffle: the filter arrives by broadcast."""
+def test_bloom_probe_plan_is_map_only(spark):
+    """The probe side must not join against anything corpus- or
+    bitset-sized: the filter ships inside the Arrow closure (codebook
+    pattern), so the gram stream meets only a MapInPandas node and the
+    per-doc count — never a crossJoin that copies the bitset into every
+    gram row (the 17 s plan this replaced)."""
     import contextlib
     import io
 
@@ -196,4 +200,6 @@ def test_bloom_probe_plan_is_broadcast_only(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,83 @@
+"""SemDeDup semantic dedup: brute-force parity of the per-cell pairwise
+verify + greedy keep rule, and the partition-of-the-corpus invariant."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from radar_output_restructure_spark.operators.similarity import (
+    ivf_cells,
+    semantic_dedup,
+    train_ivf_centroids,
+)
+from radar_output_restructure_spark.sources.tables import load_table
+
+TAU = 0.4
+
+
+def _round6(x: float) -> float:
+    # Spark HALF_UP on the shortest decimal repr, close enough for the
+    # comparisons below (ties at exactly tau are avoided by the data)
+    return float(f"{x:.6f}")
+
+
+def _cos(a, b):
+    dot = sq_a = sq_b = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        sq_a += x * x
+        sq_b += y * y
+    return _round6(dot / (math.sqrt(sq_a) * math.sqrt(sq_b)))
+
+
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    out = semantic_dedup(emb, cents, TAU).collect()
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    cells = {
+        r.vec_id: r.cell
+        for r in ivf_cells(emb, cents, nprobe=1).collect()
+    }
+
+    # the result is a partition of the corpus
+    assert sorted(r.vec_id for r in out) == sorted(vecs)
+
+    by_cell: dict[int, list[int]] = {}
+    for vid, cell in cells.items():
+        by_cell.setdefault(cell, []).append(vid)
+    n_dups = {v: 0 for v in vecs}
+    dropped = set()
+    for members in by_cell.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if _cos(vecs[a], vecs[b]) >= TAU:
+                    n_dups[a] += 1
+                    n_dups[b] += 1
+                    dropped.add(b)
+
+    for r in out:
+        assert r.cell == cells[r.vec_id]
+        assert r.n_dups == n_dups[r.vec_id], r
+        assert r.kept == (0 if r.vec_id in dropped else 1), r
+
+    # non-vacuous on the test corpus and never drops everything
+    assert 0 < len(dropped) < len(vecs)
+
+
+def test_semantic_dedup_drops_exact_duplicates(spark, sf_dir):
+    """Two identical vectors always land in one cell and the larger id
+    is dropped — the degenerate case SemDeDup exists for."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    twin = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    corpus = emb.unionByName(twin)
+    cents = train_ivf_centroids(corpus, k=4, iters=2)
+    out = {r.vec_id: r for r in semantic_dedup(corpus, cents, 0.999999).collect()}
+    assert out[0].kept == 1 and out[0].n_dups >= 1
+    assert out[1_000_000].kept == 0 and out[1_000_000].n_dups >= 1
