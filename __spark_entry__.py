@@ -39,6 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: locally each round via the committed ORACLES_LOCAL.json).
 _GATE_HEAD = (
     # -- round-6 additions (never certified) --
+    "semantic_dedup_embeddings",
+    "source_similarity_minhash",
+    "snapshot_delta_dedup_docs",
+    "winsorize_docs",
+    "event_rollup_daily",
     "paragraph_dedup_docs",
     "bloom_decontaminate_docs",
     "train_split_docs",
@@ -104,14 +109,16 @@ _GATE_HEAD = (
     # r4/r5-green entries displaced past slot 50 by the round-6 additions:
     # restructure_flagship, time_bin_hourly, sanitize_ids,
     # flatten_projection, exclude_fields, dedup_keep_last — all
-    # re-certified in r5, due again in round 7. The seven late-round-6
-    # queries (paragraph_dedup / bloom_decontaminate / train_split /
-    # quality_resample / event_funnel / retention_cohorts /
+    # re-certified in r5, due again in round 7. The twelve late-round-6
+    # queries (semantic_dedup / source_similarity / snapshot_delta /
+    # winsorize / event_rollup / paragraph_dedup / bloom_decontaminate /
+    # train_split / quality_resample / event_funnel / retention_cohorts /
     # event_path_topk) take the first slots as never-certified; that
-    # pushes stratified_sample_docs, doc_contamination, doc_repetition,
-    # doc_redact_pii, doc_sliding_chunks, doc_pack_chunks and
-    # curation_pipeline_docs (r4-green, locally green in
-    # ORACLES_LOCAL.json) to the round-7 rotation.
+    # pushes dedup_exact_docs, doc_unigram_logprob, doc_bigram_logprob,
+    # char_ngram_jaccard_docs, doc_tfidf_top_terms, stratified_sample_docs,
+    # doc_contamination, doc_repetition, doc_redact_pii, doc_sliding_chunks,
+    # doc_pack_chunks and curation_pipeline_docs (r4/r5-green, locally
+    # green in ORACLES_LOCAL.json) to the round-7 rotation.
 )
 
 

@@ -132,6 +132,11 @@ BENCH_QUERIES = [
     "event_funnel",
     "retention_cohorts",
     "event_path_topk",
+    "semantic_dedup_embeddings",
+    "source_similarity_minhash",
+    "snapshot_delta_dedup_docs",
+    "winsorize_docs",
+    "event_rollup_daily",
 ]
 
 

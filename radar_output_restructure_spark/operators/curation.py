@@ -535,3 +535,46 @@ def quality_resample(
     w_micro = F.round(quality_score(text_col) * 1_000_000).cast("long")
     u = F.expr(md5_horner_sql(f"CAST(`{id_col}` AS STRING) || '{salt}'")) % 1_000_000
     return df.withColumn("weight_micro", w_micro).filter(u < F.col("weight_micro"))
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """(id, group, value, clamped): per-group winsorization — clamp a
+    numeric feature to its group's [lo_q, hi_q] exact percentiles, the
+    outlier-trimming step before any length/quality statistic feeds a
+    mixture weight (one pathological 500 MB document otherwise owns its
+    language's mean).
+
+    Two stages, both group-bounded: one map-side-combined groupBy(group)
+    computing the exact percentile pair (Spark `percentile` ==
+    DuckDB `quantile_cont`, same linear-interpolation definition — values
+    hash-match with no integer tricks), then a BROADCAST join back (the
+    bounds frame has one row per group, and the group key is a bounded
+    vocabulary — language codes — so pinning the broadcast is safe where
+    pinning a data-dependent vocab was not; see the unigram-LM history).
+    Clamping itself is map-only Column algebra. For unbounded group keys
+    swap `percentile` for `approx_percentile` and drop the pin —
+    documented trade, not needed for per-language trimming.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_q})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_q})").alias("__hi"),
+    )
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col(value_col).cast("bigint").alias(value_col),
+            F.round(
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6
+            ).alias("clamped"),
+        )
+    )

@@ -723,3 +723,49 @@ def source_minhash_similarity(
             F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
         )
     )
+
+
+def snapshot_delta_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, digest, status): classify an incoming crawl batch against
+    the corpus HISTORY — `dup_of_history` (content digest already ingested
+    in a prior snapshot), `dup_in_batch` (first seen in this batch but not
+    by this row; min-id row is the survivor), or `new`. The incremental
+    ingest primitive: every refresh dedups only its delta instead of
+    re-deduping 100 TB from scratch.
+
+    Plan: one digest per row on each side (map-only md5), the batch's
+    min-id canonical per digest (map-side-combined groupBy), then a
+    digest-keyed LEFT join against the DISTINCT history digest set. All
+    three stages key on the digest — AQE co-partitions them into one
+    shuffle lineage, and the history side carries 16 bytes/doc, not
+    documents. At petabyte history the refinement is a sorted digest
+    ledger + Bloom prefilter so only probable hits reach the join
+    (`bloom_ngram_filter` is the same trick at n-gram granularity);
+    correctness here never depends on it.
+    """
+    new = new_df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest")
+    )
+    hist = (
+        history_df.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .withColumn("__hist", F.lit(1))
+    )
+    canon = new.groupBy("digest").agg(F.min("doc_id").alias("__canon"))
+    return (
+        new.join(canon, "digest")
+        .join(hist, "digest", "left")
+        .select(
+            "doc_id",
+            "digest",
+            F.when(F.col("__hist").isNotNull(), F.lit("dup_of_history"))
+            .when(F.col("doc_id") != F.col("__canon"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -137,3 +137,39 @@ def event_path_topk(
         .orderBy(F.col("n_paths").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def event_rollup_daily(ev: DataFrame) -> DataFrame:
+    """(event_type, event_date, n_events, sum_value_micro, gid): the
+    multi-level daily rollup — per (type, day), per type, and the grand
+    total in ONE pass via ROLLUP, with `gid` (grouping_id bitmask,
+    first column = MSB — the shared Spark/Postgres/DuckDB convention)
+    disambiguating real dimension values from the '(all)' subtotal rows.
+
+    Spark expands ROLLUP before aggregation but the aggregate is still
+    map-side combined per grouping set, so the corpus is read ONCE and the
+    shuffle carries only (groups x levels) partial rows — at 100 TB this
+    beats three separate aggregations by 3x on scan alone. Values sum as
+    integer micros (floor(value * 1e6)): exact, associative, engine-equal;
+    a float sum over millions of rows is neither.
+    """
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("event_date"),
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("__v"),
+    )
+    return (
+        base.rollup("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("__v").cast("bigint").alias("sum_value_micro"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("event_date", F.lit("(all)")).alias("event_date"),
+            "n_events",
+            "sum_value_micro",
+            "gid",
+        )
+    )

@@ -1270,12 +1270,12 @@ _BLOOM_SQL = f"""
 @register("bloom_decontaminate_docs", _BLOOM_SQL)
 def q_bloom_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter n-gram decontamination: the eval slice's sliding 8-gram
-    set folds into a broadcast 4096-bit filter (3 disjoint-md5-span bit
-    positions per gram); probing the training corpus is map-only — one md5
-    per gram, three O(1) element_at lookups — so nothing corpus-sized
-    shuffles, unlike the exact gram-join. One-sided error: flagged docs are
-    a superset of true overlaps; run the exact check on the sliver
-    (operators/sketches.bloom_ngram_filter)."""
+    set folds into a 65536-bit filter (4 disjoint-md5-span bit positions
+    per gram) that ships inside the Arrow probe closure; probing the
+    training corpus is map-only — one md5 per gram, 4 vectorized bitset
+    lookups — so nothing corpus-sized shuffles, unlike the exact gram-join.
+    One-sided error: flagged docs are a superset of true overlaps; run the
+    exact check on the sliver (operators/sketches.bloom_ngram_filter)."""
     from radar_output_restructure_spark.operators.sketches import (
         bloom_ngram_filter,
     )
@@ -1353,3 +1353,80 @@ def q_quality_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return quality_resample(docs).select("doc_id", "source", "weight_micro")
+
+
+@register(
+    "winsorize_docs",
+    """
+    WITH b AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, CAST(n_chars AS BIGINT) AS n_chars,
+           round(least(greatest(CAST(n_chars AS DOUBLE), lo), hi), 6)
+             AS clamped
+    FROM documents d JOIN b USING (lang)
+    """,
+)
+def q_winsorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document length: clamp n_chars to the
+    language's exact [p05, p95] — the outlier trim before lengths feed any
+    mixture statistic. One group-bounded percentile aggregate + a pinned
+    broadcast join back (lang is a bounded vocabulary); clamping is
+    map-only (operators/curation.winsorize_by_group)."""
+    from radar_output_restructure_spark.operators.curation import (
+        winsorize_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return winsorize_by_group(docs, "n_chars", group_col="lang")
+
+
+#: prior snapshot = doc_id < 300; incoming batch = doc_id >= 200. The windows
+#: OVERLAP on purpose: a refresh re-fetches live URLs, so part of every real
+#: batch is content the history already holds — that overlap is what
+#: exercises the dup_of_history classification.
+SNAPSHOT_HIST_MAX = 300
+SNAPSHOT_BATCH_MIN = 200
+
+
+@register(
+    "snapshot_delta_dedup_docs",
+    f"""
+    WITH new_side AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+      WHERE doc_id >= {SNAPSHOT_BATCH_MIN}
+    ),
+    hist AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents
+      WHERE doc_id < {SNAPSHOT_HIST_MAX}
+    ),
+    canon AS (
+      SELECT digest, min(doc_id) AS canon FROM new_side GROUP BY digest
+    )
+    SELECT n.doc_id, n.digest,
+           CASE WHEN h.digest IS NOT NULL THEN 'dup_of_history'
+                WHEN n.doc_id != c.canon THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM new_side n
+    JOIN canon c USING (digest)
+    LEFT JOIN hist h USING (digest)
+    """,
+)
+def q_snapshot_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: classify the incoming half of the corpus
+    against the prior-snapshot half by content digest — dup_of_history /
+    dup_in_batch (min-id survivor) / new. Digest-keyed joins carry 16
+    bytes per doc, never documents
+    (operators/dedup_scale.snapshot_delta_dedup)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        snapshot_delta_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return snapshot_delta_dedup(
+        docs.filter(F.col("doc_id") >= SNAPSHOT_BATCH_MIN),
+        docs.filter(F.col("doc_id") < SNAPSHOT_HIST_MAX),
+    )

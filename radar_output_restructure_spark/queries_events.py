@@ -123,3 +123,33 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return event_path_topk(ev)
+
+
+@register(
+    "event_rollup_daily",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+      FROM events
+    )
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(event_date, '(all)') AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_micro) AS BIGINT) AS sum_value_micro,
+           CAST(GROUPING(event_type, event_date) AS INT) AS gid
+    FROM b GROUP BY ROLLUP(event_type, event_date)
+    """,
+)
+def q_event_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/type/grand-total event rollup in one scan: ROLLUP grouping
+    sets with the grouping_id bitmask (identical Spark/DuckDB convention,
+    asserted by the oracle), values summed as exact integer micros
+    (operators/funnel.event_rollup_daily)."""
+    from radar_output_restructure_spark.operators.funnel import (
+        event_rollup_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return event_rollup_daily(ev)

@@ -128,6 +128,54 @@ _SQL_FP_SUM = " + ".join(
 )
 
 
+SRC_SIM_HASHES = 16
+
+_SQL_SRC_MINHASH = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source, s AS shingle
+      FROM (SELECT doc_id, source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, len(words) - 1)]) AS t(s)
+    ),
+    h0 AS (
+      SELECT source, {horner_fold_sql("md", HASH_CHARS)} AS h0
+      FROM (SELECT source, md5(shingle) AS md FROM sh)
+    ),
+    hs AS (
+      SELECT source, seed,
+             min(((131 + 2 * seed) * h0 + 1000003 * seed + 1) % {FP_PRIME})
+               AS minhash
+      FROM h0, (SELECT unnest(range({SRC_SIM_HASHES})) AS seed)
+      GROUP BY source, seed
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matching,
+           round(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                 / {SRC_SIM_HASHES}.0, 6) AS est_jaccard
+    FROM hs a JOIN hs b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+
+@register("source_similarity_minhash", _SQL_SRC_MINHASH)
+def q_source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated shingle-set Jaccard between every SOURCE pair — the
+    mirror/partial-dump overlap matrix a crawl consults before doc-level
+    dedup. Source-keyed MinHash (one shuffle row per source), then a
+    broadcast self-join over the domain-cardinality signature frame; the
+    exact shingle self-join this replaces dies on stop-grams at corpus
+    scale (operators/dedup_scale.source_minhash_similarity)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        source_minhash_similarity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return source_minhash_similarity(docs, num_hashes=SRC_SIM_HASHES)
+
+
 @register(
     "simhash_docs",
     f"""

@@ -70,6 +70,9 @@ HEAVY = [
     "ann_ivf_persisted_topk",
     "paragraph_dedup_docs",
     "bloom_decontaminate_docs",
+    "semantic_dedup_embeddings",
+    "source_similarity_minhash",
+    "snapshot_delta_dedup_docs",
 ]
 
 ID_STRIDE = 10_000_000
