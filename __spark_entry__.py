@@ -44,6 +44,7 @@ _GATE_HEAD = (
     "snapshot_delta_dedup_docs",
     "winsorize_docs",
     "event_rollup_daily",
+    "funnel_conversions_events",
     "paragraph_dedup_docs",
     "bloom_decontaminate_docs",
     "train_split_docs",
@@ -109,16 +110,17 @@ _GATE_HEAD = (
     # r4/r5-green entries displaced past slot 50 by the round-6 additions:
     # restructure_flagship, time_bin_hourly, sanitize_ids,
     # flatten_projection, exclude_fields, dedup_keep_last — all
-    # re-certified in r5, due again in round 7. The twelve late-round-6
+    # re-certified in r5, due again in round 7. The thirteen late-round-6
     # queries (semantic_dedup / source_similarity / snapshot_delta /
-    # winsorize / event_rollup / paragraph_dedup / bloom_decontaminate /
-    # train_split / quality_resample / event_funnel / retention_cohorts /
-    # event_path_topk) take the first slots as never-certified; that
-    # pushes dedup_exact_docs, doc_unigram_logprob, doc_bigram_logprob,
-    # char_ngram_jaccard_docs, doc_tfidf_top_terms, stratified_sample_docs,
-    # doc_contamination, doc_repetition, doc_redact_pii, doc_sliding_chunks,
-    # doc_pack_chunks and curation_pipeline_docs (r4/r5-green, locally
-    # green in ORACLES_LOCAL.json) to the round-7 rotation.
+    # winsorize / event_rollup / funnel_conversions / paragraph_dedup /
+    # bloom_decontaminate / train_split / quality_resample / event_funnel /
+    # retention_cohorts / event_path_topk) take the first slots as
+    # never-certified; that pushes doc_lang_id, dedup_exact_docs,
+    # doc_unigram_logprob, doc_bigram_logprob, char_ngram_jaccard_docs,
+    # doc_tfidf_top_terms, stratified_sample_docs, doc_contamination,
+    # doc_repetition, doc_redact_pii, doc_sliding_chunks, doc_pack_chunks
+    # and curation_pipeline_docs (r4/r5-green, locally green in
+    # ORACLES_LOCAL.json) to the round-7 rotation.
 )
 
 

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "snapshot_delta_dedup_docs",
     "winsorize_docs",
     "event_rollup_daily",
+    "funnel_conversions_events",
 ]
 
 

@@ -527,6 +527,75 @@ def _codebook_affinities(x, cents, cnorms):
     return _round6_spark(dots / (vn[:, None] * cnorms))
 
 
+def _codebook_argtop(x, cents, cnorms, take: int):
+    """(n, take) codebook indices of the top-`take` cells by (rounded
+    cosine DESC, cell ASC) — bit-identical to ranking the full
+    `_codebook_affinities` matrix, at BLAS cost.
+
+    The full exact fold is O(n*k*dims) WITHOUT BLAS (the sequential
+    per-dimension accumulation exists precisely because blocked matmul
+    rounds differently), so a corpus-scaled codebook (SemDeDup's k ~ n)
+    made assignment itself quadratic-ish: 10x tiling measured x17.8 on
+    semantic_dedup before this. Here a float64 BLAS matmul produces
+    APPROXIMATE affinities first — within ~1e-9 of the exact fold for
+    unit-ish 64-dim vectors, against a 1e-6 rounding quantum — and only
+    rows' candidate cells inside a 1e-5 margin of their take-th-largest
+    approximate affinity are re-folded exactly (sequentially over dims,
+    grouped by cell so the recompute is vectorized). Any cell outside the
+    margin is > the rounding quantum below the take-th exact-rounded
+    value and can never enter the exact top-take, so the shortlist always
+    contains it; the final (rounded exact, cell) lexsort reproduces the
+    stable argsort of the dense matrix. Only RANKING callers use this
+    (cell assignment, Lloyd updates); operators that emit affinity VALUES
+    keep the dense exact fold.
+    """
+    import numpy as np
+
+    n, dims = x.shape
+    k = cents.shape[0]
+    take = min(take, k)
+    # exact self-norms (cheap: n x dims) — these scale the emitted ranks'
+    # implicit values, so they stay on the fold path
+    sq = np.zeros(n)
+    for d in range(dims):
+        xd = x[:, d]
+        sq = sq + xd * xd
+    vn = np.sqrt(sq)
+
+    approx = (x @ cents.T) / (vn[:, None] * cnorms)
+    if take >= k:
+        kth = np.full(n, -np.inf)
+    else:
+        kth = np.partition(approx, k - take, axis=1)[:, k - take]
+    rows, cols = np.where(approx >= (kth[:, None] - 1e-5))
+
+    exact = np.empty(len(rows))
+    order = np.argsort(cols, kind="stable")
+    rows, cols = rows[order], cols[order]
+    bounds = np.searchsorted(cols, np.arange(k + 1))
+    for c in range(k):
+        lo, hi = bounds[c], bounds[c + 1]
+        if lo == hi:
+            continue
+        xi = x[rows[lo:hi]]
+        acc = np.zeros(hi - lo)
+        cc = cents[c]
+        for d in range(dims):
+            acc = acc + xi[:, d] * cc[d]
+        exact[lo:hi] = acc
+    aff = _round6_spark(exact / (vn[rows] * cnorms[cols]))
+
+    # per-row (rounded aff desc, cell asc): lexsort keys are applied
+    # last-key-primary
+    ordr = np.lexsort((cols, -aff, rows))
+    rows_s, cols_s = rows[ordr], cols[ordr]
+    starts = np.searchsorted(rows_s, np.arange(n))
+    out = np.empty((n, take), dtype=np.int64)
+    for t in range(take):
+        out[:, t] = cols_s[starts + t]
+    return out
+
+
 def ivf_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -576,8 +645,7 @@ def ivf_cells(
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            aff = _codebook_affinities(x, cents, cnorms)
-            order = np.argsort(-aff, axis=1, kind="stable")[:, :take]
+            order = _codebook_argtop(x, cents, cnorms, take)
             n = x.shape[0]
             yield pd.DataFrame(
                 {
@@ -881,8 +949,7 @@ def train_ivf_centroids(
                 if len(pdf) == 0:
                     continue
                 x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                aff = _codebook_affinities(x, c_arr, c_norms)
-                cell = np.argsort(-aff, axis=1, kind="stable")[:, 0]
+                cell = _codebook_argtop(x, c_arr, c_norms, 1)[:, 0]
                 cnt = np.bincount(cell, minlength=k).astype(np.int64)
                 micro = np.floor(x * 1e6).astype(np.int64)  # (n, dims)
                 sums = np.zeros((k, micro.shape[1]), dtype=np.int64)
@@ -1010,8 +1077,7 @@ def train_pq_codebooks(
                 frames = []
                 for s, (lo, hi) in enumerate(bounds):
                     xs = x[:, lo:hi]
-                    aff = _codebook_affinities(xs, c_arrs[s], c_norms[s])
-                    cell = np.argsort(-aff, axis=1, kind="stable")[:, 0]
+                    cell = _codebook_argtop(xs, c_arrs[s], c_norms[s], 1)[:, 0]
                     cnt = np.bincount(cell, minlength=k).astype(np.int64)
                     micro = np.floor(xs * 1e6).astype(np.int64)
                     sums = np.zeros((k, sd), dtype=np.int64)
@@ -1098,11 +1164,8 @@ def pq_encode(
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             cols = {"vec_id": pdf["vec_id"].to_numpy()}
             for s in range(m):
-                aff = _codebook_affinities(
-                    x[:, s * sd : (s + 1) * sd], cents[s], cnorms[s]
-                )
-                cols[code_cols[s]] = np.argsort(
-                    -aff, axis=1, kind="stable"
+                cols[code_cols[s]] = _codebook_argtop(
+                    x[:, s * sd : (s + 1) * sd], cents[s], cnorms[s], 1
                 )[:, 0].astype(np.int32)
             yield pd.DataFrame(cols)
 
@@ -1344,20 +1407,17 @@ def cosine_topk_ivfpq(
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            aff = _codebook_affinities(x, coarse, coarse_norms)
-            home = np.argsort(-aff, axis=1, kind="stable")[:, 0]
+            home = _codebook_argtop(x, coarse, coarse_norms, 1)[:, 0]
             cols = {
                 "vec_id": pdf["vec_id"].to_numpy(),
                 "cell": coarse_cells[home],
             }
             for s in range(m):
-                sub_aff = _codebook_affinities(
+                cols[code_cols[s]] = _codebook_argtop(
                     x[:, s * sd_enc : (s + 1) * sd_enc],
                     pq_cents[s],
                     pq_norms[s],
-                )
-                cols[code_cols[s]] = np.argsort(
-                    -sub_aff, axis=1, kind="stable"
+                    1,
                 )[:, 0].astype(np.int32)
             yield pd.DataFrame(cols)
 

@@ -153,3 +153,47 @@ def q_event_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return event_rollup_daily(ev)
+
+
+@register(
+    "funnel_conversions_events",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t0
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t1
+      GROUP BY e.user_id
+    )
+    SELECT s3.user_id,
+           CAST(t2 AS VARCHAR) AS converted_at,
+           CAST(epoch_us(t1) - epoch_us(t0) AS BIGINT) AS lag1_us,
+           CAST(epoch_us(t2) - epoch_us(t1) AS BIGINT) AS lag2_us
+    FROM s3 JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+    """,
+)
+def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel conversions (the row-level face of `event_funnel`):
+    first strict view->click->purchase completion per user with exact
+    integer microsecond lags. This is the BATCH mode of the dual-mode
+    streaming operator — the stateful streaming path
+    (streaming/windows.streaming_funnel_conversions) emits the identical
+    rows per micro-batch, parity-tested across a batch split."""
+    from radar_output_restructure_spark.streaming.windows import (
+        streaming_funnel_conversions,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = streaming_funnel_conversions(ev, steps=FUNNEL_STEPS)
+    return out.withColumn(
+        "converted_at", F.col("converted_at").cast("string")
+    )

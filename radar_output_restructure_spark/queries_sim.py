@@ -562,12 +562,28 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: cosine at or above which two same-cell vectors are semantic duplicates
 SEMDEDUP_TAU = 0.4
+#: target vectors per k-means cell: k scales as ceil(n / this), which holds
+#: the per-cell pairwise-verify work CONSTANT per cell (linear overall) —
+#: the whole reason SemDeDup clusters first. 10x-tiling stress with k
+#: pinned at 16 measured x7.3 (quadratic in cell occupancy); auto-k holds
+#: the plan linear. The oracle pre-bakes k for the driver's fixed sf0.01
+#: gate (500 vectors -> 16 cells), exactly like queries_stream's
+#: AUTO_GATE_PLANES.
+SEM_TARGET_CELL = 32
+SEM_GATE_N = 500  # embeddings rows at the driver's fixed sf0.01 gate
+SEM_GATE_K = max(16, -(-SEM_GATE_N // SEM_TARGET_CELL))  # = 16 at the gate
+
+
+def sem_auto_cells(n: int) -> int:
+    """Cell count for a corpus of n vectors: ceil(n / SEM_TARGET_CELL),
+    floored at the gate's 16."""
+    return max(16, -(-n // SEM_TARGET_CELL))
 
 
 @register(
     "semantic_dedup_embeddings",
     f"""
-    WITH {_sql_kmeans_ctes(N_CENTROIDS, KM_ITERS)},
+    WITH {_sql_kmeans_ctes(SEM_GATE_K, KM_ITERS)},
     cells AS ({_sql_trained_cells("", 1, KM_ITERS)}),
     cand AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell
@@ -604,17 +620,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     population is held constant by sizing k with the corpus, so the
     quadratic verify work stays linear overall — the property that makes
     SemDeDup the curation-scale semantic dedup (operators/similarity.
-    semantic_dedup). Oracle replays the identical Lloyd training as
-    unrolled CTEs, so even cluster assignments hash-match."""
+    semantic_dedup). k tracks the corpus (`sem_auto_cells`, constant
+    target cell size — 10x stress with k pinned at 16 measured x7.3);
+    the oracle pre-bakes the gate cardinality's k = 16, which
+    sem_auto_cells(500) reproduces. It replays the identical Lloyd
+    training as unrolled CTEs, so even cluster assignments hash-match."""
     from radar_output_restructure_spark.operators.similarity import (
         semantic_dedup,
         train_ivf_centroids,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(
-        emb, k=N_CENTROIDS, iters=KM_ITERS, dims=DIMS
-    )
+    k = sem_auto_cells(emb.count())
+    centroids = train_ivf_centroids(emb, k=k, iters=KM_ITERS, dims=DIMS)
     return semantic_dedup(emb, centroids, SEMDEDUP_TAU)
 
 

@@ -494,3 +494,143 @@ def streaming_simhash_near_dup_pairs_wide(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+_FUNNEL_STATE_SCHEMA = "step int, last_us bigint, lags array<bigint>"
+
+
+def _funnel_out_schema(n_steps: int) -> str:
+    lags = ", ".join(f"lag{i}_us bigint" for i in range(1, n_steps))
+    return f"user_id bigint, converted_at timestamp, {lags}"
+
+
+def streaming_funnel_conversions(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    state_ttl_s: float | None = 86_400.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, converted_at, lag1_us..): one row per user at their FIRST
+    completion of the strict step sequence — the live face of
+    `operators/funnel.funnel`, emitting a conversion the micro-batch it
+    happens instead of recounting the corpus nightly.
+
+    Streaming: applyInPandasWithState keyed on user. State is three
+    scalars per mid-funnel user — (steps matched so far, timestamp of the
+    last matched step, accumulated lags) — advanced by a ts-sorted scan of
+    each micro-batch; since events arrive time-ordered across batches, the
+    first in-order match IS the minimum qualifying timestamp, so the
+    greedy scan reproduces the batch operator's min-after-min exactly.
+    Completed users keep a tombstone state (step == len(steps)) so later
+    events cannot re-convert them; the processing-time TTL expires both
+    tombstones and stalled funnels, which bounds state at O(users active
+    per TTL window) — the requirement on an unbounded stream. Late
+    (out-of-order) events are a documented divergence from batch: a
+    production deployment fronts this with a watermark-delayed sorter.
+
+    Batch: the same per-user sequential-min plan as `funnel`, emitted per
+    user instead of aggregated — identical output for in-order data, which
+    is what the parity test asserts across a micro-batch split.
+    """
+    n = len(steps)
+    out_schema = _funnel_out_schema(n)
+    if df.isStreaming:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        step_index = {s: i for i, s in enumerate(steps)}
+
+        def fn(key, pdfs, state):
+            (user_id,) = key
+            if state.hasTimedOut:
+                state.remove()
+                return
+            ev = pd.concat(list(pdfs))
+            ev = ev.sort_values(ts_col, kind="stable")
+            if state.exists:
+                step, last_us, lags = state.get
+                lags = list(lags)
+            else:
+                step, last_us, lags = 0, -1, []
+            rows = None
+            if step < n:
+                ts_us = ev[ts_col].astype("int64") // 1000
+                types = ev[type_col].to_list()
+                for t_us, t_type in zip(ts_us.to_list(), types):
+                    if step >= n:
+                        break
+                    if step_index.get(t_type) != step:
+                        continue
+                    if step > 0 and t_us <= last_us:
+                        continue
+                    if step > 0:
+                        lags.append(t_us - last_us)
+                    last_us = t_us
+                    step += 1
+                if step == n:
+                    rows = pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "converted_at": [pd.Timestamp(last_us, unit="us")],
+                            **{
+                                f"lag{i}_us": [lags[i - 1]]
+                                for i in range(1, n)
+                            },
+                        }
+                    )
+            state.update((step, last_us, lags))
+            if state_ttl_s is not None:
+                state.setTimeoutDuration(int(state_ttl_s * 1000))
+            if rows is not None:
+                yield rows
+
+        return (
+            df.select(
+                F.col(user_col).alias("user_id"),
+                F.col(ts_col).alias(ts_col),
+                F.col(type_col).alias(type_col),
+            )
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=out_schema,
+                stateStructType=_FUNNEL_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if state_ttl_s is not None
+                    else GroupStateTimeout.NoTimeout
+                ),
+            )
+        )
+
+    aggs = [
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"a{i}")
+        )
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(*aggs)
+    for i in range(1, n):
+        prev = F.col(f"t{i-1}")
+        per_user = per_user.withColumn(
+            f"t{i}",
+            F.when(
+                prev.isNotNull(),
+                F.array_min(F.filter(F.col(f"a{i}"), lambda x: x > prev)),
+            ),
+        )
+    lag_cols = [
+        (F.unix_micros(F.col(f"t{i}")) - F.unix_micros(F.col(f"t{i-1}")))
+        .cast("bigint")
+        .alias(f"lag{i}_us")
+        for i in range(1, n)
+    ]
+    return per_user.filter(F.col(f"t{n-1}").isNotNull()).select(
+        "user_id", F.col(f"t{n-1}").alias("converted_at"), *lag_cols
+    )

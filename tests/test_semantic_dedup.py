@@ -81,3 +81,37 @@ def test_semantic_dedup_drops_exact_duplicates(spark, sf_dir):
     out = {r.vec_id: r for r in semantic_dedup(corpus, cents, 0.999999).collect()}
     assert out[0].kept == 1 and out[0].n_dups >= 1
     assert out[1_000_000].kept == 0 and out[1_000_000].n_dups >= 1
+
+
+def test_codebook_argtop_matches_dense_fold():
+    """The BLAS-shortlist + exact-refold ranking is bit-identical to the
+    stable argsort of the dense exact-fold affinity matrix, including
+    manufactured exact duplicates and 1e-9 near-ties (the only regime
+    where the shortlist margin is load-bearing)."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.similarity import (
+        _codebook_affinities,
+        _codebook_argtop,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n, k, dims = rng.randint(50, 300), rng.randint(4, 64), 64
+        x = rng.randn(n, dims) * rng.uniform(0.1, 3)
+        cents = rng.randn(k, dims)
+        cents[1] = cents[0]  # exact duplicate centroid -> tie on cell id
+        if k > 3:
+            cents[3] = cents[2] * (1 + 1e-9)  # sub-quantum near-tie
+        x[0] = cents[0] * 2.0  # a row exactly collinear with a centroid
+        cnorms = np.array(
+            [
+                np.sqrt(sum(float(c[d]) * float(c[d]) for d in range(dims)))
+                for c in cents
+            ]
+        )
+        for take in (1, min(4, k)):
+            aff = _codebook_affinities(x, cents, cnorms)
+            ref = np.argsort(-aff, axis=1, kind="stable")[:, :take]
+            got = _codebook_argtop(x, cents, cnorms, take)
+            assert np.array_equal(ref, got), (trial, take)
