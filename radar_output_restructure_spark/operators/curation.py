@@ -413,8 +413,11 @@ def segment_dedup(
     """(doc_id, n_segments, n_kept, clean_fp): C4-style corpus-wide repeated-
     segment removal. Every document is cut into consecutive `k`-word
     segments (the whitespace-free analogue of C4's "lines"); any segment
-    whose corpus-wide document frequency reaches `min_df` is boilerplate and
-    is dropped from EVERY document; the survivors re-join in original order
+    whose corpus-wide OCCURRENCE count reaches `min_df` is boilerplate and
+    is dropped from EVERY document (a segment repeated min_df times inside
+    one document counts — intentionally: intra-document boilerplate is
+    boilerplate too, and the DuckDB oracle implements the identical
+    occurrence-count semantics); the survivors re-join in original order
     and `clean_fp` is the 53-bit md5-Horner fingerprint of that cleaned
     text (NULL when nothing survives).
 

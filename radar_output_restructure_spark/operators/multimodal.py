@@ -1040,12 +1040,18 @@ def gif_frame_features(
                 frames = list(_gif_frames(bytes(payload)))
                 total = len(frames)
                 if total > max_frames:  # evenly spaced keep-set
-                    keep = sorted(
-                        {
-                            (i * (total - 1)) // (max_frames - 1)
-                            for i in range(max_frames)
-                        }
-                    )
+                    if max_frames == 1:
+                        # single-frame sample: the even-spacing formula
+                        # divides by (max_frames - 1); keep frame 0, the
+                        # same convention as audio_frame_rms's n_frames==1
+                        keep = [0]
+                    else:
+                        keep = sorted(
+                            {
+                                (i * (total - 1)) // (max_frames - 1)
+                                for i in range(max_frames)
+                            }
+                        )
                 else:
                     keep = list(range(total))
                 for fi in keep:

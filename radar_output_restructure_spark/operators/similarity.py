@@ -561,8 +561,17 @@ def _codebook_argtop(x, cents, cnorms, take: int):
         xd = x[:, d]
         sq = sq + xd * xd
     vn = np.sqrt(sq)
+    # Degenerate-norm guard: a zero-norm vector (or centroid) would make
+    # the whole affinity row NaN, np.where would then emit no shortlist
+    # entries for it, and the starts-based gather below would read the
+    # NEXT row's candidates (or run off the end). Coalescing the zero
+    # norms to 1 keeps the numerator-0 affinities at exactly 0.0, so the
+    # row ranks all cells tied at 0 and the (aff desc, cell asc) lexsort
+    # deterministically assigns the lowest cell ids.
+    vn_safe = np.where(vn == 0.0, 1.0, vn)
+    cn_safe = np.where(cnorms == 0.0, 1.0, cnorms)
 
-    approx = (x @ cents.T) / (vn[:, None] * cnorms)
+    approx = (x @ cents.T) / (vn_safe[:, None] * cn_safe)
     if take >= k:
         kth = np.full(n, -np.inf)
     else:
@@ -583,7 +592,7 @@ def _codebook_argtop(x, cents, cnorms, take: int):
         for d in range(dims):
             acc = acc + xi[:, d] * cc[d]
         exact[lo:hi] = acc
-    aff = _round6_spark(exact / (vn[rows] * cnorms[cols]))
+    aff = _round6_spark(exact / (vn_safe[rows] * cn_safe[cols]))
 
     # per-row (rounded aff desc, cell asc): lexsort keys are applied
     # last-key-primary

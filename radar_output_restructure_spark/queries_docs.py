@@ -1213,7 +1213,9 @@ _SEG_DEDUP_SQL = f"""
 @register("paragraph_dedup_docs", _SEG_DEDUP_SQL)
 def q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-wide repeated-segment removal: consecutive 8-word
-    segments with document frequency >= 2 anywhere in the corpus are
+    segments occurring >= 2 times anywhere in the corpus (occurrence
+    count, not distinct-document count — repeats inside one document
+    qualify, and the oracle matches that semantics) are
     boilerplate and vanish from every document; survivors re-join in order
     and are fingerprinted. Map-only segmenting, one map-side-combined
     groupBy for the dup set (filtered small BEFORE rejoining the corpus, so

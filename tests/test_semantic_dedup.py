@@ -115,3 +115,31 @@ def test_codebook_argtop_matches_dense_fold():
             ref = np.argsort(-aff, axis=1, kind="stable")[:, :take]
             got = _codebook_argtop(x, cents, cnorms, take)
             assert np.array_equal(ref, got), (trial, take)
+
+
+def test_codebook_argtop_zero_norm_rows():
+    """Degenerate input guard: zero-norm vectors (and a zero-norm
+    centroid) must not shift the shortlist gather — every such row ranks
+    all cells tied at affinity 0 and deterministically takes the lowest
+    cell ids, and non-degenerate rows are unaffected."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.similarity import (
+        _codebook_argtop,
+    )
+
+    rng = np.random.RandomState(11)
+    n, k, dims = 12, 6, 8
+    x = rng.randn(n, dims)
+    x[0] = 0.0          # leading zero row
+    x[5] = 0.0          # interior zero row
+    x[n - 1] = 0.0      # trailing zero row (the IndexError case)
+    cents = rng.randn(k, dims)
+    cents[2] = 0.0      # zero-norm centroid
+    cnorms = np.sqrt((cents * cents).sum(axis=1))
+    for take in (1, 3):
+        out = _codebook_argtop(x, cents, cnorms, take)
+        assert out.shape == (n, take)
+        for zr in (0, 5, n - 1):
+            assert list(out[zr]) == list(range(take))  # all-tied -> cell asc
+        assert (out >= 0).all() and (out < k).all()

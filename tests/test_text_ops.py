@@ -2279,6 +2279,10 @@ def test_gif_frame_features(spark):
         gif_frame_features(df, max_frames=2).collect(), key=lambda r: r.frame
     )
     assert [r.frame for r in sampled] == [0, 2]
+    # max_frames=1 on a multi-frame GIF keeps frame 0 (the even-spacing
+    # formula divides by max_frames-1; this is the guarded special case)
+    one = gif_frame_features(df, max_frames=1).collect()
+    assert [r.frame for r in one] == [0] and one[0].mean_r == 255.0
 
 
 def test_int8_codes_np_matches_jvm(spark):
