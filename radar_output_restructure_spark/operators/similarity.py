@@ -67,10 +67,16 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
-    (query_id, neighbor_id, sim, rank); self-matches excluded.
+    (query_id, neighbor_id, sim, rank); self-matches excluded. With
+    `exclude_label_col`, corpus rows sharing the query's label are ALSO
+    excluded — the hard-negative-mining mode (contrastive training wants,
+    per anchor, the most-similar vectors of a DIFFERENT class: negatives
+    the model currently confuses). Same map-only scan either way — the
+    label test is one extra vectorized mask per batch.
 
     MAP-ONLY scoring with per-batch pruning: the query set is driver-small
     by contract (the same object the earlier broadcast-crossJoin shipped),
@@ -96,6 +102,16 @@ def cosine_topk(
     if not q_rows:
         raise ValueError("cosine_topk requires a non-empty query set")
     q_ids = [r.qid for r in q_rows]
+    q_labels = None
+    if exclude_label_col is not None:
+        lab = {
+            r.qid: r.ql
+            for r in queries.select(
+                F.col(id_col).alias("qid"),
+                F.col(exclude_label_col).alias("ql"),
+            ).collect()
+        }
+        q_labels = [lab[qid] for qid in q_ids]
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     q_arr = np.array(q_lists, dtype=np.float64)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
@@ -111,10 +127,13 @@ def cosine_topk(
                 continue
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             nbr = pdf["vec_id"].to_numpy()
+            lbl = pdf["__l"].to_numpy() if q_labels is not None else None
             aff = _codebook_affinities(x, q_arr, q_norms)  # (n, nq) rounded
             qcol, ncol, scol = [], [], []
             for j in range(nq):
                 valid = nbr != q_ids_arr[j]
+                if lbl is not None:
+                    valid &= lbl != q_labels[j]
                 sims_j = aff[valid, j]
                 nbr_j = nbr[valid]
                 take = np.lexsort((nbr_j, -sims_j))[:k]
@@ -129,9 +148,10 @@ def cosine_topk(
                 }
             )
 
-    pruned = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(score, out_schema)
+    cols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")]
+    if exclude_label_col is not None:
+        cols.append(F.col(exclude_label_col).alias("__l"))
+    pruned = corpus.select(*cols).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -859,9 +879,10 @@ def cosine_topk_int8(
                 }
             )
 
-    pruned = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(score, out_schema)
+    cols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")]
+    if exclude_label_col is not None:
+        cols.append(F.col(exclude_label_col).alias("__l"))
+    pruned = corpus.select(*cols).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

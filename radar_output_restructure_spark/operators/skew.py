@@ -1,0 +1,75 @@
+"""Skew-mitigation operators: salted two-stage aggregation.
+
+The hot-key problem at 100 TB: a groupBy key with a handful of giant
+groups (event_type has ~5 values over billions of rows) sends each giant
+group to ONE reducer. Plain sum/count survive via map-side partial
+aggregation, but COUNT(DISTINCT x) does not — Spark plans it as an Expand
++ re-shuffle on (key, x) whose reduce side still concentrates per-key
+state, and collect-style aggs concentrate payload outright. The classic
+fix is salting: split every group into S sub-groups on a hash of the
+DISTINCT column, aggregate the sub-groups in parallel, then combine the
+S partial results per key.
+
+Exactness invariant: the salt is derived from the distinct column itself,
+so equal values always land in the same sub-group — each sub-group's
+COUNT(DISTINCT) counts a DISJOINT value set and the stage-2 SUM of
+partials is the exact distinct count (not an approximation). Associative
+aggs (sum/count/min/max) re-combine with sum/sum/min/max respectively.
+
+Stage-2 input is |keys| x S rows regardless of corpus size — kilobytes —
+so the second shuffle is free; the win is stage 1's reduce parallelism
+going from |keys| to |keys| x S.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (stage-1 partial agg, stage-2 combiner) per supported agg kind
+_COMBINERS = {
+    "sum": F.sum,
+    "count": F.sum,
+    "count_distinct": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, Column, str]],
+    salt_col: Column,
+    num_salts: int = 32,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    `aggs` is a list of (kind, column, alias) with kind one of
+    sum / count / count_distinct / min / max. `salt_col` MUST be a pure
+    function of the count_distinct column when one is present (the
+    disjointness that makes the combined distinct count exact); for other
+    aggs any value-spreading expression works.
+    """
+    for kind, _c, _a in aggs:
+        if kind not in _COMBINERS:
+            raise ValueError(f"unsupported agg kind: {kind}")
+
+    salt = F.pmod(salt_col, F.lit(num_salts)).alias("__salt")
+    partials = []
+    for kind, col, alias in aggs:
+        if kind == "sum":
+            partials.append(F.sum(col).alias(alias))
+        elif kind == "count":
+            partials.append(F.count(col).alias(alias))
+        elif kind == "count_distinct":
+            partials.append(F.count_distinct(col).alias(alias))
+        elif kind == "min":
+            partials.append(F.min(col).alias(alias))
+        elif kind == "max":
+            partials.append(F.max(col).alias(alias))
+    stage1 = df.groupBy(*keys, salt).agg(*partials)
+    finals = [
+        _COMBINERS[kind](F.col(alias)).alias(alias) for kind, _c, alias in aggs
+    ]
+    return stage1.groupBy(*keys).agg(*finals)

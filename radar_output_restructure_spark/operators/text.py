@@ -893,3 +893,32 @@ def pmi_collocations(
         .limit(k)
         .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
     )
+
+
+def token_freq_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(tf, n_terms): the corpus frequency-of-frequencies spectrum — how
+    many distinct terms occur exactly `tf` times. This is the Zipf-fit /
+    Good-Turing smoothing input and the fastest corpus-health check there
+    is (a scrape gone wrong shows up as a spike of identical-frequency
+    boilerplate terms long before any per-document filter fires).
+
+    Two map-side-combined shuffles, each strictly shrinking: corpus ->
+    vocab (the word count), vocab -> distinct frequencies (thousands of
+    rows for ANY corpus — frequency values, not terms). Nothing sorts and
+    nothing sees the full vocabulary on one task.
+    """
+    tokens = df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term")
+    )
+    freqs = tokens.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    return freqs.groupBy("tf").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )

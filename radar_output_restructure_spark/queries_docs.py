@@ -1432,3 +1432,60 @@ def q_snapshot_delta_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= SNAPSHOT_BATCH_MIN),
         docs.filter(F.col("doc_id") < SNAPSHOT_HIST_MAX),
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse compaction planning + corpus frequency spectrum
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 2000  # chars per output group (sf-scaled docs are ~300)
+
+
+def _compaction_oracle() -> str:
+    from radar_output_restructure_spark.operators.compaction import (
+        compaction_bins_sql,
+    )
+
+    return compaction_bins_sql(
+        "documents", "source", "doc_id", "n_chars", COMPACT_TARGET
+    )
+
+
+@register("compaction_bins_docs", _compaction_oracle())
+def q_compaction_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over the corpus listing: per source,
+    documents ordered by doc_id pack greedily into ~2000-char output
+    groups via a cumulative-prefix window cut — the plan a lakehouse
+    compactor audits before rewriting (one window shuffle on the group
+    key, exact BIGINT cumsums in both engines;
+    operators/compaction.compaction_bins)."""
+    from radar_output_restructure_spark.operators.compaction import (
+        compaction_bins,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return compaction_bins(docs, "source", "doc_id", "n_chars", COMPACT_TARGET)
+
+
+@register(
+    "token_freq_spectrum_docs",
+    """
+    WITH toks AS (
+      SELECT tok AS term
+      FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    freqs AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY term
+    )
+    SELECT tf, CAST(count(*) AS BIGINT) AS n_terms FROM freqs GROUP BY tf
+    """,
+)
+def q_token_freq_spectrum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-of-frequencies (Zipf / Good-Turing input): how many
+    distinct terms occur exactly tf times. Two strictly-shrinking map-side-
+    combined shuffles — corpus -> vocab -> distinct frequencies — with no
+    global sort anywhere (operators/text.token_freq_spectrum)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.token_freq_spectrum(docs)

@@ -197,3 +197,79 @@ def q_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "converted_at", F.col("converted_at").cast("string")
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse layout + skew mitigation
+# ---------------------------------------------------------------------------
+
+from radar_output_restructure_spark.operators.zorder import (  # noqa: E402
+    z_order_stats,
+    z_order_stats_sql,
+)
+
+_Z_X = "user_id % 256"
+_Z_HOUR = "(epoch_us(ts) - (epoch_us(ts) % 3600000000)) / 3600000000"
+_Z_Y_DUCK = f"CAST({_Z_HOUR} AS BIGINT) % 256"
+_Z_Y_SPARK = _Z_Y_DUCK.replace("epoch_us(ts)", "unix_micros(ts)")
+
+
+@register(
+    "zorder_events",
+    z_order_stats_sql("events", _Z_X, _Z_Y_DUCK, bucket_bits=6, bits=8),
+)
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over events: interleave 8-bit
+    (user bucket, hour bucket) keys, cut the z-space into 64 equal ranges
+    ("files" of a z-ordered write), and emit each range's row count +
+    min/max of BOTH dimensions — the file-statistics table that shows why
+    the layout skips on either predicate (every bucket is a 32x32
+    rectangle, so a user_id filter prunes ~31/32 of files AND an hour
+    filter prunes ~31/32). Map-only bit arithmetic (whole-stage codegen,
+    identical expression text in the DuckDB oracle) + one 64-group
+    map-side-combined groupBy (operators/zorder.z_order_stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    return z_order_stats(ev, _Z_X, _Z_Y_SPARK, bucket_bits=6, bits=8)
+
+
+@register(
+    "salted_agg_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via two-stage salting: event_type has a
+    handful of giant groups, and the COUNT(DISTINCT user_id) leg is the
+    part plain map-side combining can't save (Spark plans it as Expand +
+    shuffle whose reduce side still concentrates each key's whole distinct
+    set on one task). The salt is pmod(hash-of-user_id, 32), a pure
+    function of the distinct column, so every sub-group counts a DISJOINT
+    user set and summing the 32 partials per key is EXACT — the oracle is
+    the plain one-stage GROUP BY. Stage 2 re-aggregates |keys| x 32 rows
+    (kilobytes at any corpus size); the win is stage 1's reduce
+    parallelism (operators/skew.salted_agg)."""
+    from radar_output_restructure_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", F.lit(1), "n_events"),
+            ("count_distinct", F.col("user_id"), "n_users"),
+            (
+                "sum",
+                F.round(F.col("value") * 100, 0).cast("long"),
+                "sum_value_cents",
+            ),
+        ],
+        salt_col=F.col("user_id"),
+        num_salts=32,
+    )

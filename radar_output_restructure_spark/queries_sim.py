@@ -1645,3 +1645,45 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         nprobe=NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 embedding AS cv
+          FROM embeddings),
+    sims AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM c, q
+      WHERE neighbor_id != query_id AND neighbor_label != qlabel
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor vector,
+    the top-k most-similar corpus vectors of a DIFFERENT label — the
+    negatives the model currently confuses, which is what makes a triplet
+    batch informative. Same map-only batch-pruned scan as
+    `cosine_topk_bruteforce` (the label test is one extra vectorized mask
+    per Arrow batch; kilobytes shuffle regardless of corpus size)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=TOP_K,
+        exclude_label_col="label",
+    )
