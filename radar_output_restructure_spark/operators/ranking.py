@@ -1,0 +1,82 @@
+"""Distributed global ranking — exact total-order row_number WITHOUT the
+single-partition window.
+
+`row_number() OVER (ORDER BY ...)` with no PARTITION BY is the classic
+scale-killer: Spark plans it as a global sort into ONE partition and
+windows the whole corpus on one task. The distributed equivalent is the
+two-pass range-sort ranking every external-sort system uses:
+
+1. `repartitionByRange` on the order keys (range partitioner: every key in
+   partition i sorts before every key in partition i+1) + sort within
+   partitions — the normal PARALLEL distributed sort;
+2. count rows per partition (a JVM-side groupBy over
+   `spark_partition_id()`, ~numPartitions rows collected to the driver;
+   the range-shuffle files are reused by the second pass, so this job
+   costs one reduce over already-shuffled data);
+3. a second map-only pass adds each partition's cumulative offset to its
+   local 0-based position.
+
+The output is exact and unique whenever the order keys form a strict
+total order (callers append a unique tiebreaker column), and it does NOT
+depend on where the sampled range boundaries fall — boundaries only move
+work between tasks, never a row's global position. Cost: the one range
+shuffle any distributed sort pays, plus a metadata-sized count job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Append a 1-based exact global rank under ORDER BY `order_cols`.
+
+    `order_cols` must define a strict total order (include a unique id as
+    the last key). All input columns pass through unchanged.
+    """
+    import numpy as np
+
+    sorted_df = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # numPartitions rows — metadata, not data; pid order IS key order
+    # under a range partitioner
+    sizes = {r["__pid"]: r["count"] for r in sorted_df.groupBy("__pid").count().collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in sorted_df.schema.fields
+        if f.name != "__pid"
+    )
+    out_schema = f"{fields}, {rank_col} bigint"
+
+    def add_rank(batches):
+        # mapInPandas feeds ONE partition's batches in order, so the
+        # running position is the partition-local 0-based row index
+        pos = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns=["__pid"]).copy()
+            out[rank_col] = np.arange(
+                base + pos + 1, base + pos + 1 + len(pdf), dtype=np.int64
+            )
+            pos += len(pdf)
+            yield out
+
+    return sorted_df.mapInPandas(add_rank, out_schema)

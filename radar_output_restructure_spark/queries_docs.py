@@ -1489,3 +1489,46 @@ def q_token_freq_spectrum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort anywhere (operators/text.token_freq_spectrum)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return X.token_freq_spectrum(docs)
+
+
+@register(
+    "global_rank_docs",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                  AS BIGINT) AS rank
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+    SELECT doc_id, n_chars, rank,
+           CAST((((rank - 1) * 10) - ((rank - 1) * 10) % total) / total
+                AS BIGINT) AS decile
+    FROM r, n
+    """,
+)
+def q_global_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide rank + decile by document length (the curriculum /
+    quality-bucketing primitive) — computed WITHOUT the oracle's
+    single-partition global window: range-repartition distributed sort +
+    per-partition offsets, a map-only second pass
+    (operators/ranking.global_rank). The decile derives from the rank with
+    exact integer arithmetic, so both engines agree bit-for-bit."""
+    from radar_output_restructure_spark.operators.ranking import global_rank
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "n_chars"
+    )
+    total = docs.count()
+    ranked = global_rank(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    tens = (F.col("rank") - 1) * 10
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        "rank",
+        ((tens - tens % F.lit(total)) / F.lit(total))
+        .cast("long")
+        .alias("decile"),
+    )
