@@ -769,3 +769,64 @@ def snapshot_delta_dedup(
             .alias("status"),
         )
     )
+
+
+def fingerprint_near_dup_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """(id_a, id_b, hamming): banded near-dup pairs over an ALREADY-COMPUTED
+    integer fingerprint column — the fingerprint-agnostic core of
+    `simhash_near_dup_pairs`, reused by perceptual image hashing
+    (operators/multimodal.image_near_dup_pairs) and any other b-bit
+    signature. Exact pigeonhole recall when bands > max_hamming; the only
+    shuffles are the bucket equijoin and the distinct over verified pairs.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming for exact pigeonhole recall"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col(id_col).alias("__id"),
+        F.col(fp_col).alias("__fp"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(fp_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"), F.col("__fp").alias("fa"), "band", "bv"
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), F.col("__fp").alias("fb"), "band", "bv"
+    )
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
+    )

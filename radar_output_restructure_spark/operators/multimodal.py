@@ -1077,3 +1077,79 @@ def gif_frame_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(batches, GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = "doc_id long, dhash long, width int, height int"
+
+
+def image_dhash(px) -> int:
+    """64-bit difference hash of an (h, w, 3) uint8 RGB array: integer
+    luma (299r + 587g + 114b — the Rec.601 weights scaled x1000, no float
+    anywhere), nearest-neighbor resample to 9x8, then bit i*8+j set when
+    gray[i][j] < gray[i][j+1]. Every step is integer arithmetic on
+    deterministic indices, so the hash is platform-stable — the property
+    that lets two pipeline runs dedup against each other's hashes."""
+    import numpy as np
+
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    small = resize_image_nn(g[:, :, None], 9, 8)[:, :, 0]
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.uint64).ravel()
+    h = np.uint64(0)
+    for i, b in enumerate(bits):
+        h |= np.uint64(b) << np.uint64(i)
+    return int(h.astype(np.int64))  # two's-complement into Spark LONG
+
+
+def image_dhash_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dhash, width, height): Arrow-batched perceptual hashing of
+    a binary image column (BMP/PNG/GIF/baseline-JPEG via
+    `decode_image_pixels`). Map-only at any corpus size; the hash is the
+    dedup key image pipelines band-join downstream
+    (`image_near_dup_pairs`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                px = decode_image_pixels(bytes(payload))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "dhash": image_dhash(px),
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate IMAGES — dHash fingerprints
+    band-joined with exact pigeonhole recall (bands > max_hamming over 64
+    bits), the visual analog of SimHash text dedup. The corpus never
+    all-pairs: candidates share a (band, value) bucket, verification is
+    one integer popcount (operators/dedup_scale.fingerprint_near_dup_pairs).
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        fingerprint_near_dup_pairs,
+    )
+
+    fp = image_dhash_features(df, id_col).select(id_col, "dhash")
+    return fingerprint_near_dup_pairs(
+        fp, "dhash", id_col, bits=64, bands=bands, max_hamming=max_hamming
+    )

@@ -2315,3 +2315,40 @@ def test_int8_codes_np_matches_jvm(spark):
     for i in rows:
         assert list(npc[i]) == jvm[i], (i, list(npc[i]), jvm[i])
     assert jvm[1][1] == 1 and jvm[1][2] == 1 and jvm[1][3] == -1
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    """dHash is stable under small perturbation and separates distinct
+    images; the band-join finds exactly the near pair."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+        image_dhash_features,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] = (near[0, 0].astype(int) + 3).clip(0, 255).astype(np.uint8)
+    far = rng.randint(0, 256, size=(32, 32, 3)).astype(np.uint8)
+
+    h_base, h_near, h_far = (image_dhash(p) for p in (base, near, far))
+    assert bin((h_base ^ h_near) & (2**64 - 1)).count("1") <= 2
+    assert bin((h_base ^ h_far) & (2**64 - 1)).count("1") > 10
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=encode_bmp(base)),
+            Row(doc_id=2, payload=encode_bmp(near)),
+            Row(doc_id=3, payload=encode_bmp(far)),
+        ]
+    )
+    feats = {r.doc_id: r for r in image_dhash_features(df).collect()}
+    assert feats[1].dhash == h_base and feats[1].width == 32
+    pairs = image_near_dup_pairs(df, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].hamming == bin((h_base ^ h_near) & (2**64 - 1)).count("1")
