@@ -38,89 +38,68 @@ def entry(spark: SparkSession) -> DataFrame:
 #: stand, and scripts/check_oracles.py still verifies the full registry
 #: locally each round via the committed ORACLES_LOCAL.json).
 _GATE_HEAD = (
-    # -- round-6 additions (never certified) --
-    "semantic_dedup_embeddings",
-    "source_similarity_minhash",
-    "snapshot_delta_dedup_docs",
-    "winsorize_docs",
-    "event_rollup_daily",
-    "funnel_conversions_events",
-    "paragraph_dedup_docs",
-    "bloom_decontaminate_docs",
-    "train_split_docs",
-    "quality_resample_docs",
-    "event_funnel",
-    "retention_cohorts",
-    "event_path_topk",
-    "ann_int8_topk",
-    "ann_int8_recall_at_k",
-    "source_cap_docs",
-    "cms_heavy_hitters_docs",
-    "hll_distinct_docs",
-    "ann_ivf_persisted_topk",
-    # -- reference-core set (last driver-green: r4; the leftovers of this
-    #    section past the 50-slot cap were re-certified in r5 and can wait) --
-    "dedup_keep_first",
-    "offset_antijoin",
-    "mp_enrichment",
-    "file_accounting",
-    "extraction_check",
-    "cleaner_candidates",
-    "event_time_cascade",
-    "top_events_per_user",
-    # -- TPC-H set (last driver-green: r4) --
-    "tpch_q1_pricing",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping",
-    "tpch_q4_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    # -- events / time-series (last driver-green: r4) --
-    "asof_last_purchase",
-    "rolling_1h_user_stats",
-    "event_props_json",
-    "event_attribution_windows",
-    # -- doc text/curation set (last driver-green: r4) --
-    "doc_token_stats",
-    "doc_quality",
-    "doc_lang_id",
-    "dedup_exact_docs",
-    "doc_unigram_logprob",
-    "doc_bigram_logprob",
+    # -- round-7 additions (never certified) --
+    "zorder_events",
+    "salted_agg_events",
+    "compaction_bins_docs",
+    "token_freq_spectrum_docs",
+    "global_rank_docs",
+    "hard_negative_mining",
+    # -- doc text/curation set (last driver-green: r4, judge re-ran in r6) --
     "char_ngram_jaccard_docs",
-    "doc_tfidf_top_terms",
-    "stratified_sample_docs",
-    "doc_contamination",
-    "doc_repetition",
-    "doc_redact_pii",
-    "doc_sliding_chunks",
-    "doc_pack_chunks",
     "curation_pipeline_docs",
-    # r4/r5-green entries displaced past slot 50 by the round-6 additions:
-    # restructure_flagship, time_bin_hourly, sanitize_ids,
-    # flatten_projection, exclude_fields, dedup_keep_last — all
-    # re-certified in r5, due again in round 7. The thirteen late-round-6
-    # queries (semantic_dedup / source_similarity / snapshot_delta /
-    # winsorize / event_rollup / funnel_conversions / paragraph_dedup /
-    # bloom_decontaminate / train_split / quality_resample / event_funnel /
-    # retention_cohorts / event_path_topk) take the first slots as
-    # never-certified; that pushes doc_lang_id, dedup_exact_docs,
-    # doc_unigram_logprob, doc_bigram_logprob, char_ngram_jaccard_docs,
-    # doc_tfidf_top_terms, stratified_sample_docs, doc_contamination,
-    # doc_repetition, doc_redact_pii, doc_sliding_chunks, doc_pack_chunks
-    # and curation_pipeline_docs (r4/r5-green, locally green in
-    # ORACLES_LOCAL.json) to the round-7 rotation.
+    "dedup_exact_docs",
+    "doc_bigram_logprob",
+    "doc_contamination",
+    "doc_lang_id",
+    "doc_pack_chunks",
+    "doc_redact_pii",
+    "doc_repetition",
+    "doc_sliding_chunks",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "stratified_sample_docs",
+    # -- r5-green, displaced from the r6 head past slot 50 --
+    "restructure_flagship",
+    "time_bin_hourly",
+    "sanitize_ids",
+    "flatten_projection",
+    "exclude_fields",
+    "dedup_keep_last",
+    # -- oldest r5-certified rotation slice (ANN/embedding + docs) --
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivfpq_recall_at_k",
+    "ann_ivfpq_rerank_recall_at_k",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_at_k",
+    "asof_next_purchase",
+    "bpe_encode_docs",
+    "bpe_merges_docs",
+    "corpus_vocabulary_docs",
+    "cosine_range_search",
+    "cosine_topk_bruteforce",
+    "dedup_clusters_docs",
+    "dedup_survivors_docs",
+    "doc_fingerprint_overlap",
+    "doc_length_quantiles",
+    "doc_winnow_fingerprints",
+    "embedding_dedup_survivors",
+    "embedding_dup_clusters",
+    "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_auto",
+    "embedding_norms",
+    # r5-green entries left for the round-8 rotation: embedding_quantize,
+    # hourly_event_counts, jaccard_pairs_docs, knn_label_accuracy,
+    # minhash_lsh_pairs_docs, minhash_signatures_docs, multimodal_features,
+    # pmi_collocations_docs, session_windows_events, simhash_docs,
+    # simhash_near_dup_docs, simhash_near_dup_docs_wide,
+    # source_quality_stats_docs, temperature_mixture_docs,
+    # tpch_q9/q11/q12/q20/q21. Everything else was driver-certified in
+    # r5 or r6 (CORRECTNESS_r05/r06.json) and stays in the tail.
 )
 
 

@@ -138,6 +138,13 @@ BENCH_QUERIES = [
     "winsorize_docs",
     "event_rollup_daily",
     "funnel_conversions_events",
+    # round-7 additions
+    "zorder_events",
+    "salted_agg_events",
+    "compaction_bins_docs",
+    "token_freq_spectrum_docs",
+    "global_rank_docs",
+    "hard_negative_mining",
 ]
 
 

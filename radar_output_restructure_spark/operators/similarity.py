@@ -879,10 +879,9 @@ def cosine_topk_int8(
                 }
             )
 
-    cols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")]
-    if exclude_label_col is not None:
-        cols.append(F.col(exclude_label_col).alias("__l"))
-    pruned = corpus.select(*cols).mapInPandas(score, out_schema)
+    pruned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

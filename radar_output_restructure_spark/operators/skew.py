@@ -19,6 +19,11 @@ aggs (sum/count/min/max) re-combine with sum/sum/min/max respectively.
 Stage-2 input is |keys| x S rows regardless of corpus size — kilobytes —
 so the second shuffle is free; the win is stage 1's reduce parallelism
 going from |keys| to |keys| x S.
+
+Relation to `operators/bucketing.salted_agg`: that variant salts with
+rand() and covers only associative aggs (its salt carries no semantic
+constraint); THIS one derives the salt from a data column so it can also
+split COUNT(DISTINCT) exactly — use this when a distinct leg is present.
 """
 
 from __future__ import annotations

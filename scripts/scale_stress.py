@@ -73,6 +73,10 @@ HEAVY = [
     "semantic_dedup_embeddings",
     "source_similarity_minhash",
     "snapshot_delta_dedup_docs",
+    "compaction_bins_docs",
+    "token_freq_spectrum_docs",
+    "global_rank_docs",
+    "hard_negative_mining",
 ]
 
 ID_STRIDE = 10_000_000
