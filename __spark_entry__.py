@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_HEAD = (
     # -- round-7 additions (never certified) --
     "zorder_events",
+    "sparse_cosine_pairs_docs",
+    "label_centroid_similarity",
+    "bucketed_join_sales",
     "salted_agg_events",
     "compaction_bins_docs",
     "token_freq_spectrum_docs",
@@ -89,10 +92,9 @@ _GATE_HEAD = (
     "doc_winnow_fingerprints",
     "embedding_dedup_survivors",
     "embedding_dup_clusters",
-    "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_auto",
-    "embedding_norms",
-    # r5-green entries left for the round-8 rotation: embedding_quantize,
+    # r5-green entries left for the round-8 rotation:
+    # embedding_near_dup_pairs, embedding_near_dup_pairs_auto,
+    # embedding_norms, embedding_quantize,
     # hourly_event_counts, jaccard_pairs_docs, knn_label_accuracy,
     # minhash_lsh_pairs_docs, minhash_signatures_docs, multimodal_features,
     # pmi_collocations_docs, session_windows_events, simhash_docs,

@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "token_freq_spectrum_docs",
     "global_rank_docs",
     "hard_negative_mining",
+    "sparse_cosine_pairs_docs",
+    "label_centroid_similarity",
+    "bucketed_join_sales",
 ]
 
 

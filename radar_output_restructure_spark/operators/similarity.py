@@ -1676,3 +1676,70 @@ def semantic_dedup(
             (F.coalesce("__dropped", F.lit(0)) == 0).cast("int").alias("kept"),
         )
     )
+
+
+def label_centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(label_a, label_b, cos): pairwise cosine between per-label SUM
+    vectors — the class-separation / source-drift audit (cosine is
+    scale-invariant, so the sum IS the centroid direction and no division
+    by group count ever happens).
+
+    Exactness discipline: each element quantizes to an exact integer
+    (round(x * scale), the milli analog of the cents trick), per-label
+    per-dimension sums are BIGINT (order-free), and the dot/norm sums over
+    64 dims are BIGINT too — the ONLY float math is the final
+    sqrt-multiply-divide-round chain per label pair. Overflow headroom:
+    |q| <= 4*scale per element, so a label needs ~2*10^10 vectors before
+    a squared sum approaches 2^63 at scale=1000.
+
+    Plan shape: one corpus-sized posexplode feeding a map-side-combined
+    groupBy(label, dim) — the ONLY corpus-scan stage; everything after
+    runs on |labels| x dims rows (kilobytes), where the pair join and
+    norm join broadcast trivially.
+    """
+    q = F.round(F.col("val").cast("double") * scale, 0).cast("long")
+    sums = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        .select("label", "pos", q.alias("q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"))
+    )
+    sums = sums.localCheckpoint(eager=False)  # tiny; feeds 3 branches
+    norms = sums.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("n2")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select("label_a", "label_b", cos.alias("cos"))
+    )

@@ -922,3 +922,96 @@ def token_freq_spectrum(
     return freqs.groupBy("tf").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms")
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    ngram: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, cos): all document pairs with tf-vector cosine >=
+    threshold — the WEIGHTED counterpart of the set-Jaccard join (repeated
+    terms count), computed postings-style (Bayardo et al.'s all-pairs
+    shape): candidates must SHARE a surviving term, never all-pairs.
+
+    Exactness: dot products and squared norms are pure BIGINT sums of
+    term-frequency products; the only float math is one sqrt-product-
+    divide-round chain per emitted pair, deterministic on any engine.
+
+    Scale levers, in plan order:
+
+    * per-doc (doc, term, tf) is one map-side-combined groupBy;
+    * the df-prune drops terms with df > max_df BEFORE the postings
+      self-join — stopword postings are the quadratic term (a term in
+      half the corpus contributes |corpus|^2/4 candidate pairs; dropping
+      it bounds each posting list), the same frequency cutoff every
+      production all-pairs system applies — and df < 2 terms can't form
+      a pair at all;
+    * the self-join shuffles on term (posting lists co-locate), and the
+      pair aggregation shuffles once on (doc_a, doc_b).
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if ngram <= 1:
+        term = F.explode(words)
+    else:
+        # all k-grams WITH multiplicity (tf weighting needs repeats, so
+        # no array_distinct here unlike shingles_from_words)
+        staged_words = F.col("__w")
+        n = F.size(staged_words)
+        idx = F.sequence(F.lit(1), F.greatest(n - (ngram - 1), F.lit(1)))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.slice(staged_words, i, ngram)
+        )
+        grams = F.when(n >= ngram, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+        term = F.explode(grams)
+    if ngram <= 1:
+        tokens = df.select(F.col(id_col).alias("doc"), term.alias("term"))
+    else:
+        tokens = df.select(
+            F.col(id_col).alias("doc"), words.alias("__w")
+        ).select("doc", term.alias("term"))
+    tf = tokens.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    tf = tf.localCheckpoint(eager=False)  # feeds norms + both join sides
+    norms = tf.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.filter(F.col("df") >= 2)
+    if max_df is not None:
+        keep = keep.filter(F.col("df") <= max_df)
+    postings = tf.join(keep.select("term"), "term")
+    a = postings.select(
+        F.col("doc").alias("doc_a"), "term", F.col("tf").alias("tfa")
+    )
+    b = postings.select(
+        F.col("doc").alias("doc_b"), "term", F.col("tf").alias("tfb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot")
+        / (
+            F.sqrt(F.col("na2").cast("double"))
+            * F.sqrt(F.col("nb2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

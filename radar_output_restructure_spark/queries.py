@@ -1718,3 +1718,66 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count_distinct(F.col("l_orderkey")).cast("bigint").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed (co-located) fact-fact join — the shuffle-elimination showcase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_join_sales",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem x orders fact-fact join executed over BUCKETED
+    materializations: both tables are written once per (session, dataset)
+    as 16-bucket tables on their order key (operators/bucketing), so the
+    join itself plans with NO Exchange on either side — the write-time
+    shuffle is paid once and every subsequent join on the key rides it.
+    At 100 TB this is the difference between re-shuffling two fact tables
+    per query and a local sort-merge; the plan property is asserted in
+    tests/test_bucketing.py. Results are identical to the plain join (the
+    oracle), because bucketing changes layout, not content."""
+    import hashlib as _hl
+
+    from radar_output_restructure_spark.operators.bucketing import (
+        write_bucketed,
+    )
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_li = f"b7_orders_{tag}", f"b7_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            t_orders,
+            "o_orderkey",
+            num_buckets=16,
+        )
+    if not spark.catalog.tableExists(t_li):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice"
+            ),
+            t_li,
+            "l_orderkey",
+            num_buckets=16,
+        )
+    li = spark.table(t_li)
+    orders = spark.table(t_orders)
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+    )

@@ -1532,3 +1532,55 @@ def q_global_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile"),
     )
+
+
+SPARSE_COS_THR = 0.3
+SPARSE_MAX_DF = 100  # drop terms in >100 docs before the postings join
+
+
+@register(
+    "sparse_cosine_pairs_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, s AS term
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest([array_to_string(words[i:i+2], ' ')
+                   for i in range(1, len(words) - 1)]) AS t(s)
+    ),
+    tf AS (
+      SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    norms AS (SELECT doc, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY doc),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    keep AS (SELECT term FROM dfreq WHERE df >= 2 AND df <= {SPARSE_MAX_DF}),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN keep USING (term) JOIN tf b USING (term)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
+                        sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+    FROM dots
+    JOIN norms na ON na.doc = doc_a
+    JOIN norms nb ON nb.doc = doc_b
+    WHERE round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
+                       sqrt(CAST(nb.n2 AS DOUBLE))), 6) >= {SPARSE_COS_THR}
+    """,
+)
+def q_sparse_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (tf-vector) cosine near-dup pairs over word TRIGRAMS
+    (with multiplicity — the weighted counterpart of the distinct-shingle
+    Jaccard join), postings-style: shared-term candidates only, df-pruned
+    before the self-join so boilerplate posting lists never go quadratic.
+    Integer dots/norms, one rounded float chain per pair
+    (operators/text.sparse_cosine_pairs)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.sparse_cosine_pairs(
+        docs, threshold=SPARSE_COS_THR, max_df=SPARSE_MAX_DF, ngram=3
+    )

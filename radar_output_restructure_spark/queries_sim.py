@@ -1687,3 +1687,44 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         exclude_label_col="label",
     )
+
+
+@register(
+    "label_centroid_similarity",
+    f"""
+    WITH q AS (
+      SELECT label, r.i AS pos,
+             CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000) AS BIGINT)
+               AS qv
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(range(1, {DIMS + 1})) AS i) r
+    ),
+    s AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
+          FROM q GROUP BY 1, 2),
+    n AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS n2 FROM s GROUP BY 1),
+    d AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(a.s * b.s) AS BIGINT) AS dot
+      FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
+                        sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+    FROM d
+    JOIN n na ON na.label = label_a
+    JOIN n nb ON nb.label = label_b
+    """,
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit: cosine between per-label summed embedding
+    directions (sum == centroid direction; cosine is scale-invariant).
+    Milli-quantized exact-integer sums — one corpus posexplode into a
+    |labels| x dims map-side-combined groupBy; every later stage runs on
+    kilobytes (operators/similarity.label_centroid_similarity)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_similarity(emb)

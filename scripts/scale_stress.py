@@ -77,6 +77,8 @@ HEAVY = [
     "token_freq_spectrum_docs",
     "global_rank_docs",
     "hard_negative_mining",
+    "sparse_cosine_pairs_docs",
+    "label_centroid_similarity",
 ]
 
 ID_STRIDE = 10_000_000

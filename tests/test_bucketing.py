@@ -79,3 +79,35 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         ).collect()
     }
     assert salted == direct
+
+
+def test_bucketed_join_sales_query_plan(spark, sf_dir):
+    """The REGISTRY query (queries.bucketed_join_sales) must ride the
+    bucketed layout: the join sees no Exchange below it (only the final
+    small aggregation may shuffle)."""
+    from radar_output_restructure_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_join_sales"](spark, sf_dir)
+        plan = _plan(df)
+        join_at = plan.find("SortMergeJoin")
+        if join_at < 0:
+            join_at = plan.find("ShuffledHashJoin")
+        assert join_at >= 0
+        # formatted plans list operators leaves-first: any Exchange feeding
+        # the join would appear BEFORE it in the operator tree section
+        tree = plan[: plan.index("(1) ")] if "(1) " in plan else plan
+        join_line = next(
+            ln for ln in tree.splitlines() if "MergeJoin" in ln or "HashJoin" in ln
+        )
+        join_depth = len(join_line) - len(join_line.lstrip())
+        below = tree[tree.index(join_line) :].splitlines()[1:]
+        for ln in below:
+            depth = len(ln) - len(ln.lstrip())
+            if ln.strip() and depth <= join_depth:
+                break
+            assert "Exchange" not in ln, f"shuffle below the bucketed join: {ln}"
+        assert {r.o_orderpriority for r in df.collect()} and df.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
