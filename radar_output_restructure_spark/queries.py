@@ -1746,32 +1746,43 @@ def q_bucketed_join_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query and a local sort-merge; the plan property is asserted in
     tests/test_bucketing.py. Results are identical to the plain join (the
     oracle), because bucketing changes layout, not content."""
-    import hashlib as _hl
+    import os as _os
+    import shutil as _shutil
 
     from radar_output_restructure_spark.operators.bucketing import (
         write_bucketed,
     )
+    from radar_output_restructure_spark.sources.tables import (
+        dataset_fingerprint,
+    )
 
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = dataset_fingerprint(sf_dir, ("orders", "lineitem"))
     t_orders, t_li = f"b7_orders_{tag}", f"b7_lineitem_{tag}"
-    if not spark.catalog.tableExists(t_orders):
+
+    def _ensure(table: str, src: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # catalog metadata is session-scoped but the warehouse directory
+        # persists: clear a stale location left by an earlier session
+        # before re-materializing (the fingerprint tag guarantees it was
+        # built from the SAME data, but the catalog no longer knows it)
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = _os.path.join(wh, table.lower())
+        if _os.path.exists(loc):
+            _shutil.rmtree(loc)
         write_bucketed(
-            load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderpriority"
-            ),
-            t_orders,
-            "o_orderkey",
+            load_table(spark, sf_dir, src).select(*cols),
+            table,
+            key,
             num_buckets=16,
         )
-    if not spark.catalog.tableExists(t_li):
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice"
-            ),
-            t_li,
-            "l_orderkey",
-            num_buckets=16,
-        )
+
+    _ensure(t_orders, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey")
+    _ensure(
+        t_li, "lineitem", ["l_orderkey", "l_extendedprice"], "l_orderkey"
+    )
     li = spark.table(t_li)
     orders = spark.table(t_orders)
     joined = li.join(

@@ -1605,34 +1605,21 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB a probe scans the probed fraction, not the corpus. Results
     are bit-identical to the in-session `ann_ivf_topk`, so the oracle is
     shared."""
-    import hashlib as _hashlib
-    import os as _os
-
     from radar_output_restructure_spark.operators.ann_index import (
         probe_ivf_index,
         write_ivf_index,
     )
 
+    from radar_output_restructure_spark.sources.tables import (
+        dataset_fingerprint,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    # Index cache key = fingerprint of the SOURCE DATA, not just its path:
-    # (relative name, size, mtime_ns) of every file under the embeddings
-    # table. Regenerating the parquet at the same path changes the
-    # fingerprint, so a stale index can never be silently reused.
-    src = _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
-    h = _hashlib.md5(src.encode())
-    if _os.path.isdir(src):
-        for root, _dirs, files in sorted(_os.walk(src)):
-            for name in sorted(files):
-                st = _os.stat(_os.path.join(root, name))
-                h.update(
-                    f"{_os.path.relpath(_os.path.join(root, name), src)}"
-                    f":{st.st_size}:{st.st_mtime_ns};".encode()
-                )
-    elif _os.path.exists(src):
-        st = _os.stat(src)
-        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    tag = h.hexdigest()[:12]
+    # Index cache key = fingerprint of the SOURCE DATA, not just its path
+    # (file names + sizes + mtimes): regenerating the parquet at the same
+    # path changes the tag, so a stale index can never be silently reused.
+    tag = dataset_fingerprint(sf_dir, ("embeddings",))
     path = f"/tmp/spark_graft_ivf_index_{tag}"
     marker = _os.path.join(path, "_SUCCESS")
     if not _os.path.exists(marker):  # write-once per sf_dir, like any index

@@ -91,3 +91,28 @@ def _scan_partitions(spark: SparkSession, df: DataFrame, path: str) -> int:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def dataset_fingerprint(sf_dir: str, names: tuple[str, ...]) -> str:
+    """12-hex fingerprint of the named tables' on-disk state (relative
+    file names + sizes + mtimes). Cache keys derived from it (persisted
+    IVF indexes, bucketed table materializations) can never silently
+    reuse artifacts built from different data at the same path."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for name in names:
+        src = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+        h.update(name.encode())
+        if os.path.isdir(src):
+            for root, _dirs, files in sorted(os.walk(src)):
+                for fn in sorted(files):
+                    st = os.stat(os.path.join(root, fn))
+                    h.update(
+                        f"{os.path.relpath(os.path.join(root, fn), src)}"
+                        f":{st.st_size}:{st.st_mtime_ns};".encode()
+                    )
+        elif os.path.exists(src):
+            st = os.stat(src)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
