@@ -48,6 +48,8 @@ _GATE_HEAD = (
     "token_freq_spectrum_docs",
     "global_rank_docs",
     "hard_negative_mining",
+    "profile_docs",
+    "constraint_checks_docs",
     # -- doc text/curation set (last driver-green: r4, judge re-ran in r6) --
     "char_ngram_jaccard_docs",
     "curation_pipeline_docs",
@@ -90,9 +92,8 @@ _GATE_HEAD = (
     "doc_fingerprint_overlap",
     "doc_length_quantiles",
     "doc_winnow_fingerprints",
-    "embedding_dedup_survivors",
-    "embedding_dup_clusters",
     # r5-green entries left for the round-8 rotation:
+    # embedding_dedup_survivors, embedding_dup_clusters,
     # embedding_near_dup_pairs, embedding_near_dup_pairs_auto,
     # embedding_norms, embedding_quantize,
     # hourly_event_counts, jaccard_pairs_docs, knn_label_accuracy,

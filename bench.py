@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "sparse_cosine_pairs_docs",
     "label_centroid_similarity",
     "bucketed_join_sales",
+    "profile_docs",
+    "constraint_checks_docs",
 ]
 
 

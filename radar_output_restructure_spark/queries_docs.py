@@ -1584,3 +1584,104 @@ def q_sparse_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.sparse_cosine_pairs(
         docs, threshold=SPARSE_COS_THR, max_df=SPARSE_MAX_DF, ngram=3
     )
+
+
+@register(
+    "profile_docs",
+    """
+    WITH base AS (SELECT count(*) AS n FROM documents)
+    SELECT 'doc_id' AS column, (SELECT n FROM base) AS n_rows,
+           CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', (SELECT n FROM base),
+           CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'lang', (SELECT n FROM base),
+           CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', (SELECT n FROM base),
+           CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', (SELECT n FROM base),
+           CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+    """,
+)
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time data-quality profile: null + distinct counts for every
+    documents column in ONE aggregation scan (conditional aggregates +
+    multi-column count-distinct in a single agg; the per-column rows
+    unpivot from one driver-side row — the corpus is never re-scanned per
+    column, unlike the oracle's five UNION branches;
+    operators/profile.profile_columns)."""
+    from radar_output_restructure_spark.operators.profile import (
+        profile_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs)
+
+
+@register(
+    "constraint_checks_docs",
+    """
+    SELECT 'doc_id_not_null' AS rule,
+           CAST(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT)
+             AS n_violations,
+           count(*) FILTER (WHERE doc_id IS NULL) = 0 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'doc_id_unique',
+           CAST((SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+                AS BIGINT),
+           (SELECT count(*) = count(DISTINCT doc_id) FROM documents)
+    UNION ALL
+    SELECT 'n_chars_matches_text',
+           CAST(count(*) FILTER (WHERE n_chars != length(text)) AS BIGINT),
+           count(*) FILTER (WHERE n_chars != length(text)) = 0
+    FROM documents
+    UNION ALL
+    SELECT 'lang_in_domain',
+           CAST(count(*) FILTER (
+             WHERE lang NOT IN ('en', 'de', 'fr', 'es', 'nl')) AS BIGINT),
+           count(*) FILTER (
+             WHERE lang NOT IN ('en', 'de', 'fr', 'es', 'nl')) = 0
+    FROM documents
+    """,
+)
+def q_constraint_checks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint validation — non-null, uniqueness, derived-
+    column consistency, domain membership — every rule a conditional
+    aggregate in ONE scan (operators/profile.check_constraints; the
+    uniqueness rule rides the same agg as a count-distinct delta)."""
+    from radar_output_restructure_spark.operators.profile import (
+        check_constraints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return check_constraints(
+        docs,
+        [
+            ("doc_id_not_null", F.col("doc_id").isNull()),
+            ("n_chars_matches_text", F.col("n_chars") != F.length("text")),
+            (
+                "lang_in_domain",
+                ~F.col("lang").isin("en", "de", "fr", "es", "nl"),
+            ),
+        ],
+    ).unionAll(
+        docs.agg(
+            (F.count(F.lit(1)) - F.count_distinct("doc_id"))
+            .cast("bigint")
+            .alias("d")
+        ).select(
+            F.lit("doc_id_unique").alias("rule"),
+            F.col("d").alias("n_violations"),
+            (F.col("d") == 0).alias("passed"),
+        )
+    )
