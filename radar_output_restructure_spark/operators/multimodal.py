@@ -1153,3 +1153,98 @@ def image_near_dup_pairs(
     return fingerprint_near_dup_pairs(
         fp, "dhash", id_col, bits=64, bands=bands, max_hamming=max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting (energy-delta hash) + near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = "doc_id long, afp long, n_frames_total int, duration_us long"
+
+
+def audio_fingerprint(payload: bytes, bits: int = 64) -> tuple[int, int, int]:
+    """(fingerprint, usable_frames, duration_us) for a PCM WAV payload:
+    the audio analog of `image_dhash`. Samples cut into `bits`+1 equal
+    frames; bit i set when frame i+1's energy exceeds frame i's. Energy is
+    a sum of squared integer sample values (no normalization, no float
+    accumulation), so the hash is platform-stable and robust to uniform
+    gain changes being... NOT removed — matching the dHash trade: level
+    shifts flip few bits, structural change flips many."""
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported sample width: {width}")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    if width == 1:
+        samples -= 128
+    n_frames = bits + 1
+    total = len(samples)
+    if total < n_frames:
+        samples = np.pad(samples, (0, n_frames - total))
+        total = n_frames
+    # deterministic equal cut points (the same floor-map as resize_image_nn)
+    edges = (np.arange(n_frames + 1, dtype=np.int64) * total) // n_frames
+    energy = np.array(
+        [int((samples[edges[i] : edges[i + 1]] ** 2).sum()) for i in range(n_frames)],
+        dtype=object,  # python ints: squared 32-bit samples can pass 2^63
+    )
+    h = 0
+    for i in range(bits):
+        if energy[i + 1] > energy[i]:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64  # two's-complement into Spark LONG
+    duration_us = (n * 1_000_000) // rate if rate else 0
+    return h, n_frames, duration_us
+
+
+def audio_fingerprint_features(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched audio fingerprinting over a binary WAV column —
+    map-only at any corpus size; the emitted hash band-joins downstream
+    exactly like the image dHash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                h, nf, dur = audio_fingerprint(bytes(payload))
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "afp": h,
+                        "n_frames_total": nf,
+                        "duration_us": dur,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate audio clips via banded
+    energy-delta fingerprints — same exact-pigeonhole band join as image
+    and SimHash dedup (operators/dedup_scale.fingerprint_near_dup_pairs)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        fingerprint_near_dup_pairs,
+    )
+
+    fp = audio_fingerprint_features(df, id_col).select(id_col, "afp")
+    return fingerprint_near_dup_pairs(
+        fp, "afp", id_col, bits=64, bands=bands, max_hamming=max_hamming
+    )

@@ -2352,3 +2352,48 @@ def test_image_dhash_and_near_dup_pairs(spark):
     pairs = image_near_dup_pairs(df, max_hamming=6).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
     assert pairs[0].hamming == bin((h_base ^ h_near) & (2**64 - 1)).count("1")
+
+
+def test_audio_fingerprint_and_near_dup_pairs(spark):
+    """Energy-delta audio fingerprints: stable under tiny noise, far for a
+    structurally different clip; band join finds the near pair."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    def wav_from(samples: np.ndarray, rate: int = 8000) -> bytes:
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rng = np.random.RandomState(7)
+    t = np.arange(4000) / 8000.0
+    # amplitude ramp gives monotone-varying frame energies (informative bits)
+    base = (np.sin(2 * np.pi * 440 * t) * np.linspace(0.1, 0.9, 4000) * 20000)
+    near = base + rng.randint(-20, 21, size=base.shape)
+    far = rng.randn(4000) * 15000
+    b, n, f = (wav_from(x) for x in (base, near, far))
+
+    hb, frames, dur = audio_fingerprint(b)
+    hn, _, _ = audio_fingerprint(n)
+    hf, _, _ = audio_fingerprint(f)
+    assert frames == 65 and dur == 500_000
+    assert bin((hb ^ hn) & (2**64 - 1)).count("1") <= 4
+    assert bin((hb ^ hf) & (2**64 - 1)).count("1") > 10
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b), Row(doc_id=2, payload=n), Row(doc_id=3, payload=f)]
+    )
+    pairs = audio_near_dup_pairs(df, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
