@@ -50,6 +50,11 @@ _GATE_HEAD = (
     "hard_negative_mining",
     "profile_docs",
     "constraint_checks_docs",
+    # -- r6-verdict demotions: these undecorated names now carry the
+    #    scale-safe geometries (auto-plane LSH / wide simhash), so they
+    #    need fresh certification under the new semantics --
+    "embedding_near_dup_pairs",
+    "simhash_near_dup_docs",
     # -- doc text/curation set (last driver-green: r4, judge re-ran in r6) --
     "char_ngram_jaccard_docs",
     "curation_pipeline_docs",
@@ -90,19 +95,20 @@ _GATE_HEAD = (
     "dedup_clusters_docs",
     "dedup_survivors_docs",
     "doc_fingerprint_overlap",
-    "doc_length_quantiles",
-    "doc_winnow_fingerprints",
     # r5-green entries left for the round-8 rotation:
+    # doc_length_quantiles, doc_winnow_fingerprints (displaced from this
+    # head by the two demotion re-certifications above),
     # embedding_dedup_survivors, embedding_dup_clusters,
-    # embedding_near_dup_pairs, embedding_near_dup_pairs_auto,
     # embedding_norms, embedding_quantize,
     # hourly_event_counts, jaccard_pairs_docs, knn_label_accuracy,
     # minhash_lsh_pairs_docs, minhash_signatures_docs, multimodal_features,
     # pmi_collocations_docs, session_windows_events, simhash_docs,
-    # simhash_near_dup_docs, simhash_near_dup_docs_wide,
     # source_quality_stats_docs, temperature_mixture_docs,
-    # tpch_q9/q11/q12/q20/q21. Everything else was driver-certified in
-    # r5 or r6 (CORRECTNESS_r05/r06.json) and stays in the tail.
+    # tpch_q9/q11/q12/q20/q21. (embedding_near_dup_pairs_auto and
+    # simhash_near_dup_docs_wide no longer exist: the r6-verdict demotion
+    # folded each into its undecorated name, re-certified in this head.)
+    # Everything else was driver-certified in r5 or r6
+    # (CORRECTNESS_r05/r06.json) and stays in the tail.
 )
 
 

@@ -81,7 +81,8 @@ BENCH_QUERIES = [
     "doc_bigram_logprob",
     "doc_redact_pii",
     # round-4 additions
-    "embedding_near_dup_pairs_auto",
+    # (embedding_near_dup_pairs_auto was folded into the undecorated
+    #  embedding_near_dup_pairs name by the r6-verdict demotion)
     "simhash_near_dup_docs",
     "doc_winnow_fingerprints",
     "doc_fingerprint_overlap",
@@ -112,7 +113,8 @@ BENCH_QUERIES = [
     "tpch_q2_min_cost_supplier",
     "ann_ivfpq_topk",
     # round-5 additions
-    "simhash_near_dup_docs_wide",
+    # (simhash_near_dup_docs_wide is now the undecorated
+    #  simhash_near_dup_docs, r6-verdict demotion)
     "tpch_q9_profit_by_nation",
     "tpch_q11_important_parts",
     "tpch_q12_priority_lines",
@@ -301,12 +303,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Key order matters: the driver keeps only a TAIL buffer of stdout, so
+    # r6's shipped artifact truncated to the spread dict (VERDICT r6 "What's
+    # wrong" #3).  Diagnostics (load, noise, spread) go FIRST; the graded
+    # payload — per-query timings, sf, metric/value — prints LAST so a
+    # truncated capture still parses into the headline numbers.
     result = {
-        "metric": "headline_suite_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load": _load_finish(load0),
         "noise_floor": {
             "probe_sec": [round(x, 3) for x in noise],
@@ -315,6 +317,11 @@ def main() -> None:
             ),
         },
         "spread_max_over_min": spread,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "metric": "headline_suite_total",
+        "unit": "sec",
+        "value": total,
     }
     print(json.dumps(result))
     # Self-contained artifact (VERDICT r3 item 8: the driver captures a tail

@@ -1,0 +1,274 @@
+"""Object-store topic locks — multi-replica coordination WITHOUT a shared
+POSIX filesystem (SURVEY §2 T5; reference
+accounting/RedisRemoteLockManager.kt:8-45).
+
+The reference coordinates replicated restructure services through Redis
+(`SET <key> <uuid> NX PX 24h`; owner-checked delete). `FileRemoteLockManager`
+(locks.py) reproduces that contract over a shared filesystem, but a real
+S3-/Azure-target deployment typically has NO shared FS between replicas.
+These managers speak the object store's own atomic primitive instead:
+**conditional PUT** —
+
+* acquire  = `PUT If-None-Match: *` of `{owner uuid, expires_at}` — the
+             store arbitrates exactly one winner, like Redis `SET NX`;
+* TTL break = `PUT If-Match: <etag-of-the-expired-lock>` — replacing the
+             stale payload atomically. Two breakers read the same expired
+             ETag; the store accepts exactly one replace, so a loser can
+             never clobber the winner's FRESH lock (the race locks.py has
+             to close with a sidecar flock simply cannot occur here);
+* release  = owner-checked `PUT If-Match` of a tombstone payload with
+             `expires_at: 0`. S3 general-purpose buckets have no
+             conditional DELETE, and an UNconditional delete would reopen
+             the break race (delete observed-expired lock after a breaker
+             already replaced it) — so release never deletes: it expires.
+             A tombstone is a few bytes and is reused by the next acquire's
+             If-Match replace.
+
+Both stores provide the needed conditions: S3 conditional writes
+(If-None-Match / If-Match on PutObject) and Azure Blob Put Blob with
+If-None-Match: * / If-Match. Failure statuses differ (S3: 412
+PreconditionFailed for both; Azure: 409 BlobAlreadyExists for the create,
+412 ConditionNotMet for the replace) and are normalized by the backends.
+
+Locks live at `<prefix>/<name>.lock`, one instance uuid per manager, same
+24 h TTL default as the reference (`SetParams().px(1.days)`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from abc import abstractmethod
+
+from radar_output_restructure_spark.locks import (
+    DEFAULT_TTL_S,
+    RemoteLock,
+    RemoteLockManager,
+)
+
+
+class ConditionalPutLockManager(RemoteLockManager):
+    """Template over the two conditional-PUT primitives; subclasses bind
+    them to a concrete store. `directory` is the lock prefix URL."""
+
+    def __init__(self, directory: str, ttl_s: float = DEFAULT_TTL_S):
+        self.directory = directory.rstrip("/")
+        self.ttl_s = ttl_s
+        self.uuid = str(uuid.uuid4())
+
+    # -- store primitives (each must be ATOMIC server-side) ---------------
+
+    @abstractmethod
+    def _create_if_absent(self, url: str, body: bytes) -> bool:
+        """PUT If-None-Match: * — True iff this call created the object."""
+
+    @abstractmethod
+    def _read_with_etag(self, url: str) -> tuple[bytes, str] | None:
+        """(payload, etag) or None when absent."""
+
+    @abstractmethod
+    def _replace_if_match(self, url: str, body: bytes, etag: str) -> bool:
+        """PUT If-Match: etag — True iff the object was still at `etag`."""
+
+    # -- lock protocol ------------------------------------------------------
+
+    def _url(self, name: str) -> str:
+        return f"{self.directory}/{name}.lock"
+
+    def _payload(self, expires_at: float) -> bytes:
+        return json.dumps(
+            {"owner": self.uuid, "expires_at": expires_at}
+        ).encode()
+
+    @staticmethod
+    def _parse(raw: bytes) -> dict:
+        """Torn payloads are impossible (a conditional PUT is all-or-
+        nothing), so unparseable means external corruption: breakable."""
+        try:
+            return json.loads(raw.decode())
+        except (ValueError, UnicodeDecodeError):
+            return {"expires_at": 0.0}
+
+    def acquire_lock(self, name: str) -> RemoteLock | None:
+        url = self._url(name)
+        body = self._payload(time.time() + self.ttl_s)
+        # Two passes: pass 1 may lose an absent->created race to another
+        # instance, in which case pass 2 re-reads and judges freshness.
+        for _ in range(2):
+            cur = self._read_with_etag(url)
+            if cur is None:
+                if self._create_if_absent(url, body):
+                    return RemoteLock(self, name)
+                continue  # someone created it between read and PUT
+            raw, etag = cur
+            if float(self._parse(raw).get("expires_at", 0)) > time.time():
+                return None  # held and fresh
+            # expired (or tombstoned): atomic break — single winner
+            if self._replace_if_match(url, body, etag):
+                return RemoteLock(self, name)
+            return None  # another breaker/acquirer won
+        return None
+
+    def _release(self, name: str) -> None:
+        url = self._url(name)
+        cur = self._read_with_etag(url)
+        if cur is None:
+            return
+        raw, etag = cur
+        if self._parse(raw).get("owner") != self.uuid:
+            return  # broken + re-acquired elsewhere: not ours to expire
+        # tombstone, never delete (module docstring: no conditional DELETE
+        # on S3 general-purpose buckets; unconditional delete is racy)
+        self._replace_if_match(url, self._payload(0.0), etag)
+
+
+class S3RemoteLockManager(ConditionalPutLockManager):
+    """Locks under an s3:// prefix via S3 conditional writes.
+
+    `client_kwargs`/`path_style` go to `S3TargetStorage` (endpoint_url,
+    region_name, credentials), so the locks use exactly the client
+    configuration the sink already has.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        ttl_s: float = DEFAULT_TTL_S,
+        path_style: bool = False,
+        **client_kwargs,
+    ):
+        super().__init__(directory, ttl_s)
+        from radar_output_restructure_spark.sinks.s3_storage import (
+            S3TargetStorage,
+        )
+
+        self._storage = S3TargetStorage(path_style=path_style, **client_kwargs)
+
+    @property
+    def client(self):
+        return self._storage.client
+
+    @staticmethod
+    def _is_condition_failure(exc) -> bool:
+        code = exc.response.get("Error", {}).get("Code", "")
+        # 412 on both conditions; ConditionalRequestConflict (409) when a
+        # concurrent conditional write on the same key is in flight — the
+        # caller lost the race either way.
+        return code in ("PreconditionFailed", "ConditionalRequestConflict")
+
+    def _create_if_absent(self, url: str, body: bytes) -> bool:
+        from radar_output_restructure_spark.sinks.s3_storage import (
+            parse_s3_url,
+        )
+
+        bucket, key = parse_s3_url(url)
+        try:
+            self.client.put_object(
+                Bucket=bucket, Key=key, Body=body, IfNoneMatch="*"
+            )
+            return True
+        except self.client.exceptions.ClientError as exc:
+            if self._is_condition_failure(exc):
+                return False
+            raise
+
+    def _read_with_etag(self, url: str) -> tuple[bytes, str] | None:
+        from radar_output_restructure_spark.sinks.s3_storage import (
+            parse_s3_url,
+        )
+
+        bucket, key = parse_s3_url(url)
+        try:
+            resp = self.client.get_object(Bucket=bucket, Key=key)
+        except self.client.exceptions.ClientError as exc:
+            if exc.response["Error"]["Code"] in ("404", "NoSuchKey"):
+                return None
+            raise
+        return resp["Body"].read(), resp["ETag"]
+
+    def _replace_if_match(self, url: str, body: bytes, etag: str) -> bool:
+        from radar_output_restructure_spark.sinks.s3_storage import (
+            parse_s3_url,
+        )
+
+        bucket, key = parse_s3_url(url)
+        try:
+            self.client.put_object(
+                Bucket=bucket, Key=key, Body=body, IfMatch=etag
+            )
+            return True
+        except self.client.exceptions.ClientError as exc:
+            if self._is_condition_failure(exc):
+                return False
+            raise
+
+
+class AzureRemoteLockManager(ConditionalPutLockManager):
+    """Locks under an azure://container/prefix via Put Blob conditions.
+
+    Reuses `AzureTargetStorage`'s signed REST transport (SharedKey/SAS) —
+    pass the same constructor arguments the sink takes.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        endpoint_url: str,
+        ttl_s: float = DEFAULT_TTL_S,
+        **storage_kwargs,
+    ):
+        super().__init__(directory, ttl_s)
+        from radar_output_restructure_spark.sinks.azure_storage import (
+            AzureTargetStorage,
+        )
+
+        self._storage = AzureTargetStorage(endpoint_url, **storage_kwargs)
+
+    def _create_if_absent(self, url: str, body: bytes) -> bool:
+        from radar_output_restructure_spark.sinks.azure_storage import (
+            parse_azure_url,
+        )
+
+        container, key = parse_azure_url(url)
+        # Azure: If-None-Match:* conflict is 409 BlobAlreadyExists
+        # (412 also tolerated — emulators/proxies vary)
+        status, _h, _b = self._storage._request(
+            "PUT",
+            container,
+            key,
+            body=body,
+            headers={"If-None-Match": "*"},
+            ok=(201, 409, 412),
+        )
+        return status == 201
+
+    def _read_with_etag(self, url: str) -> tuple[bytes, str] | None:
+        from radar_output_restructure_spark.sinks.azure_storage import (
+            parse_azure_url,
+        )
+
+        container, key = parse_azure_url(url)
+        status, headers, data = self._storage._request(
+            "GET", container, key, ok=(200, 404)
+        )
+        if status == 404:
+            return None
+        etag = {k.lower(): v for k, v in headers.items()}.get("etag", "")
+        return data, etag
+
+    def _replace_if_match(self, url: str, body: bytes, etag: str) -> bool:
+        from radar_output_restructure_spark.sinks.azure_storage import (
+            parse_azure_url,
+        )
+
+        container, key = parse_azure_url(url)
+        status, _h, _b = self._storage._request(
+            "PUT",
+            container,
+            key,
+            body=body,
+            headers={"If-Match": etag},
+            ok=(201, 412, 409),
+        )
+        return status == 201

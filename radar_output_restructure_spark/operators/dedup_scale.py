@@ -511,7 +511,9 @@ def simhash_near_dup_pairs_wide(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): near-dup pairs over the WIDE (64-bit)
     SimHash — the scale-safe variant of `simhash_near_dup_pairs`, mirroring
-    how `embedding_near_dup_pairs_auto` supersedes the fixed-plane LSH.
+    how the auto-plane `embedding_near_dup_pairs` supersedes the
+    fixed-plane LSH (scripts/scale_stress.py keeps the fixed geometry as
+    `embedding_near_dup_fixed4_reference`).
 
     4 bands x 16 bits: bands (4) > max_hamming (3) keeps recall EXACT by
     pigeonhole, while 65,536 buckets/band holds per-bucket occupancy ~256x

@@ -670,67 +670,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb)
 
 
-SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 3
-_SH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
-
-
-@register(
-    "simhash_near_dup_docs",
-    f"""
-    WITH toks AS (
-      SELECT doc_id AS doc, tok
-      FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
-            FROM documents) w,
-           unnest(words) AS t(tok)
-    ),
-    hashed AS (SELECT doc, {_H} AS h
-               FROM (SELECT doc, md5(tok) AS md FROM toks)),
-    votes AS (
-      SELECT doc,
-             {_SQL_VOTES}
-      FROM hashed GROUP BY doc
-    ),
-    fp AS (SELECT doc, {_SQL_FP_SUM} AS simhash FROM votes),
-    b AS (
-      SELECT doc, i AS band,
-             (simhash >> (i * {_SH_WIDTH})) & {(1 << _SH_WIDTH) - 1} AS bv
-      FROM fp, (SELECT unnest(range({SIMHASH_BANDS})) AS i)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc AS doc_a, c.doc AS doc_b
-      FROM b a JOIN b c USING (band, bv)
-      WHERE a.doc < c.doc
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
-    FROM cand c
-    JOIN fp fa ON fa.doc = c.doc_a
-    JOIN fp fb ON fb.doc = c.doc_b
-    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {SIMHASH_MAX_HAMMING}
-    """,
-)
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band hamming buckets -> exact popcount
-    verify (<= 3 differing bits of 32). bands > max_hamming makes banded
-    recall EXACT by pigeonhole (operators/dedup_scale.simhash_near_dup_pairs).
-
-    KNOWN-SATURATING GEOMETRY, kept as the SCALE.md reference point: 4x8-bit
-    bands = 1,024 buckets total forever, so bucket occupancy grows linearly
-    with the corpus and the per-bucket verify quadratically. The scale-safe
-    default is `simhash_near_dup_docs_wide` (64-bit / 16-bit bands) below."""
-    from radar_output_restructure_spark.operators.dedup_scale import (
-        simhash_near_dup_pairs,
-    )
-
-    docs = load_table(spark, sf_dir, "documents", spread=True)
-    return simhash_near_dup_pairs(
-        docs,
-        bits=SIMHASH_BITS,
-        bands=SIMHASH_BANDS,
-        max_hamming=SIMHASH_MAX_HAMMING,
-    )
 
 
 # wide (scale-safe) simhash: two independent 32-bit halves from two Horner
@@ -750,7 +690,7 @@ def _sql_fp_sum_wide(half: str) -> str:
 
 
 @register(
-    "simhash_near_dup_docs_wide",
+    "simhash_near_dup_docs",
     f"""
     WITH toks AS (
       SELECT doc_id AS doc, tok
@@ -789,12 +729,18 @@ def _sql_fp_sum_wide(half: str) -> str:
           + bit_count(xor(fa.fp_hi, fb.fp_hi)) <= {SIMHASH_MAX_HAMMING}
     """,
 )
-def q_simhash_near_dup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-safe simhash near-dup: 64-bit fingerprint (two 32-bit halves),
-    4x16-bit bands = 65,536 buckets/band, exact pigeonhole recall for
-    hamming <= 3, in-join popcount verify. The geometry the r4 verdict
-    prescribed; occupancy stays bounded ~256x further than the 32-bit
-    reference variant (operators/dedup_scale.simhash_near_dup_pairs_wide)."""
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, scale-safe geometry: 64-bit fingerprint (two
+    32-bit halves), 4x16-bit bands = 65,536 buckets/band, exact pigeonhole
+    recall for hamming <= 3, in-join popcount verify
+    (operators/dedup_scale.simhash_near_dup_pairs_wide).
+
+    This undecorated name IS the wide geometry (r6-verdict demotion: the
+    32-bit/8-bit-band configuration that previously held this name has only
+    1,024 fixed buckets, so per-bucket verify grows quadratically — it now
+    lives only in scripts/scale_stress.py as
+    `simhash_near_dup_32bit_reference`). Occupancy stays bounded ~256x
+    further than the 32-bit geometry at the same corpus size."""
     from radar_output_restructure_spark.operators.dedup_scale import (
         simhash_near_dup_pairs_wide,
     )
@@ -1619,10 +1565,12 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Index cache key = fingerprint of the SOURCE DATA, not just its path
     # (file names + sizes + mtimes): regenerating the parquet at the same
     # path changes the tag, so a stale index can never be silently reused.
+    import os
+
     tag = dataset_fingerprint(sf_dir, ("embeddings",))
     path = f"/tmp/spark_graft_ivf_index_{tag}"
-    marker = _os.path.join(path, "_SUCCESS")
-    if not _os.path.exists(marker):  # write-once per sf_dir, like any index
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):  # write-once per sf_dir, like any index
         write_ivf_index(emb, centroids, path)
     return probe_ivf_index(
         spark,

@@ -16,11 +16,9 @@ from radar_output_restructure_spark.operators.similarity import (
 )
 from radar_output_restructure_spark.queries import register
 from radar_output_restructure_spark.queries_sim import (
-    _SQL_BUCKETS_UNION,
     _SQL_CNORM,
     _SQL_DOT,
     _SQL_QNORM,
-    NUM_PLANES,
     NUM_TABLES,
     sql_buckets_union,
 )
@@ -101,11 +99,18 @@ def _near_dup_from_buckets(emb: DataFrame, cb: DataFrame) -> DataFrame:
     return near_dup_pairs_from_buckets(emb, cb, NEAR_DUP_COSINE)
 
 
+#: embeddings rows at the driver's FIXED sf0.01 correctness gate; the static
+#: oracle SQL must pre-bake the plane count the Spark side derives at runtime
+#: (auto_num_planes(count)), so it is generated for this gate cardinality.
+AUTO_GATE_N = 500
+AUTO_GATE_PLANES = auto_num_planes(AUTO_GATE_N)
+
+
 @register(
     "embedding_near_dup_pairs",
     f"""
     WITH b AS (
-{_SQL_BUCKETS_UNION}
+{sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
@@ -126,55 +131,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: hyperplane-LSH bucket
     candidates over the WHOLE corpus, exact cosine verification.
 
-    KNOWN-QUADRATIC REFERENCE CONFIGURATION — DO NOT USE AT SCALE. The
-    fixed 4-plane geometry's bucket occupancy grows linearly with the
-    corpus (SCALE.md: ~x40 work at 10x tiling), so it is retained only as
-    the documented small-corpus/high-recall baseline and the stress
-    harness's saturation reference point. The production path is
-    `embedding_near_dup_pairs_auto` below, whose plane count tracks
-    log2(n) and holds the candidate join linear."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cb = hyperplane_lsh_buckets(
-        emb, num_planes=NUM_PLANES, num_tables=NUM_TABLES
-    )
-    return _near_dup_from_buckets(emb, cb)
-
-
-#: embeddings rows at the driver's FIXED sf0.01 correctness gate; the static
-#: oracle SQL must pre-bake the plane count the Spark side derives at runtime
-#: (auto_num_planes(count)), so it is generated for this gate cardinality.
-AUTO_GATE_N = 500
-AUTO_GATE_PLANES = auto_num_planes(AUTO_GATE_N)
-
-
-@register(
-    "embedding_near_dup_pairs_auto",
-    f"""
-    WITH b AS (
-{sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-      FROM b a JOIN b c USING (tbl, bucket)
-      WHERE a.vec_id < c.vec_id
-    ),
-    sims AS (
-      SELECT vec_a, vec_b,
-             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
-      FROM cand
-      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
-      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
-    )
-    SELECT vec_a, vec_b, sim FROM sims WHERE sim >= {NEAR_DUP_COSINE}
-    """,
-)
-def q_embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE-SAFE near-dup configuration: plane count derived from the
-    corpus cardinality (auto_num_planes holds expected bucket occupancy
-    constant, keeping the bucket self-join LINEAR in corpus size — the
-    fixed-plane variant's candidate set grows quadratically). This is the
-    configuration a 100 TB run should use; the fixed-plane query remains as
-    the small-corpus/high-recall reference point.
+    This undecorated name IS the scale-safe configuration (r6-verdict
+    demotion: the fixed 4-plane geometry that previously held this name is
+    quadratic — bucket occupancy grows linearly with the corpus, ~x40 work
+    at 10x tiling — and now lives only in scripts/scale_stress.py as
+    `embedding_near_dup_fixed4_reference`). The plane count is derived from
+    the corpus cardinality: auto_num_planes holds expected bucket occupancy
+    constant, keeping the bucket self-join LINEAR in corpus size. This is
+    the configuration a 100 TB run should use.
 
     The Spark side computes n with a cheap parquet count; the DuckDB oracle
     pre-bakes auto_num_planes(500) because the driver's gate always runs at

@@ -96,10 +96,10 @@ def _sign_shared_key(
             headers.get("Content-Type", ""),
             "",  # Date (empty: x-ms-date is used)
             "",  # If-Modified-Since
-            "",  # If-Match
-            "",  # If-None-Match
+            headers.get("If-Match", ""),  # conditional PUT (object_locks)
+            headers.get("If-None-Match", ""),
             "",  # If-Unmodified-Since
-            "",  # Range
+            "",  # Range (ranged reads use x-ms-range, canonical above)
             canon_headers + canon_resource,
         ]
     )

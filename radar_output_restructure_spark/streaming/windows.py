@@ -246,9 +246,10 @@ def streaming_simhash_near_dup_pairs(
     streams (processing-time timeout drops idle buckets; dedup guarantees
     then hold within the TTL horizon — the same trade dropDuplicates makes
     with its watermark). A pair colliding in several bands emits once per
-    colliding band; downstream consumers dedup on (doc_a, doc_b) — kept
-    this way so per-bucket state stays independent (cross-bucket
-    coordination would serialize the operator).
+    colliding band — kept this way so per-bucket state stays independent
+    (cross-bucket coordination would serialize the operator); wrap the
+    sink with `foreach_batch_pair_dedup` for exact batch parity (all of a
+    pair's emissions land in one micro-batch, see that helper).
 
     On a BATCH frame: the equivalent banded self-join (delegates to the
     batch operator's verify semantics) so tests compare modes directly.
@@ -384,13 +385,16 @@ def streaming_simhash_near_dup_pairs_wide(
     would accumulate every fingerprint the stream ever carries into 1,024
     lists. Hamming verifies as popcount(lo xor lo') + popcount(hi xor hi').
 
-    Known streaming divergence (shared with the 32-bit streaming variant):
-    a pair whose fingerprints collide in several bands is emitted once PER
+    Cross-band multiplicity (shared with the 32-bit streaming variant): a
+    pair whose fingerprints collide in several bands is emitted once PER
     colliding band — up to 4x — because per-band state partitions cannot
     see each other's emissions and `flatMapGroupsWithState` output cannot
     be re-aggregated with `.distinct()` in append mode. The batch path
-    dedups cross-band hits; stream consumers that count pairs must dedup
-    (doc_a, doc_b) downstream, e.g. per micro-batch in `foreachBatch`.
+    dedups cross-band hits. Exact batch parity is restored by wrapping the
+    sink with `foreach_batch_pair_dedup` below: every duplicate emission
+    of a pair lands in the SAME micro-batch (all colliding band groups
+    emit at the arrival of the pair's LATER doc), so batch-local
+    dropDuplicates is sufficient — no cross-batch dedup state needed.
     """
     bands, width = 4, 16
     if bands <= max_hamming:
@@ -494,6 +498,39 @@ def streaming_simhash_near_dup_pairs_wide(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def foreach_batch_pair_dedup(sink):
+    """Wrap a foreachBatch sink so each micro-batch's near-dup pairs are
+    deduped on (doc_a, doc_b) before the sink sees them — closing the
+    cross-band multiplicity divergence of the streaming simhash detectors
+    (r6-verdict item 5) WITHOUT cross-batch state:
+
+    every duplicate emission of a pair occurs in the SAME micro-batch.
+    Per-band state appends a doc exactly once (doc ids are unique in the
+    fingerprint stream), so band groups can only emit pair (a, b) in the
+    micro-batch where the later of a/b arrives — all colliding bands
+    process that same batch. Batch-local dropDuplicates is therefore
+    EXACTLY the batch plan's cross-band distinct, not an approximation.
+
+    Usage::
+
+        q = (streaming_simhash_near_dup_pairs_wide(fp_stream)
+             .writeStream
+             .foreachBatch(foreach_batch_pair_dedup(
+                 lambda df, epoch: df.write.mode("append").parquet(out)))
+             .option("checkpointLocation", ck)
+             .start())
+
+    The wrapped frame keeps deterministic content per epoch (foreachBatch
+    re-runs on recovery replay the same batch), so append-mode sinks stay
+    exactly-once under the usual idempotent-write discipline.
+    """
+
+    def _fb(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df.dropDuplicates(["doc_a", "doc_b"]), batch_id)
+
+    return _fb
 
 
 _FUNNEL_STATE_SCHEMA = "step int, last_us bigint, lags array<bigint>"

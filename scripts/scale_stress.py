@@ -45,7 +45,7 @@ HEAVY = [
     "minhash_lsh_pairs_docs",
     "char_ngram_jaccard_docs",
     "embedding_near_dup_pairs",
-    "embedding_near_dup_pairs_auto",
+    "embedding_near_dup_fixed4_reference",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_pq_topk",
@@ -56,7 +56,7 @@ HEAVY = [
     "doc_repetition",
     "doc_bigram_logprob",
     "simhash_near_dup_docs",
-    "simhash_near_dup_docs_wide",
+    "simhash_near_dup_32bit_reference",
     "ann_ivfpq_rerank_topk",
     "source_quality_stats_docs",
     "doc_fingerprint_overlap",
@@ -71,6 +71,7 @@ HEAVY = [
     "paragraph_dedup_docs",
     "bloom_decontaminate_docs",
     "semantic_dedup_embeddings",
+    "semantic_dedup_pinned_k16_reference",
     "source_similarity_minhash",
     "snapshot_delta_dedup_docs",
     "compaction_bins_docs",
@@ -150,6 +151,75 @@ def timed(build, runs: int) -> float:
     return best
 
 
+def _reference_configs() -> dict:
+    """Known-saturating geometries demoted out of the query registry
+    (r6-verdict item 2). They exist ONLY here, as stress-harness reference
+    points contrasting the scale-safe configurations that now hold the
+    undecorated registry names:
+
+    * embedding_near_dup_fixed4_reference — fixed 4-plane hyperplane LSH
+      (16 buckets/table forever): bucket occupancy grows linearly with the
+      corpus, candidate pairs quadratically. The registry's
+      `embedding_near_dup_pairs` derives planes ~ log2(n) instead.
+    * simhash_near_dup_32bit_reference — 32-bit simhash, 4x8-bit bands
+      (1,024 buckets total forever). The registry's `simhash_near_dup_docs`
+      is the 64-bit / 4x16-bit-band geometry.
+    * semantic_dedup_pinned_k16_reference — SemDeDup with k-means cells
+      PINNED at the gate's k=16: cell population grows with the corpus and
+      the within-cell quadratic verify with its square. The registry's
+      `semantic_dedup_embeddings` re-derives k = sem_auto_cells(n) so cell
+      population — and therefore verify cost per vector — stays constant.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        simhash_near_dup_pairs,
+    )
+    from radar_output_restructure_spark.operators.similarity import (
+        hyperplane_lsh_buckets,
+        near_dup_pairs_from_buckets,
+    )
+    from radar_output_restructure_spark.queries_sim import (
+        NUM_TABLES,
+        SIMHASH_MAX_HAMMING,
+    )
+    from radar_output_restructure_spark.queries_stream import NEAR_DUP_COSINE
+    from radar_output_restructure_spark.sources.tables import load_table
+
+    def emb_fixed4(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = hyperplane_lsh_buckets(emb, num_planes=4, num_tables=NUM_TABLES)
+        return near_dup_pairs_from_buckets(emb, cb, NEAR_DUP_COSINE)
+
+    def simhash_32bit(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        return simhash_near_dup_pairs(
+            docs, bits=32, bands=4, max_hamming=SIMHASH_MAX_HAMMING
+        )
+
+    def sem_pinned_k16(spark, sf_dir):
+        from radar_output_restructure_spark.operators.similarity import (
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+        from radar_output_restructure_spark.queries_sim import (
+            DIMS,
+            KM_ITERS,
+            SEM_GATE_K,
+            SEMDEDUP_TAU,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = train_ivf_centroids(
+            emb, k=SEM_GATE_K, iters=KM_ITERS, dims=DIMS
+        )
+        return semantic_dedup(emb, centroids, SEMDEDUP_TAU)
+
+    return {
+        "embedding_near_dup_fixed4_reference": emb_fixed4,
+        "simhash_near_dup_32bit_reference": simhash_32bit,
+        "semantic_dedup_pinned_k16_reference": sem_pinned_k16,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="*", default=None)
@@ -173,7 +243,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    registry = entry_mod.queries()
+    registry = dict(entry_mod.queries())
+    registry.update(_reference_configs())
 
     rows = []
     for name in names:
@@ -271,12 +342,13 @@ def main() -> None:
             if lever:
                 fh.write(
                     "\n## Fixed-parameter LSH and the log2(n) lever\n\n"
-                    "`embedding_near_dup_pairs` uses 4 hyperplanes (16 buckets/"
-                    "table): at fixed\nbit-width, bucket occupancy grows with "
-                    "the corpus and candidate pairs grow\nquadratically. The "
-                    "operating rule at scale is planes ~ log2(n), and that\n"
-                    "configuration is oracle-gated as "
-                    "`embedding_near_dup_pairs_auto` (plane count\nfrom "
+                    "`embedding_near_dup_fixed4_reference` (stress-harness "
+                    "only, not a registry\nquery) uses 4 hyperplanes (16 "
+                    "buckets/table): at fixed bit-width, bucket\noccupancy "
+                    "grows with the corpus and candidate pairs grow "
+                    "quadratically. The\noperating rule at scale is planes ~ "
+                    "log2(n), and that configuration is the\noracle-gated "
+                    "`embedding_near_dup_pairs` (plane count from\n"
                     "auto_num_planes(corpus count) — its stress row above is "
                     "the headline\nnear-dup story; the fixed-plane row is the "
                     "known-quadratic reference point):\n\n"

@@ -8,6 +8,7 @@ executor worker processes reach it too, like a real account."""
 from __future__ import annotations
 
 import email.utils
+import hashlib
 import threading
 import time
 import urllib.parse
@@ -24,6 +25,10 @@ class _Blob:
     def __init__(self, data: bytes):
         self.data = data
         self.mtime = time.time()
+
+    @property
+    def etag(self) -> str:
+        return f'"{hashlib.md5(self.data).hexdigest()}"'
 
 
 class AzureBlobHandler(BaseHTTPRequestHandler):
@@ -51,7 +56,7 @@ class AzureBlobHandler(BaseHTTPRequestHandler):
         return [
             ("Last-Modified", email.utils.formatdate(blob.mtime, usegmt=True)),
             ("x-ms-blob-type", "BlockBlob"),
-            ("ETag", f'"{hash(blob.data) & 0xFFFFFFFF:x}"'),
+            ("ETag", blob.etag),
         ]
 
     def _send(self, status: int, headers=(), body: bytes = b""):
@@ -67,7 +72,23 @@ class AzureBlobHandler(BaseHTTPRequestHandler):
     def do_PUT(self):
         _c, key, _q = self._split()
         length = int(self.headers.get("Content-Length", 0))
-        self._store()[key] = _Blob(self.rfile.read(length))
+        data = self.rfile.read(length)
+        if_none = self.headers.get("If-None-Match")
+        if_match = self.headers.get("If-Match")
+        # Conditional Put Blob (the object_locks.py contract): evaluate the
+        # condition and store ATOMICALLY under the server mutation mutex —
+        # ThreadingHTTPServer handles requests concurrently, and the whole
+        # point of these conditions is store-arbitrated single winners.
+        with self.server.mutex:  # type: ignore[attr-defined]
+            store = self._store()
+            cur = store.get(key)
+            if if_none == "*" and cur is not None:
+                self._send(409)  # BlobAlreadyExists
+                return
+            if if_match is not None and (cur is None or cur.etag != if_match):
+                self._send(412)  # ConditionNotMet
+                return
+            store[key] = _Blob(data)
         self._send(201)
 
     def do_HEAD(self):
@@ -102,10 +123,9 @@ class AzureBlobHandler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         _c, key, _q = self._split()
-        if self._store().pop(key, None) is None:
-            self._send(404)
-        else:
-            self._send(202)
+        with self.server.mutex:  # type: ignore[attr-defined]
+            gone = self._store().pop(key, None) is None
+        self._send(404 if gone else 202)
 
     # -- List Blobs ---------------------------------------------------------
 
@@ -166,6 +186,7 @@ class AzureBlobEmulator:
     def __init__(self):
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), AzureBlobHandler)
         self.server.containers = {}  # type: ignore[attr-defined]
+        self.server.mutex = threading.Lock()  # type: ignore[attr-defined]
         self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
 
     def __enter__(self) -> str:

@@ -1,0 +1,221 @@
+"""Object-store lock managers (VERDICT r6 item 3): the reference's Redis
+lock contract (accounting/RedisRemoteLockManager.kt:8-45) over S3
+conditional writes (moto server) and Azure Put Blob conditions (in-process
+emulator) — multi-replica coordination with NO shared POSIX filesystem.
+
+Also covers the manifest-over-s3:// rerun-pruning path: the seen-offset
+ledger (sources/manifest.py) reading and committing through
+S3TargetStorage, so a replicated deployment's accounting state lives next
+to its output objects.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+from radar_output_restructure_spark.object_locks import (  # noqa: E402
+    AzureRemoteLockManager,
+    S3RemoteLockManager,
+)
+from radar_output_restructure_spark.sinks.s3_storage import (  # noqa: E402
+    S3TargetStorage,
+)
+from radar_output_restructure_spark.sources.manifest import (  # noqa: E402
+    FileEntry,
+    ProcessedFileManifest,
+)
+
+BUCKET = "lock-bucket"
+S3_CRED = dict(
+    aws_access_key_id="testing",
+    aws_secret_access_key="testing",
+    region_name="us-east-1",
+)
+
+
+@pytest.fixture(scope="module")
+def s3_endpoint():
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    boto3.client("s3", endpoint_url=endpoint, **S3_CRED).create_bucket(
+        Bucket=BUCKET
+    )
+    yield endpoint
+    server.stop()
+
+
+def _s3_manager(endpoint: str, prefix: str, ttl_s: float = 3600.0):
+    return S3RemoteLockManager(
+        f"s3://{BUCKET}/{prefix}", ttl_s=ttl_s, endpoint_url=endpoint, **S3_CRED
+    )
+
+
+@pytest.fixture
+def azure_endpoint():
+    from tests.azure_emulator import AzureBlobEmulator
+
+    with AzureBlobEmulator() as endpoint:
+        yield endpoint
+
+
+def _azure_manager(endpoint: str, prefix: str, ttl_s: float = 3600.0):
+    return AzureRemoteLockManager(
+        f"azure://locks/{prefix}", endpoint_url=endpoint, ttl_s=ttl_s
+    )
+
+
+def _factories():
+    """(fixture name, manager factory) for both backends."""
+    return [
+        ("s3_endpoint", _s3_manager),
+        ("azure_endpoint", _azure_manager),
+    ]
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_acquire_is_exclusive_across_replicas(fixture, factory, request):
+    endpoint = request.getfixturevalue(fixture)
+    a = factory(endpoint, "t1")
+    b = factory(endpoint, "t1")
+    lock = a.acquire_lock("topic")
+    assert lock is not None
+    assert b.acquire_lock("topic") is None  # held by a: store says no
+    lock.close()
+    lock2 = b.acquire_lock("topic")  # tombstoned, not deleted -> breakable
+    assert lock2 is not None
+    lock2.close()
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_stale_lock_is_broken_and_reacquired(fixture, factory, request):
+    endpoint = request.getfixturevalue(fixture)
+    a = factory(endpoint, "t2", ttl_s=0.05)  # crashes without releasing
+    b = factory(endpoint, "t2")
+    assert a.acquire_lock("topic") is not None
+    time.sleep(0.1)
+    lock = b.acquire_lock("topic")
+    assert lock is not None  # expired lock broken via If-Match replace
+    lock.close()
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_release_is_owner_checked(fixture, factory, request):
+    """An owner releasing its EXPIRED lock after a breaker re-acquired must
+    not disturb the breaker's fresh lock (the reference's
+    `if (redis.get(key) == uuid) del` contract)."""
+    endpoint = request.getfixturevalue(fixture)
+    a = factory(endpoint, "t3", ttl_s=0.05)
+    b = factory(endpoint, "t3")
+    stale = a.acquire_lock("topic")
+    assert stale is not None
+    time.sleep(0.1)
+    fresh = b.acquire_lock("topic")
+    assert fresh is not None
+    stale.close()  # a's release sees owner==b and leaves it alone
+    assert factory(endpoint, "t3").acquire_lock("topic") is None
+    fresh.close()
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_try_with_lock_context(fixture, factory, request):
+    endpoint = request.getfixturevalue(fixture)
+    a = factory(endpoint, "t4")
+    b = factory(endpoint, "t4")
+    with a.try_with_lock("topic") as la:
+        assert la is not None
+        with b.try_with_lock("topic") as lb:
+            assert lb is None
+    with b.try_with_lock("topic") as lb:
+        assert lb is not None
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_concurrent_contention_single_winner(fixture, factory, request):
+    """8 replicas race for one topic; the store's conditional PUT must
+    arbitrate exactly one holder per round, every round."""
+    endpoint = request.getfixturevalue(fixture)
+    managers = [factory(endpoint, "t5", ttl_s=3600.0) for _ in range(8)]
+    winners: list[int] = []
+    lock_box: list = []
+    barrier = threading.Barrier(8)
+
+    def contend(i: int):
+        barrier.wait()
+        lock = managers[i].acquire_lock("topic")
+        if lock is not None:
+            winners.append(i)
+            lock_box.append(lock)
+
+    for _round in range(3):
+        winners.clear()
+        lock_box.clear()
+        threads = [
+            threading.Thread(target=contend, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(winners) == 1, f"round holders: {winners}"
+        lock_box[0].close()
+
+
+def test_s3_lock_payload_shape(s3_endpoint):
+    """The lock object is the reference's Redis value re-expressed: the
+    holding instance uuid plus an expiry the breaker can evaluate."""
+    mgr = _s3_manager(s3_endpoint, "t6")
+    lock = mgr.acquire_lock("topic")
+    assert lock is not None
+    client = boto3.client("s3", endpoint_url=s3_endpoint, **S3_CRED)
+    raw = client.get_object(Bucket=BUCKET, Key="t6/topic.lock")["Body"].read()
+    info = json.loads(raw)
+    assert info["owner"] == mgr.uuid
+    assert info["expires_at"] > time.time()
+    lock.close()
+    # release tombstones (expires) rather than deleting: no conditional
+    # DELETE on S3 general-purpose buckets, and an unconditional delete
+    # would reopen the break race
+    raw = client.get_object(Bucket=BUCKET, Key="t6/topic.lock")["Body"].read()
+    assert json.loads(raw)["expires_at"] == 0.0
+
+
+def test_manifest_rerun_pruning_over_s3(s3_endpoint):
+    """The seen-offset ledger works bucket-native: commit on one 'replica',
+    prune on a fresh one reading the same s3:// prefix — the no-shared-FS
+    deployment the reference serves with OffsetRedisPersistence."""
+    storage = S3TargetStorage(endpoint_url=s3_endpoint, **S3_CRED)
+    root = f"s3://{BUCKET}/state/manifest"
+    first = ProcessedFileManifest(root, storage=storage)
+    files = [
+        FileEntry("topic/part0+0+100.avro", 1000),
+        FileEntry("topic/part0+100+200.avro", 2000),
+    ]
+    assert first.prune(files) == files  # nothing processed yet
+    first.commit(files)
+
+    second = ProcessedFileManifest(root, storage=storage)  # fresh replica
+    newer = FileEntry("topic/part0+200+300.avro", 3000)
+    modified = FileEntry("topic/part0+0+100.avro", 1500)  # mtime changed
+    assert second.prune([files[0], files[1], newer, modified]) == [
+        newer,
+        modified,
+    ]
+
+    second.revoke([files[1]])
+    third = ProcessedFileManifest(root, storage=storage)
+    assert third.prune([files[1]]) == [files[1]]  # revocation visible
+
+    third.compact()
+    fourth = ProcessedFileManifest(root, storage=storage)
+    assert fourth.prune([files[0]]) == []  # compaction preserved state

@@ -51,7 +51,6 @@ REPRESENTATIVE = [
     "ann_lsh_topk",
     "event_attribution_windows",
     "doc_length_quantiles",
-    "simhash_near_dup_docs_wide",
     "tpch_q21_waiting_suppliers",
 ]
 

@@ -36,6 +36,42 @@ def test_oracles_artifact_covers_whole_registry():
     assert not not_green, f"certified-failing queries committed: {not_green}"
 
 
+def test_cert_age_artifact_and_rotation_invariant():
+    """CERT_AGE.json (r6 verdict item 8) is fresh and the rotation promise
+    holds: every registry query is driver-green within the last TWO rounds,
+    or queued in the first 50 of the current gate head so the NEXT driver
+    run certifies it. Debt can no longer accumulate silently."""
+    import __spark_entry__ as entry
+    from scripts.cert_age import build
+
+    current = build()
+    path = os.path.join(REPO, "CERT_AGE.json")
+    assert os.path.exists(path), (
+        "CERT_AGE.json missing — regenerate with `python scripts/cert_age.py`"
+    )
+    with open(path) as fh:
+        committed = json.load(fh)
+    assert committed == current, (
+        "CERT_AGE.json stale — regenerate with `python scripts/cert_age.py`"
+    )
+
+    head_50 = set(list(entry.queries())[:50])
+    latest = current["latest_round"]
+    debtors = {
+        name
+        for name, row in current["queries"].items()
+        if (
+            row["last_driver_green"] is None
+            or latest - row["last_driver_green"] > 2
+        )
+        and name not in head_50
+    }
+    assert not debtors, (
+        f"queries neither driver-green within 2 rounds nor queued in the "
+        f"gate head's first 50: {sorted(debtors)}"
+    )
+
+
 def test_oracle_sql_and_queries_keys_match():
     """Every query has an oracle (or is an explicitly known rows-only op) and
     no oracle is orphaned — the driver's compare depends on both sides."""

@@ -295,9 +295,17 @@ def test_streaming_simhash_near_dup_matches_batch(spark, tmp_path):
         src + "/*.parquet"
     )
     out = streaming_simhash_near_dup_pairs(stream)
+    from radar_output_restructure_spark.streaming.windows import (
+        foreach_batch_pair_dedup,
+    )
+
+    sunk = str(tmp_path / "nd_out")
     q = (
-        out.writeStream.format("memory")
-        .queryName("near_dup_stream")
+        out.writeStream.foreachBatch(
+            foreach_batch_pair_dedup(
+                lambda df, _epoch: df.write.mode("append").parquet(sunk)
+            )
+        )
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ck"))
         .trigger(availableNow=True)
@@ -305,12 +313,10 @@ def test_streaming_simhash_near_dup_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = sorted(
-        {
-            (r.doc_a, r.doc_b, r.hamming)
-            for r in spark.sql("select * from near_dup_stream").collect()
-        }
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(sunk).collect()
     )
-    assert got == expected
+    assert got == expected  # exact multiset parity via per-batch dedup
 
     # batch mode of the same function equals the batch operator verbatim
     batch = sorted(
@@ -357,9 +363,20 @@ def test_streaming_simhash_wide_matches_batch(spark, tmp_path):
         "doc long, fp_lo long, fp_hi long"
     ).parquet(src + "/*.parquet")
     out = streaming_simhash_near_dup_pairs_wide(stream)
+    # foreach_batch_pair_dedup closes the cross-band multiplicity, so the
+    # sunk pairs are compared as an exact LIST against the batch plan —
+    # no set() normalization (r6-verdict item 5)
+    from radar_output_restructure_spark.streaming.windows import (
+        foreach_batch_pair_dedup,
+    )
+
+    sunk = str(tmp_path / "nd_wide_out")
     q = (
-        out.writeStream.format("memory")
-        .queryName("near_dup_wide_stream")
+        out.writeStream.foreachBatch(
+            foreach_batch_pair_dedup(
+                lambda df, _epoch: df.write.mode("append").parquet(sunk)
+            )
+        )
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckw"))
         .trigger(availableNow=True)
@@ -367,12 +384,10 @@ def test_streaming_simhash_wide_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = sorted(
-        {
-            (r.doc_a, r.doc_b, r.hamming)
-            for r in spark.sql("select * from near_dup_wide_stream").collect()
-        }
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.read.parquet(sunk).collect()
     )
-    assert got == expected
+    assert got == expected  # exact multiset parity, duplicates included
     batch = sorted(
         (r.doc_a, r.doc_b, r.hamming)
         for r in streaming_simhash_near_dup_pairs_wide(fp).collect()
