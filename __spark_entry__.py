@@ -50,6 +50,9 @@ _GATE_HEAD = (
     "hard_negative_mining",
     "profile_docs",
     "constraint_checks_docs",
+    "doc_char_entropy",
+    "embedding_outlier_scores",
+    "semantic_decontaminate_embeddings",
     # -- r6-verdict demotions: these undecorated names now carry the
     #    scale-safe geometries (auto-plane LSH / wide simhash), so they
     #    need fresh certification under the new semantics --
@@ -92,12 +95,10 @@ _GATE_HEAD = (
     "corpus_vocabulary_docs",
     "cosine_range_search",
     "cosine_topk_bruteforce",
-    "dedup_clusters_docs",
-    "dedup_survivors_docs",
-    "doc_fingerprint_overlap",
     # r5-green entries left for the round-8 rotation:
+    # dedup_clusters_docs, dedup_survivors_docs, doc_fingerprint_overlap,
     # doc_length_quantiles, doc_winnow_fingerprints (displaced from this
-    # head by the two demotion re-certifications above),
+    # head by the demotion re-certifications and round-7 additions above),
     # embedding_dedup_survivors, embedding_dup_clusters,
     # embedding_norms, embedding_quantize,
     # hourly_event_counts, jaccard_pairs_docs, knn_label_accuracy,

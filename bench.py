@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "bucketed_join_sales",
     "profile_docs",
     "constraint_checks_docs",
+    "doc_char_entropy",
+    "embedding_outlier_scores",
+    "semantic_decontaminate_embeddings",
 ]
 
 

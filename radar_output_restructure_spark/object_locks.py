@@ -136,14 +136,20 @@ class S3RemoteLockManager(ConditionalPutLockManager):
         directory: str,
         ttl_s: float = DEFAULT_TTL_S,
         path_style: bool = False,
+        storage=None,
         **client_kwargs,
     ):
         super().__init__(directory, ttl_s)
-        from radar_output_restructure_spark.sinks.s3_storage import (
-            S3TargetStorage,
-        )
+        if storage is not None:  # reuse the sink's configured client
+            self._storage = storage
+        else:
+            from radar_output_restructure_spark.sinks.s3_storage import (
+                S3TargetStorage,
+            )
 
-        self._storage = S3TargetStorage(path_style=path_style, **client_kwargs)
+            self._storage = S3TargetStorage(
+                path_style=path_style, **client_kwargs
+            )
 
     @property
     def client(self):
@@ -214,16 +220,22 @@ class AzureRemoteLockManager(ConditionalPutLockManager):
     def __init__(
         self,
         directory: str,
-        endpoint_url: str,
+        endpoint_url: str | None = None,
         ttl_s: float = DEFAULT_TTL_S,
+        storage=None,
         **storage_kwargs,
     ):
         super().__init__(directory, ttl_s)
-        from radar_output_restructure_spark.sinks.azure_storage import (
-            AzureTargetStorage,
-        )
+        if storage is not None:  # reuse the sink's configured transport
+            self._storage = storage
+        else:
+            if endpoint_url is None:
+                raise ValueError("endpoint_url required without storage=")
+            from radar_output_restructure_spark.sinks.azure_storage import (
+                AzureTargetStorage,
+            )
 
-        self._storage = AzureTargetStorage(endpoint_url, **storage_kwargs)
+            self._storage = AzureTargetStorage(endpoint_url, **storage_kwargs)
 
     def _create_if_absent(self, url: str, body: bytes) -> bool:
         from radar_output_restructure_spark.sinks.azure_storage import (
@@ -272,3 +284,46 @@ class AzureRemoteLockManager(ConditionalPutLockManager):
             ok=(201, 412, 409),
         )
         return status == 201
+
+
+def lock_manager_for(
+    lock_dir: str,
+    ttl_s: float = DEFAULT_TTL_S,
+    target_storage=None,
+) -> RemoteLockManager:
+    """Scheme-aware lock manager: s3://-prefixed lock dirs coordinate over
+    S3 conditional PUT, azure:// over Put Blob conditions, anything else
+    over the shared-filesystem manager. When the plan's configured
+    `target_storage` already speaks the lock dir's protocol, its client
+    configuration (endpoint, credentials, addressing style) is reused so
+    the locks land in the same account as the output objects — the normal
+    multi-replica deployment (reference: one Redis serves both the locks
+    and the offsets, accounting/RedisRemoteLockManager.kt:8-45)."""
+    if lock_dir.startswith(("s3://", "s3a://", "s3n://")):
+        from radar_output_restructure_spark.sinks.s3_storage import (
+            S3TargetStorage,
+        )
+
+        reuse = (
+            target_storage
+            if isinstance(target_storage, S3TargetStorage)
+            else None
+        )
+        return S3RemoteLockManager(lock_dir, ttl_s=ttl_s, storage=reuse)
+    if lock_dir.startswith(("azure://", "az://", "abfs://", "abfss://")):
+        from radar_output_restructure_spark.sinks.azure_storage import (
+            AzureTargetStorage,
+        )
+
+        if not isinstance(target_storage, AzureTargetStorage):
+            raise ValueError(
+                "azure:// lock_dir needs the plan's Azure target storage "
+                "for endpoint/credentials; configure the Azure target or "
+                "construct AzureRemoteLockManager directly"
+            )
+        return AzureRemoteLockManager(
+            lock_dir, ttl_s=ttl_s, storage=target_storage
+        )
+    from radar_output_restructure_spark.locks import FileRemoteLockManager
+
+    return FileRemoteLockManager(lock_dir, ttl_s=ttl_s)

@@ -1743,3 +1743,177 @@ def label_centroid_similarity(
         .join(nb, "label_b")
         .select("label_a", "label_b", cos.alias("cos"))
     )
+
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.0,
+    scale: int = 1000,
+) -> DataFrame:
+    """(vec_id, centroid_cos, is_outlier): per-vector cosine to the global
+    corpus centroid — the standard embedding-space outlier screen a
+    curation pipeline runs before semantic dedup (vectors pointing away
+    from the corpus bulk are mislabeled/garbage candidates).
+
+    Exactness discipline = `label_centroid_similarity`: elements quantize
+    to exact integers (round(x*scale)), the per-dimension corpus sums are
+    BIGINT (order-free, so the centroid is associativity-proof), and each
+    vector's dot with the sum vector is BIGINT; the only float math is the
+    final sqrt-divide-round chain, which any engine reproduces. Cosine is
+    scale-invariant, so the SUM vector serves as the centroid direction
+    and no division by corpus count happens anywhere.
+
+    Plan shape: one corpus-sized posexplode into a map-side-combined
+    groupBy(pos) (dims rows out), re-aggregated to a single array row that
+    CROSS-JOIN BROADCASTS back onto the corpus scan — a 1-row scalar
+    frame, the one shape where a nested-loop join is free. The per-vector
+    score is then a map-only zip_with/aggregate fold. Two passes over the
+    corpus, zero data-sized shuffles at any scale.
+
+    `is_outlier` compares the ROUNDED cosine strictly below `tau`, so the
+    flag is deterministic wherever the rounded value is.
+    """
+    q = F.round(F.col("val").cast("double") * scale, 0).cast("long")
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+    )
+    sums = (
+        df.select(F.posexplode(vec_col).alias("pos", "val"))
+        .select("pos", q.alias("q"))
+        .groupBy("pos")
+        .agg(F.sum("q").alias("s"))
+    )
+    svec = sums.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda e: e.getField("s"),
+        ).alias("sv")
+    )
+    zipped = F.zip_with(F.col("__q"), F.col("sv"), lambda a, b: a * b)
+    dot = F.aggregate(
+        zipped, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    nq2 = F.aggregate(
+        F.transform(F.col("__q"), lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ns2 = F.aggregate(
+        F.transform(F.col("sv"), lambda a: a * a),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("__nq2") == 0) | (F.col("__ns2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.col("__dot")
+            / (
+                F.sqrt(F.col("__nq2").cast("double"))
+                * F.sqrt(F.col("__ns2").cast("double"))
+            ),
+            6,
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("vec_id"), qvec.alias("__q"))
+        .crossJoin(F.broadcast(svec))
+        .select(
+            "vec_id",
+            dot.alias("__dot"),
+            nq2.alias("__nq2"),
+            ns2.alias("__ns2"),
+        )
+        .select(
+            "vec_id",
+            cos.alias("centroid_cos"),
+            (cos < F.lit(tau)).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+def decontaminate_vs_eval(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    tau: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, max_eval_sim, nearest_eval, contaminated): for every corpus
+    vector, its maximum cosine to ANY eval-set vector — SEMANTIC
+    decontamination of training data against a benchmark, the
+    embedding-space sibling of the Bloom n-gram filter
+    (sketches.bloom_ngram_filter): n-grams catch verbatim leakage, cosine
+    catches paraphrased leakage.
+
+    The eval set is SMALL BY CONTRACT (a benchmark slice — the same
+    bounded-side assumption every ANN query makes for its codebook): it is
+    collected once into an Arrow closure and every corpus partition scores
+    against it map-only, so the plan is one corpus scan with zero
+    shuffles — at 100 TB the cost is the scan itself.
+
+    Float parity: similarities accumulate SEQUENTIALLY over dims (the
+    DuckDB list_sum fold order) and round via `_round6_spark` BEFORE the
+    per-row max, so `max_eval_sim` is a max over already-identical
+    rounded values; `nearest_eval` ties break to the smallest eval id
+    (np.argmax first-hit over ids sorted ascending = SQL min() over the
+    argmax set). Zero-norm vectors score 0 against everything.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        eval_df.select(F.col(id_col).alias("eid"), F.col(vec_col).alias("ev"))
+        .sort("eid")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("eval set is empty")
+    eval_ids = np.array([r.eid for r in rows], dtype=np.int64)
+    ev = np.array([list(r.ev) for r in rows], dtype=np.float64)  # (e, dims)
+    dims = ev.shape[1]
+    esq = np.zeros(len(rows))
+    for d in range(dims):  # sequential fold == oracle list_sum
+        esq = esq + ev[:, d] * ev[:, d]
+    enorm = np.sqrt(esq)
+    enorm_safe = np.where(enorm == 0, 1.0, enorm)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"vec_id {id_type}, max_eval_sim double, nearest_eval bigint,"
+        " contaminated int"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            xsq = np.zeros(len(pdf))
+            acc = np.zeros((len(pdf), len(eval_ids)))
+            for d in range(dims):
+                xd = x[:, d]
+                xsq = xsq + xd * xd
+                acc = acc + xd[:, None] * ev[None, :, d]
+            xnorm = np.sqrt(xsq)
+            denom = np.where(xnorm == 0, 1.0, xnorm)[:, None] * enorm_safe
+            sims = _round6_spark(acc / denom)
+            sims[xnorm == 0, :] = 0.0
+            sims[:, enorm == 0] = 0.0
+            best = sims.max(axis=1)
+            nearest = eval_ids[np.argmax(sims, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__id"].to_numpy(),
+                    "max_eval_sim": best,
+                    "nearest_eval": nearest,
+                    "contaminated": (best >= tau).astype("int32"),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(score, out_schema)

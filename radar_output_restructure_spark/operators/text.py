@@ -1015,3 +1015,65 @@ def sparse_cosine_pairs(
         .select("doc_a", "doc_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, n_chars, distinct_chars, entropy_micro): Shannon entropy of
+    each document's character distribution, in integer MICRO-bits — the
+    classic gibberish/boilerplate screen (near-zero entropy = repeated
+    filler; implausibly high = binary junk or key dumps) that complements
+    the token-level `quality_score`.
+
+    Engine-exactness discipline = `unigram_logprob_score`: each character
+    class contributes round(-p*log2(p)*1e6) as an INTEGER before the
+    per-doc sum, so accumulation is order-independent and any engine
+    computing the same per-class terms matches bit-for-bit. The rounding
+    is HALF-UP on a positive value (floor(x+0.5)), DuckDB's round().
+
+    MAP-ONLY (Arrow batches, one Counter per doc): no explode, no shuffle
+    at any corpus size — the JVM alternative (explode chars -> two
+    groupBys) would shuffle n_chars rows per document. Docs with NULL or
+    empty text emit nothing (mirror the oracle's length(text) > 0 guard).
+    """
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"doc {id_type}, n_chars bigint, distinct_chars int,"
+        " entropy_micro bigint"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            docs, n_chars, n_distinct, ent = [], [], [], []
+            for doc, s in zip(pdf["__id"].to_numpy(), pdf["__t"].to_numpy()):
+                if s is None or len(s) == 0:
+                    continue
+                counts = Counter(s)
+                t = float(len(s))
+                micro = 0
+                for n in counts.values():  # integer terms: order-free
+                    p = n / t
+                    micro += math.floor(-p * math.log2(p) * 1e6 + 0.5)
+                docs.append(doc)
+                n_chars.append(len(s))
+                n_distinct.append(len(counts))
+                ent.append(micro)
+            if docs:
+                yield pd.DataFrame(
+                    {
+                        "doc": docs,
+                        "n_chars": n_chars,
+                        "distinct_chars": n_distinct,
+                        "entropy_micro": ent,
+                    }
+                )
+
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(score, out_schema)

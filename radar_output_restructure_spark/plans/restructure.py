@@ -181,12 +181,19 @@ class RestructurePlan:
         self._mp_dim_cache: DataFrame | None = None
         self._lock_manager = None
         if config.lock_dir:
-            from radar_output_restructure_spark.locks import (
-                FileRemoteLockManager,
+            # Scheme-aware (T5): s3://-/azure://-prefixed lock dirs
+            # coordinate replicas over conditional PUT with NO shared
+            # filesystem — the faithful analog of the reference's Redis
+            # locks for object-store deployments; plain paths keep the
+            # shared-FS manager.
+            from radar_output_restructure_spark.object_locks import (
+                lock_manager_for,
             )
 
-            self._lock_manager = FileRemoteLockManager(
-                config.lock_dir, ttl_s=config.lock_ttl_s
+            self._lock_manager = lock_manager_for(
+                config.lock_dir,
+                ttl_s=config.lock_ttl_s,
+                target_storage=self.target_storage,
             )
         self.storage_index = None
         if config.use_storage_index:

@@ -1685,3 +1685,35 @@ def q_constraint_checks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") == 0).alias("passed"),
         )
     )
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    hist AS (
+      SELECT doc_id, ch, count(*)::DOUBLE AS n FROM chars GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(n) AS t, count(*) AS n_distinct
+      FROM hist GROUP BY 1
+    )
+    SELECT h.doc_id AS doc,
+           CAST(t.t AS BIGINT) AS n_chars,
+           CAST(t.n_distinct AS INT) AS distinct_chars,
+           CAST(sum(CAST(round(-(h.n / t.t) * log2(h.n / t.t) * 1000000, 0)
+                         AS BIGINT)) AS BIGINT) AS entropy_micro
+    FROM hist h JOIN tot t USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (micro-bits) —
+    gibberish/boilerplate screen (operators/text.char_entropy: map-only
+    Arrow Counter per doc, per-class integer terms so the sum is
+    order-free; the oracle replays the identical terms via log2)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.char_entropy(docs)

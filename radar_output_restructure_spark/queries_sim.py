@@ -1663,3 +1663,115 @@ def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroid_similarity(emb)
+
+
+# ---------------------------------------------------------------------------
+# centroid outlier screen + semantic eval-set decontamination (round 7)
+# ---------------------------------------------------------------------------
+
+OUTLIER_SCALE = 1000
+OUTLIER_TAU = 0.0
+_Q1000 = (
+    f"[CAST(round(CAST(embedding[i] AS DOUBLE) * {OUTLIER_SCALE}, 0) AS BIGINT)"
+    f" for i in range(1, {DIMS + 1})]"
+)
+
+
+@register(
+    "embedding_outlier_scores",
+    f"""
+    WITH q AS (SELECT vec_id, {_Q1000} AS qv FROM embeddings),
+    dims AS (
+      SELECT i, CAST(sum(qv[i]) AS BIGINT) AS s
+      FROM q, (SELECT unnest(range(1, {DIMS + 1})) AS i)
+      GROUP BY i
+    ),
+    sv AS (SELECT list(s ORDER BY i) AS sv FROM dims),
+    scored AS (
+      SELECT q.vec_id,
+             CAST(list_sum([qv[i] * sv[i] for i in range(1, {DIMS + 1})])
+                  AS BIGINT) AS dot,
+             CAST(list_sum([qv[i] * qv[i] for i in range(1, {DIMS + 1})])
+                  AS BIGINT) AS nq2,
+             CAST(list_sum([sv[i] * sv[i] for i in range(1, {DIMS + 1})])
+                  AS BIGINT) AS ns2
+      FROM q CROSS JOIN sv
+    ),
+    cosed AS (
+      SELECT vec_id,
+             CASE WHEN nq2 = 0 OR ns2 = 0 THEN 0.0
+                  ELSE round(dot / (sqrt(CAST(nq2 AS DOUBLE))
+                                    * sqrt(CAST(ns2 AS DOUBLE))), 6)
+             END AS centroid_cos
+      FROM scored
+    )
+    SELECT vec_id, centroid_cos,
+           CAST(centroid_cos < {OUTLIER_TAU} AS INT) AS is_outlier
+    FROM cosed
+    """,
+)
+def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: cosine of every vector to the global
+    corpus centroid (operators/similarity.centroid_outlier_scores). Exact
+    integer quantization makes the centroid associativity-proof; the plan
+    is one posexplode groupBy(pos) reduced to a 1-row broadcast scalar and
+    a map-only fold — no data-sized shuffle at any corpus size."""
+    from radar_output_restructure_spark.operators.similarity import (
+        centroid_outlier_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outlier_scores(
+        emb, tau=OUTLIER_TAU, scale=OUTLIER_SCALE
+    )
+
+
+N_EVAL = 50  # eval-benchmark slice: vec_id < 50, bounded by contract
+DECON_TAU = 0.4
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id AS eid, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_EVAL}),
+    c AS (SELECT vec_id, embedding AS cv
+          FROM embeddings WHERE vec_id >= {N_EVAL}),
+    sims AS (
+      SELECT c.vec_id, e.eid,
+             CASE WHEN {_SQL_QNORM} = 0 OR {_SQL_CNORM} = 0 THEN 0.0
+                  ELSE round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
+             END AS sim
+      FROM c CROSS JOIN e
+    ),
+    best AS (SELECT vec_id, max(sim) AS max_eval_sim FROM sims GROUP BY 1),
+    pick AS (
+      SELECT s.vec_id, min(s.eid) AS nearest_eval
+      FROM sims s
+      JOIN best b ON b.vec_id = s.vec_id AND s.sim = b.max_eval_sim
+      GROUP BY 1
+    )
+    SELECT b.vec_id, b.max_eval_sim,
+           CAST(p.nearest_eval AS BIGINT) AS nearest_eval,
+           CAST(b.max_eval_sim >= {DECON_TAU} AS INT) AS contaminated
+    FROM best b JOIN pick p USING (vec_id)
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination of training vectors against an eval slice:
+    max cosine of each train vector to ANY eval vector, paraphrase-level
+    leakage the Bloom n-gram filter can't see
+    (operators/similarity.decontaminate_vs_eval — eval slice is an Arrow
+    closure, corpus pass is map-only: one scan, zero shuffles at 100 TB).
+    The oracle's CROSS JOIN is affordable at gate scale only; the Spark
+    side never materializes the product outside each Arrow batch."""
+    from radar_output_restructure_spark.operators.similarity import (
+        decontaminate_vs_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return decontaminate_vs_eval(
+        emb.filter(F.col("vec_id") >= N_EVAL),
+        emb.filter(F.col("vec_id") < N_EVAL),
+        tau=DECON_TAU,
+    )

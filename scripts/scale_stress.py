@@ -80,6 +80,9 @@ HEAVY = [
     "hard_negative_mining",
     "sparse_cosine_pairs_docs",
     "label_centroid_similarity",
+    "doc_char_entropy",
+    "embedding_outlier_scores",
+    "semantic_decontaminate_embeddings",
 ]
 
 ID_STRIDE = 10_000_000

@@ -219,3 +219,36 @@ def test_manifest_rerun_pruning_over_s3(s3_endpoint):
     third.compact()
     fourth = ProcessedFileManifest(root, storage=storage)
     assert fourth.prune([files[0]]) == []  # compaction preserved state
+
+
+def test_lock_manager_for_scheme_dispatch(s3_endpoint, azure_endpoint):
+    from radar_output_restructure_spark.locks import FileRemoteLockManager
+    from radar_output_restructure_spark.object_locks import (
+        lock_manager_for,
+    )
+    from radar_output_restructure_spark.sinks.azure_storage import (
+        AzureTargetStorage,
+    )
+
+    s3_storage = S3TargetStorage(endpoint_url=s3_endpoint, **S3_CRED)
+    mgr = lock_manager_for(
+        f"s3://{BUCKET}/dispatch", target_storage=s3_storage
+    )
+    assert isinstance(mgr, S3RemoteLockManager)
+    assert mgr._storage is s3_storage  # sink client reused
+    with mgr.try_with_lock("topic") as lock:
+        assert lock is not None
+
+    az_storage = AzureTargetStorage(azure_endpoint)
+    mgr = lock_manager_for("azure://locks/dispatch", target_storage=az_storage)
+    assert isinstance(mgr, AzureRemoteLockManager)
+    with mgr.try_with_lock("topic") as lock:
+        assert lock is not None
+
+    # azure lock dir without azure credentials to reuse is a config error
+    with pytest.raises(ValueError):
+        lock_manager_for("azure://locks/x", target_storage=s3_storage)
+
+    assert isinstance(
+        lock_manager_for("/tmp/some/dir"), FileRemoteLockManager
+    )

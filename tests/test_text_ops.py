@@ -2397,3 +2397,73 @@ def test_audio_fingerprint_and_near_dup_pairs(spark):
     )
     pairs = audio_near_dup_pairs(df, max_hamming=6).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "abcd"),      # uniform over 4 chars -> exactly 2 bits
+            (1, "aaaa"),      # single class -> 0 bits
+            (2, ""),          # empty -> emits nothing
+            (3, None),        # null -> emits nothing
+            (4, "aabb"),      # uniform over 2 chars -> exactly 1 bit
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc: r for r in X.char_entropy(df).collect()}
+    assert set(rows) == {0, 1, 4}
+    assert rows[0].entropy_micro == 2_000_000
+    assert rows[0].n_chars == 4 and rows[0].distinct_chars == 4
+    assert rows[1].entropy_micro == 0
+    assert rows[4].entropy_micro == 1_000_000
+    assert rows[4].distinct_chars == 2
+
+
+def test_centroid_outlier_scores_flags_antipodal_vector(spark):
+    from radar_output_restructure_spark.operators.similarity import (
+        centroid_outlier_scores,
+    )
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [
+            (0, base),
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [-0.5, 0.0, 0.0, 0.0]),      # points away from the bulk
+            (3, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> cos 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in centroid_outlier_scores(df).collect()}
+    assert rows[0].is_outlier == 0 and rows[0].centroid_cos > 0
+    assert rows[2].is_outlier == 1 and rows[2].centroid_cos < 0
+    assert rows[3].centroid_cos == 0.0
+
+
+def test_decontaminate_vs_eval_detects_planted_dup(spark):
+    from radar_output_restructure_spark.operators.similarity import (
+        decontaminate_vs_eval,
+    )
+
+    ev = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),    # same direction as eval 0 -> sim 1.0
+            (11, [0.0, 0.0, 5.0]),    # orthogonal to both -> sim 0.0
+            (12, [0.0, 3.0, 3.0]),    # 45 deg to eval 1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in decontaminate_vs_eval(train, ev, tau=0.9).collect()
+    }
+    assert rows[10].max_eval_sim == 1.0 and rows[10].contaminated == 1
+    assert rows[10].nearest_eval == 0
+    assert rows[11].max_eval_sim == 0.0 and rows[11].contaminated == 0
+    # ties at max break to the SMALLEST eval id
+    assert rows[11].nearest_eval == 0
+    assert rows[12].contaminated == 0 and rows[12].nearest_eval == 1
