@@ -53,6 +53,7 @@ _GATE_HEAD = (
     "doc_char_entropy",
     "embedding_outlier_scores",
     "semantic_decontaminate_embeddings",
+    "snapshot_neardup_delta_docs",
     # -- r6-verdict demotions: these undecorated names now carry the
     #    scale-safe geometries (auto-plane LSH / wide simhash), so they
     #    need fresh certification under the new semantics --
@@ -94,11 +95,11 @@ _GATE_HEAD = (
     "bpe_merges_docs",
     "corpus_vocabulary_docs",
     "cosine_range_search",
-    "cosine_topk_bruteforce",
     # r5-green entries left for the round-8 rotation:
-    # dedup_clusters_docs, dedup_survivors_docs, doc_fingerprint_overlap,
-    # doc_length_quantiles, doc_winnow_fingerprints (displaced from this
-    # head by the demotion re-certifications and round-7 additions above),
+    # cosine_topk_bruteforce, dedup_clusters_docs, dedup_survivors_docs,
+    # doc_fingerprint_overlap, doc_length_quantiles,
+    # doc_winnow_fingerprints (displaced from this head by the demotion
+    # re-certifications and round-7 additions above),
     # embedding_dedup_survivors, embedding_dup_clusters,
     # embedding_norms, embedding_quantize,
     # hourly_event_counts, jaccard_pairs_docs, knn_label_accuracy,

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "doc_char_entropy",
     "embedding_outlier_scores",
     "semantic_decontaminate_embeddings",
+    "snapshot_neardup_delta_docs",
 ]
 
 

@@ -832,3 +832,104 @@ def fingerprint_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()  # a pair may collide in several bands
     )
+
+
+def snapshot_neardup_delta(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_id, n_near_dup, min_hamming, kept): NEAR-dup classification of
+    an incoming crawl batch against the corpus history — the fuzzy sibling
+    of `snapshot_delta_dedup` (that one catches byte-identical re-crawls
+    via content digest; this one catches boilerplate-shifted/ad-rotated
+    re-crawls whose text drifted a few tokens).
+
+    Both sides fingerprint with the WIDE 64-bit SimHash and band into
+    4x16-bit buckets, but the join is ASYMMETRIC: incoming bands probe
+    history bands only — no history x history and no batch x batch pairs
+    ever materialize, so a steady-state refresh costs O(batch) probes
+    against bucket-bounded history occupancy, not a corpus self-join.
+    Recall is exact by pigeonhole (4 bands > 3 max_hamming). Per incoming
+    doc: how many history near-dups (distinct, cross-band-deduped), the
+    closest hamming (-1 when none), kept = no near-dup in history.
+
+    At petabyte history the fingerprint+band frame is the thing a
+    production pipeline PERSISTS between refreshes (it is `partitionBy`
+    -friendly on (band, bv) — the `ann_index.py` pattern); recomputing it
+    here keeps the operator self-contained and the oracle replayable.
+    """
+    bands, width = 4, 16
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for pigeonhole recall")
+    mask = (1 << width) - 1
+    half_of = {0: "fp_lo", 1: "fp_lo", 2: "fp_hi", 3: "fp_hi"}
+
+    def banded(fp: DataFrame) -> DataFrame:
+        return fp.select(
+            "doc",
+            "fp_lo",
+            "fp_hi",
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col(half_of[i]), (i % 2) * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bv"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ),
+        )
+
+    fp_new = simhash_wide(new_df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    fp_old = simhash_wide(history_df, text_col, id_col)
+    probe = banded(fp_new).select(
+        F.col("doc").alias("doc_new"),
+        F.col("fp_lo").alias("ln"),
+        F.col("fp_hi").alias("hn"),
+        "band",
+        "bv",
+    )
+    hist = banded(fp_old).select(
+        F.col("doc").alias("doc_old"),
+        F.col("fp_lo").alias("lo"),
+        F.col("fp_hi").alias("ho"),
+        "band",
+        "bv",
+    )
+    hamming = (
+        F.bit_count(F.col("ln").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("hn").bitwiseXOR(F.col("ho")))
+    ).cast("int")
+    pairs = (
+        probe.join(hist, ["band", "bv"])
+        .select("doc_new", "doc_old", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may collide in several bands
+    )
+    hits = pairs.groupBy("doc_new").agg(
+        F.count(F.lit(1)).alias("n_near_dup"),
+        F.min("hamming").alias("min_hamming"),
+    )
+    return (
+        fp_new.select("doc")
+        .join(hits, fp_new["doc"] == hits["doc_new"], "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce(F.col("n_near_dup"), F.lit(0))
+            .cast("bigint")
+            .alias("n_near_dup"),
+            F.coalesce(F.col("min_hamming"), F.lit(-1))
+            .cast("int")
+            .alias("min_hamming"),
+            F.col("doc_new").isNull().cast("int").alias("kept"),
+        )
+    )

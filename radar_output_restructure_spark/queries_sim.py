@@ -1775,3 +1775,89 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_EVAL),
         tau=DECON_TAU,
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot NEAR-dup delta (round 7)
+# ---------------------------------------------------------------------------
+
+from radar_output_restructure_spark.queries_docs import (  # noqa: E402
+    SNAPSHOT_BATCH_MIN,
+    SNAPSHOT_HIST_MAX,
+)
+
+_SQL_BAND_WIDE = (
+    "SELECT doc, i AS band,\n"
+    "             ((CASE WHEN i < 2 THEN fp_lo ELSE fp_hi END)"
+    " >> ((i % 2) * 16)) & 65535 AS bv\n"
+    "      FROM fp, (SELECT unnest(range(4)) AS i)"
+)
+
+
+@register(
+    "snapshot_neardup_delta_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, tok
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    hashed AS (SELECT doc, {_H} AS h_lo, {_H_HI} AS h_hi
+               FROM (SELECT doc, md5(tok) AS md FROM toks)),
+    votes AS (
+      SELECT doc,
+             {_SQL_VOTES_WIDE}
+      FROM hashed GROUP BY doc
+    ),
+    fp AS (SELECT doc, {_sql_fp_sum_wide('lo')} AS fp_lo,
+                  {_sql_fp_sum_wide('hi')} AS fp_hi FROM votes),
+    b AS (
+      {_SQL_BAND_WIDE}
+    ),
+    bn AS (SELECT * FROM b WHERE doc >= {SNAPSHOT_BATCH_MIN}),
+    bo AS (SELECT * FROM b WHERE doc < {SNAPSHOT_HIST_MAX}),
+    cand AS (
+      SELECT DISTINCT n.doc AS doc_new, o.doc AS doc_old
+      FROM bn n JOIN bo o USING (band, bv)
+    ),
+    ham AS (
+      SELECT c.doc_new, c.doc_old,
+             CAST(bit_count(xor(fn.fp_lo, fo.fp_lo))
+                  + bit_count(xor(fn.fp_hi, fo.fp_hi)) AS INTEGER) AS h
+      FROM cand c
+      JOIN fp fn ON fn.doc = c.doc_new
+      JOIN fp fo ON fo.doc = c.doc_old
+      WHERE bit_count(xor(fn.fp_lo, fo.fp_lo))
+            + bit_count(xor(fn.fp_hi, fo.fp_hi)) <= {SIMHASH_MAX_HAMMING}
+    ),
+    hits AS (
+      SELECT doc_new, count(*) AS n_near_dup, min(h) AS min_h
+      FROM ham GROUP BY 1
+    )
+    SELECT f.doc AS doc_id,
+           CAST(coalesce(h.n_near_dup, 0) AS BIGINT) AS n_near_dup,
+           CAST(coalesce(h.min_h, -1) AS INTEGER) AS min_hamming,
+           CAST(h.doc_new IS NULL AS INT) AS kept
+    FROM fp f LEFT JOIN hits h ON h.doc_new = f.doc
+    WHERE f.doc >= {SNAPSHOT_BATCH_MIN}
+    """,
+)
+def q_snapshot_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-refresh NEAR-dup: the incoming batch (doc_id >=
+    {batch}) probes the corpus history (doc_id < {hist}) through wide-
+    simhash band buckets — the fuzzy upgrade of `snapshot_delta_dedup_docs`
+    (digest equality), catching re-crawls whose boilerplate shifted a few
+    tokens. ASYMMETRIC join: no history x history, no batch x batch
+    (operators/dedup_scale.snapshot_neardup_delta)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        snapshot_neardup_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return snapshot_neardup_delta(
+        docs.filter(F.col("doc_id") >= SNAPSHOT_BATCH_MIN),
+        docs.filter(F.col("doc_id") < SNAPSHOT_HIST_MAX),
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )

@@ -83,6 +83,7 @@ HEAVY = [
     "doc_char_entropy",
     "embedding_outlier_scores",
     "semantic_decontaminate_embeddings",
+    "snapshot_neardup_delta_docs",
 ]
 
 ID_STRIDE = 10_000_000

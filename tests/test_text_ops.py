@@ -2467,3 +2467,34 @@ def test_decontaminate_vs_eval_detects_planted_dup(spark):
     # ties at max break to the SMALLEST eval id
     assert rows[11].nearest_eval == 0
     assert rows[12].contaminated == 0 and rows[12].nearest_eval == 1
+
+
+def test_snapshot_neardup_delta_asymmetric(spark):
+    """Batch docs near-dup against HISTORY only: an in-batch duplicate pair
+    must not flag each other, and a boilerplate-shifted re-crawl of a
+    history doc is caught at hamming 0-3."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        snapshot_neardup_delta,
+    )
+
+    words = [f"w{i}" for i in range(21)]
+    base = " ".join(w for w in words for _ in range(9))
+    hist = spark.createDataFrame(
+        [(0, base), (1, "completely different history content")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " extra"),            # near-dup of history 0
+            (11, "fresh unseen text about spark"),
+            (12, "fresh unseen text about spark"),  # exact dup of 11 IN BATCH
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in snapshot_neardup_delta(batch, hist).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert rows[10].kept == 0 and rows[10].n_near_dup >= 1
+    assert 0 <= rows[10].min_hamming <= 3
+    # batch x batch pairs never count: both copies of the fresh text keep
+    assert rows[11].kept == 1 and rows[11].min_hamming == -1
+    assert rows[12].kept == 1 and rows[12].n_near_dup == 0
