@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "embedding_outlier_scores",
     "semantic_decontaminate_embeddings",
     "snapshot_neardup_delta_docs",
+    "containment_pairs_docs",
+    "source_kl_divergence_docs",
 ]
 
 

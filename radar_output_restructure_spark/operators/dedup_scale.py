@@ -933,3 +933,64 @@ def snapshot_neardup_delta(
             F.col("doc_new").isNull().cast("int").alias("kept"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, containment_a, containment_b): DIRECTIONAL
+    shingle-containment join — |A∩B| / |A| and |A∩B| / |B| for pairs where
+    either direction reaches `threshold`.
+
+    The asymmetric complement of `jaccard_pairs`: a short document quoted
+    wholesale inside a long one scores near-zero Jaccard (the union is
+    dominated by the long doc) but containment ~1.0 in the short->long
+    direction — the standard signal for quote/boilerplate/subset
+    duplication in web-corpus curation, where symmetric similarity misses
+    exactly the high-copy cases.
+
+    Same inverted-index plan as `jaccard_pairs` (one exploded shingle
+    frame feeding sizes + both self-join sides, per-shingle-bounded pair
+    generation, optional stop-shingle df cap for skew) — only the final
+    scoring differs, so the 100 TB story is identical.
+    """
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    if max_shingle_df:
+        hot = (
+            ex.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        )
+        ex = ex.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    ex = ex.localCheckpoint(eager=False)
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    ca = F.round(F.col("n_common") / F.col("n_a"), 6)
+    cb = F.round(F.col("n_common") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )

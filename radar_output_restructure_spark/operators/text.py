@@ -1077,3 +1077,52 @@ def char_entropy(
     return df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     ).mapInPandas(score, out_schema)
+
+
+def source_kl_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_tokens, n_terms, kl_micro): KL divergence of each
+    source's unigram token distribution from the whole-corpus distribution,
+    in integer micro-nats — the domain-drift / mixture-health monitor a
+    curation pipeline watches per ingest source (a source whose KL jumps
+    changed its content mix; near-zero KL marks redundant sources).
+
+    D_KL(P_s || P_c) = sum_tok p_s * ln(p_s / p_c), summed from per-token
+    INTEGER micro-nat terms (the `unigram_logprob_score` discipline:
+    rounding each term first makes the sum order-free and engine-exact;
+    terms can be negative, and round() is half-away-from-zero on both
+    engines). p_c > 0 wherever p_s > 0 by construction (the corpus
+    contains every source), so no smoothing is needed.
+
+    Plan: one corpus-sized token explode feeding TWO map-side-combined
+    aggregations — (source, tok) counts and corpus tok counts — then
+    vocab-sized joins. The tok join carries NO broadcast hint (vocab is
+    unbounded at 100 TB; AQE broadcasts iff it fits), the per-source
+    totals and the corpus scalar broadcast explicitly (bounded by source
+    count / 1 row).
+    """
+    tokens = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+    st = tokens.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("ns"))
+    stot = st.groupBy("source").agg(F.sum("ns").alias("s_tot"))
+    ct = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    ctot = ct.agg(F.sum("ct").cast("double").alias("c_tot"))
+    ps = F.col("ns") / F.col("s_tot").cast("double")
+    pc = F.col("ct") / F.col("c_tot")
+    term = F.round(ps * F.log(ps / pc) * 1_000_000).cast("long")
+    scored = (
+        st.join(ct, "tok")  # vocab-sized: no hint, AQE decides
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+        .select("source", F.col("ns"), term.alias("kl_term"))
+    )
+    return scored.groupBy("source").agg(
+        F.sum("ns").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("kl_term").cast("bigint").alias("kl_micro"),
+    )

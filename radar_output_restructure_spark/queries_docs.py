@@ -1717,3 +1717,73 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free; the oracle replays the identical terms via log2)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return X.char_entropy(docs)
+
+
+@register(
+    "containment_pairs_docs",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / sa.n, 6) AS containment_a,
+           round(n_common * 1.0 / sb.n, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE greatest(round(n_common * 1.0 / sa.n, 6),
+                   round(n_common * 1.0 / sb.n, 6)) >= 0.6
+    """,
+)
+def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment >= 0.6 in either direction — the
+    quote/subset-duplication signal symmetric Jaccard misses
+    (operators/dedup_scale.containment_pairs)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return containment_pairs(docs, threshold=0.6)
+
+
+@register(
+    "source_kl_divergence_docs",
+    """
+    WITH toks AS (
+      SELECT source, tok
+      FROM (SELECT source,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents) w,
+           unnest(words) AS t(tok)
+    ),
+    st AS (SELECT source, tok, count(*) AS ns FROM toks GROUP BY 1, 2),
+    stot AS (SELECT source, sum(ns) AS s_tot FROM st GROUP BY 1),
+    ct AS (SELECT tok, count(*) AS ct FROM toks GROUP BY 1),
+    ctot AS (SELECT sum(ct) * 1.0 AS c_tot FROM ct)
+    SELECT st.source,
+           CAST(sum(st.ns) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CAST(round(
+                 (st.ns / (stot.s_tot * 1.0))
+                 * ln((st.ns / (stot.s_tot * 1.0)) / (ct.ct / ctot.c_tot))
+                 * 1000000) AS BIGINT)) AS BIGINT) AS kl_micro
+    FROM st
+    JOIN ct USING (tok)
+    JOIN stot USING (source)
+    CROSS JOIN ctot
+    GROUP BY 1
+    """,
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution
+    (micro-nats) — domain-drift / mixture-health monitoring
+    (operators/text.source_kl_divergence; per-token integer terms make the
+    sum order-free)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.source_kl_divergence(docs)

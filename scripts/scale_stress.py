@@ -84,6 +84,8 @@ HEAVY = [
     "embedding_outlier_scores",
     "semantic_decontaminate_embeddings",
     "snapshot_neardup_delta_docs",
+    "containment_pairs_docs",
+    "source_kl_divergence_docs",
 ]
 
 ID_STRIDE = 10_000_000

@@ -2498,3 +2498,44 @@ def test_snapshot_neardup_delta_asymmetric(spark):
     # batch x batch pairs never count: both copies of the fresh text keep
     assert rows[11].kept == 1 and rows[11].min_hamming == -1
     assert rows[12].kept == 1 and rows[12].n_near_dup == 0
+
+
+def test_containment_pairs_quote_detection(spark):
+    """A short doc quoted wholesale inside a long one: Jaccard is low but
+    containment short->long is 1.0 — the directional signal."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    long_doc = quote + " " + " ".join(f"filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, quote), (1, long_doc), (2, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (0, 1) in rows
+    r = rows[(0, 1)]
+    assert r.containment_a == 1.0  # every shingle of the quote is in long
+    assert r.containment_b < 0.2
+    # symmetric Jaccard at the same bar misses the pair entirely
+    assert not jaccard_pairs(df, threshold=0.9).collect()
+
+
+def test_source_kl_divergence_drift_signal(spark):
+    """A source whose vocabulary matches the corpus mix scores near zero;
+    a divergent source scores strictly higher."""
+    from radar_output_restructure_spark.operators import text as T
+
+    rows = [("a", "x y z w x y z w")] * 4 + [("b", "q q q q q q q q")]
+    df = spark.createDataFrame(
+        [(s, t) for s, t in rows], "source string, text string"
+    )
+    out = {r.source: r for r in T.source_kl_divergence(df).collect()}
+    assert out["b"].kl_micro > out["a"].kl_micro
+    assert out["b"].kl_micro > 0
+    assert out["a"].n_tokens == 32 and out["b"].n_tokens == 8
