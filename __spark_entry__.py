@@ -56,6 +56,7 @@ _GATE_HEAD = (
     "snapshot_neardup_delta_docs",
     "containment_pairs_docs",
     "source_kl_divergence_docs",
+    "doc_trigram_backoff",
     # -- r6-verdict demotions: these undecorated names now carry the
     #    scale-safe geometries (auto-plane LSH / wide simhash), so they
     #    need fresh certification under the new semantics --
@@ -94,9 +95,8 @@ _GATE_HEAD = (
     "ann_recall_at_k",
     "asof_next_purchase",
     "bpe_encode_docs",
-    "bpe_merges_docs",
     # r5-green entries left for the round-8 rotation:
-    # corpus_vocabulary_docs, cosine_range_search,
+    # bpe_merges_docs, corpus_vocabulary_docs, cosine_range_search,
     # cosine_topk_bruteforce, dedup_clusters_docs, dedup_survivors_docs,
     # doc_fingerprint_overlap, doc_length_quantiles,
     # doc_winnow_fingerprints (displaced from this head by the demotion

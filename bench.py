@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "snapshot_neardup_delta_docs",
     "containment_pairs_docs",
     "source_kl_divergence_docs",
+    "doc_trigram_backoff",
 ]
 
 

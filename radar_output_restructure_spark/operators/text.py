@@ -1126,3 +1126,170 @@ def source_kl_divergence(
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("kl_term").cast("bigint").alias("kl_micro"),
     )
+
+
+def trigram_backoff_score(
+    df: DataFrame,
+    train_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """(doc_id, n_trigrams, nll_micro, n_tri, n_bi, n_uni): trigram
+    language-model score with STUPID BACKOFF (Brants et al., EMNLP'07 —
+    the web-scale LM scoring rule: no discounting, a fixed alpha per
+    backoff level), trained on `train_df` (a corpus snapshot) and scoring
+    every row of `df`. The held-out quality filter the unigram/bigram
+    scorers approximate from inside the corpus:
+
+        S(w3 | w1 w2) = c3(w1 w2 w3) / c2(w1 w2)          if trigram seen
+                      = alpha * c2(w2 w3) / c1(w2)         elif bigram seen
+                      = alpha^2 * (c1(w3)+1) / (N+V)       else (add-1 floor)
+
+    Per-position terms round to integer MICRO-nats before the per-doc sum
+    (order-free, engine-exact — the `unigram_logprob_score` discipline);
+    the path counters (n_tri/n_bi/n_uni) expose how often each CASE arm
+    fired, so the oracle verifies the backoff logic itself, not just sums.
+
+    Scale design: four count tables from ONE train-side token explode
+    (trigrams, bigrams, unigrams — all map-side-combined) joined onto the
+    score stream WITHOUT broadcast hints: every LM table is unbounded in
+    the corpus (the trigram table especially — it's why stupid backoff
+    exists), so AQE picks broadcast vs shuffle per actual size; only the
+    1-row (N, V) scalar frame broadcasts explicitly. Spark sees 5
+    vocab-keyed joins — the honest shape of an n-gram LM without
+    approximation; hot grams are AQE skew-split.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    a2 = alpha * alpha
+
+    # -- train-side count tables (one explode, three aggregations) --------
+    tw = train_df.select(split_words(text_col).alias("__w"))
+    toks = tw.select(F.explode("__w").alias("tok"))
+    c1 = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n1"))
+    nv = c1.agg(
+        F.sum("n1").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    n = F.size("__w")
+    bi_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c2 = (
+        tw.select(F.explode(bi_arr).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    tri_arr = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    c3 = (
+        tw.select(F.explode(tri_arr).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("n3"))
+    )
+
+    # -- score stream ------------------------------------------------------
+    w = df.select(
+        F.col(id_col).alias("doc"), split_words(text_col).alias("__w")
+    )
+    ns = F.size("__w")
+    tri = F.when(
+        ns >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(ns - 2, F.lit(1))),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(F.col("__w"), i, 3)).alias("tri"),
+                F.concat_ws(" ", F.slice(F.col("__w"), i, 2)).alias("ctx"),
+                F.concat_ws(" ", F.slice(F.col("__w"), i + 1, 2)).alias("bi"),
+                F.element_at(F.col("__w"), i + 1).alias("mid"),
+                F.element_at(F.col("__w"), i + 2).alias("last"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<tri:string,ctx:string,bi:string,"
+            "mid:string,last:string>>"
+        )
+    )
+    sg = w.select("doc", F.inline(tri))
+    joined = (
+        sg.join(c3.withColumnRenamed("tg", "tri"), "tri", "left")
+        .join(
+            c2.select(F.col("bg").alias("ctx"), F.col("n2").alias("nctx")),
+            "ctx",
+            "left",
+        )
+        .join(
+            c2.select(F.col("bg").alias("bi"), F.col("n2").alias("nbi")),
+            "bi",
+            "left",
+        )
+        .join(
+            c1.select(F.col("tok").alias("mid"), F.col("n1").alias("nmid")),
+            "mid",
+            "left",
+        )
+        .join(
+            c1.select(F.col("tok").alias("last"), F.col("n1").alias("nlast")),
+            "last",
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    s = (
+        F.when(
+            F.col("n3").isNotNull(),
+            F.col("n3") / F.col("nctx").cast("double"),
+        )
+        .when(
+            F.col("nbi").isNotNull(),
+            F.lit(alpha) * (F.col("nbi") / F.col("nmid").cast("double")),
+        )
+        .otherwise(
+            F.lit(a2)
+            * (
+                (F.coalesce(F.col("nlast"), F.lit(0)) + F.lit(1.0))
+                / (F.col("n_total") + F.col("v"))
+            )
+        )
+    )
+    path = (
+        F.when(F.col("n3").isNotNull(), F.lit(3))
+        .when(F.col("nbi").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    scored = joined.select(
+        "doc",
+        F.round(-F.log(s) * 1_000_000).cast("long").alias("nll"),
+        path.alias("path"),
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("nll").alias("nll_micro"),
+        F.sum((F.col("path") == 3).cast("long")).alias("n_tri"),
+        F.sum((F.col("path") == 2).cast("long")).alias("n_bi"),
+        F.sum((F.col("path") == 1).cast("long")).alias("n_uni"),
+    )
+    ids = df.select(F.col(id_col))
+    out = ids.join(per_doc, ids[id_col] == per_doc["doc"], "left")
+    z = F.lit(0).cast("bigint")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_trigrams"), z).alias("n_trigrams"),
+        F.coalesce(F.col("nll_micro"), z).alias("nll_micro"),
+        F.coalesce(F.col("n_tri"), z).alias("n_tri"),
+        F.coalesce(F.col("n_bi"), z).alias("n_bi"),
+        F.coalesce(F.col("n_uni"), z).alias("n_uni"),
+    )

@@ -1787,3 +1787,82 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum order-free)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return X.source_kl_divergence(docs)
+
+
+TRI_TRAIN_MAX = 300  # LM snapshot: docs below train the model, all score
+_A2 = repr(0.4 * 0.4)  # alpha^2 as the EXACT double Python/Spark computes
+
+
+@register(
+    "doc_trigram_backoff",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS doc,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+      FROM documents
+    ),
+    tw AS (SELECT words FROM w WHERE doc < {TRI_TRAIN_MAX}),
+    c1 AS (SELECT tok, count(*) AS n1
+           FROM (SELECT unnest(words) AS tok FROM tw) GROUP BY tok),
+    nv AS (SELECT sum(n1) * 1.0 AS n_total, count(*) * 1.0 AS v FROM c1),
+    c2 AS (SELECT bg, count(*) AS n2 FROM (
+             SELECT array_to_string(words[i:i+1], ' ') AS bg
+             FROM tw, unnest(range(1, len(words))) AS t(i)) GROUP BY bg),
+    c3 AS (SELECT tg, count(*) AS n3 FROM (
+             SELECT array_to_string(words[i:i+2], ' ') AS tg
+             FROM tw, unnest(range(1, len(words) - 1)) AS t(i)) GROUP BY tg),
+    sg AS (
+      SELECT doc,
+             array_to_string(words[i:i+2], ' ') AS tri,
+             array_to_string(words[i:i+1], ' ') AS ctx,
+             array_to_string(words[i+1:i+2], ' ') AS bi,
+             words[i+1] AS mid,
+             words[i+2] AS lst
+      FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+    ),
+    j AS (
+      SELECT sg.doc,
+             CASE WHEN c3.n3 IS NOT NULL THEN 3
+                  WHEN b.n2 IS NOT NULL THEN 2 ELSE 1 END AS path,
+             CASE WHEN c3.n3 IS NOT NULL THEN c3.n3 / (ctx.n2 * 1.0)
+                  WHEN b.n2 IS NOT NULL THEN 0.4 * (b.n2 / (m.n1 * 1.0))
+                  ELSE {_A2} * ((coalesce(l.n1, 0) + 1.0)
+                                / (nv.n_total + nv.v))
+             END AS s
+      FROM sg
+      LEFT JOIN c3 ON c3.tg = sg.tri
+      LEFT JOIN c2 ctx ON ctx.bg = sg.ctx
+      LEFT JOIN c2 b ON b.bg = sg.bi
+      LEFT JOIN c1 m ON m.tok = sg.mid
+      LEFT JOIN c1 l ON l.tok = sg.lst
+      CROSS JOIN nv
+    ),
+    scored AS (SELECT doc, path,
+                      CAST(round(-ln(s) * 1000000) AS BIGINT) AS nll FROM j),
+    per_doc AS (
+      SELECT doc,
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             CAST(sum(nll) AS BIGINT) AS nll_micro,
+             CAST(sum(CASE WHEN path = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+             CAST(sum(CASE WHEN path = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+             CAST(sum(CASE WHEN path = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni
+      FROM scored GROUP BY doc
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_trigrams, 0) AS n_trigrams,
+           coalesce(p.nll_micro, 0) AS nll_micro,
+           coalesce(p.n_tri, 0) AS n_tri,
+           coalesce(p.n_bi, 0) AS n_bi,
+           coalesce(p.n_uni, 0) AS n_uni
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
+    """,
+)
+def q_doc_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM score (Brants et al.): model trained on
+    the snapshot below doc_id {max}, every document scored held-out-style;
+    per-path counters prove the backoff CASE arms against the oracle
+    (operators/text.trigram_backoff_score)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.trigram_backoff_score(
+        docs, docs.filter(F.col("doc_id") < TRI_TRAIN_MAX)
+    )

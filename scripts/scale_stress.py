@@ -86,6 +86,7 @@ HEAVY = [
     "snapshot_neardup_delta_docs",
     "containment_pairs_docs",
     "source_kl_divergence_docs",
+    "doc_trigram_backoff",
 ]
 
 ID_STRIDE = 10_000_000

@@ -2539,3 +2539,31 @@ def test_source_kl_divergence_drift_signal(spark):
     assert out["b"].kl_micro > out["a"].kl_micro
     assert out["b"].kl_micro > 0
     assert out["a"].n_tokens == 32 and out["b"].n_tokens == 8
+
+
+def test_trigram_backoff_paths(spark):
+    """Each stupid-backoff arm fires where it should: a doc repeating the
+    training text scores on the trigram path; novel word orders back off
+    to bigram/unigram."""
+    from radar_output_restructure_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [
+            (0, "a b c d e"),   # all trigrams seen -> pure tri path
+            (1, "c d a b x"),   # "c d" + "d a" novel tri; "a b" bigram seen
+            (2, "zz qq ww"),    # nothing seen -> unigram floor only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.trigram_backoff_score(score, train).collect()}
+    assert rows[0].n_trigrams == 3 and rows[0].n_tri == 3
+    assert rows[0].n_bi == 0 and rows[0].n_uni == 0
+    # trigram path on seen text is exact: P=1 each -> nll 0
+    assert rows[0].nll_micro == 0
+    assert rows[1].n_tri + rows[1].n_bi + rows[1].n_uni == 3
+    assert rows[1].n_bi >= 1  # at least one bigram backoff fired
+    assert rows[2].n_uni == 1 and rows[2].n_tri == 0 and rows[2].n_bi == 0
+    assert rows[2].nll_micro > 0
