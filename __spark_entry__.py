@@ -57,6 +57,7 @@ _GATE_HEAD = (
     "containment_pairs_docs",
     "source_kl_divergence_docs",
     "doc_trigram_backoff",
+    "source_length_quantile_sketch",
     # -- r6-verdict demotions: these undecorated names now carry the
     #    scale-safe geometries (auto-plane LSH / wide simhash), so they
     #    need fresh certification under the new semantics --
@@ -94,9 +95,9 @@ _GATE_HEAD = (
     "ann_pq_topk",
     "ann_recall_at_k",
     "asof_next_purchase",
-    "bpe_encode_docs",
     # r5-green entries left for the round-8 rotation:
-    # bpe_merges_docs, corpus_vocabulary_docs, cosine_range_search,
+    # bpe_encode_docs, bpe_merges_docs,
+    # corpus_vocabulary_docs, cosine_range_search,
     # cosine_topk_bruteforce, dedup_clusters_docs, dedup_survivors_docs,
     # doc_fingerprint_overlap, doc_length_quantiles,
     # doc_winnow_fingerprints (displaced from this head by the demotion

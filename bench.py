@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "containment_pairs_docs",
     "source_kl_divergence_docs",
     "doc_trigram_backoff",
+    "source_length_quantile_sketch",
 ]
 
 

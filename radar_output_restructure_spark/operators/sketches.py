@@ -358,3 +358,76 @@ def bloom_ngram_filter(
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
     )
+
+
+def log_bucket_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    quantiles: tuple[int, ...] = (50, 95, 99),
+    sub_buckets: int = 16,
+) -> DataFrame:
+    """(group, n, q50, q95, q99): mergeable quantile SKETCH over a positive
+    integer column — the HdrHistogram design (log2 major buckets + linear
+    sub-buckets, relative error <= 1/sub_buckets) that completes the
+    sketch trio next to `cms_heavy_hitters` and `hll_distinct`. Bucket
+    counts ADD, so shards/streams merge by summing — what an exact
+    percentile (full sort) can never do.
+
+    ENGINE-EXACT by construction, unlike gamma-log bucketing (DDSketch's
+    ceil(log_gamma x) can flip a bucket on a 1-ulp log difference between
+    engines): the major bucket e = floor(log2(x)) computes as
+    length(bin(x)) - 1 — string length of the binary rendering, exact
+    integer on both engines — and the sub-bucket and its lower bound are
+    pure integer div/mod. The reported quantile is the lower bound of the
+    first bucket whose cumulative count reaches ceil(n * q / 100),
+    computed with integer arithmetic ((n*q + 99) div 100).
+
+    Plan: one map-side-combined groupBy((group, bucket_lb)) over the scan
+    — the only corpus-sized stage; everything after runs on <= 16*64
+    buckets per group: a group-partitioned cumulative window (bounded
+    partitions — never the r4 unpartitioned-window smell) and a final
+    conditional min per group. Zero data-sized shuffles beyond the
+    bucket aggregation.
+    """
+    x = F.col(value_col).cast("long")
+    base = df.filter(x > 0).select(
+        F.col(group_col).alias("grp"), x.alias("__x")
+    )
+    # 2^floor(log2 x) without a float log: bin() string length is
+    # integer-derived, and pow(2, e) is an exact double for e <= 62
+    base = base.withColumn(
+        "__p",
+        F.pow(F.lit(2.0), (F.length(F.bin("__x")) - 1).cast("double")).cast(
+            "long"
+        ),
+    )
+    lb = F.expr(
+        f"__p + ((((__x - __p) * {sub_buckets}) DIV __p) * __p)"
+        f" DIV {sub_buckets}"
+    )
+    buckets = (
+        base.select("grp", lb.alias("lb"))
+        .groupBy("grp", "lb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("lb")
+    cum = buckets.select(
+        "grp",
+        "lb",
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    totals = buckets.groupBy("grp").agg(F.sum("c").alias("n"))
+    joined = cum.join(F.broadcast(totals), "grp")
+    aggs = [F.max("n").alias("n")]
+    for q in quantiles:
+        # ceil(n*q/100) in pure integers: (n*q + 99) div 100
+        t = F.expr(f"(n * {q} + 99) DIV 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= t, F.col("lb"))).alias(f"q{q}")
+        )
+    return joined.groupBy("grp").agg(*aggs).withColumnRenamed("grp", group_col)

@@ -1866,3 +1866,43 @@ def q_doc_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.trigram_backoff_score(
         docs, docs.filter(F.col("doc_id") < TRI_TRAIN_MAX)
     )
+
+
+@register(
+    "source_length_quantile_sketch",
+    """
+    WITH v AS (SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+               FROM documents WHERE n_chars > 0),
+    b AS (SELECT grp, x,
+                 CAST(power(2.0, length(bin(x)) - 1) AS BIGINT) AS p
+          FROM v),
+    lbs AS (SELECT grp, p + (((x - p) * 16 // p) * p) // 16 AS lb FROM b),
+    buckets AS (SELECT grp, lb, count(*) AS c FROM lbs GROUP BY 1, 2),
+    cum AS (SELECT grp, lb,
+                   sum(c) OVER (PARTITION BY grp ORDER BY lb
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM buckets),
+    totals AS (SELECT grp, sum(c) AS n FROM buckets GROUP BY 1),
+    j AS (SELECT * FROM cum JOIN totals USING (grp))
+    SELECT grp AS source,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lb END)
+                AS BIGINT) AS q50,
+           CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN lb END)
+                AS BIGINT) AS q95,
+           CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
+                AS BIGINT) AS q99
+    FROM j GROUP BY 1
+    """,
+)
+def q_source_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HdrHistogram-style quantile sketch of document length per
+    source — log2 major buckets + 16 linear sub-buckets, every boundary
+    pure integer math so engines agree bit-for-bit
+    (operators/sketches.log_bucket_quantiles)."""
+    from radar_output_restructure_spark.operators.sketches import (
+        log_bucket_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return log_bucket_quantiles(docs, "n_chars")

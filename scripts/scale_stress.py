@@ -87,6 +87,7 @@ HEAVY = [
     "containment_pairs_docs",
     "source_kl_divergence_docs",
     "doc_trigram_backoff",
+    "source_length_quantile_sketch",
 ]
 
 ID_STRIDE = 10_000_000

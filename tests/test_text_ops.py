@@ -2567,3 +2567,30 @@ def test_trigram_backoff_paths(spark):
     assert rows[1].n_bi >= 1  # at least one bigram backoff fired
     assert rows[2].n_uni == 1 and rows[2].n_tri == 0 and rows[2].n_bi == 0
     assert rows[2].nll_micro > 0
+
+
+def test_log_bucket_quantiles_mergeable_and_bounded_error(spark):
+    """Sketch quantiles stay within one bucket (<= 1/16 relative error) of
+    the exact percentile, and bucket counts MERGE: sketching two shards
+    and summing equals sketching the union."""
+    from radar_output_restructure_spark.operators.sketches import (
+        log_bucket_quantiles,
+    )
+
+    vals = list(range(1, 201))  # 1..200, exact p50=100, p95=190, p99=198
+    df = spark.createDataFrame(
+        [("s", v) for v in vals], "source string, n_chars long"
+    )
+    row = log_bucket_quantiles(df, "n_chars").collect()[0]
+    assert row.n == 200
+    for est, exact in ((row.q50, 100), (row.q95, 190), (row.q99, 198)):
+        assert est <= exact  # lower bound of the crossing bucket
+        assert exact - est <= exact / 16 + 1  # one sub-bucket of error
+
+    # merge = union: sketch(shard1 + shard2) equals sketch(all)
+    half = spark.createDataFrame(
+        [("s", v) for v in vals[::2]] + [("s", v) for v in vals[1::2]],
+        "source string, n_chars long",
+    )
+    row2 = log_bucket_quantiles(half, "n_chars").collect()[0]
+    assert (row2.q50, row2.q95, row2.q99) == (row.q50, row.q95, row.q99)
