@@ -58,6 +58,7 @@ _GATE_HEAD = (
     "source_kl_divergence_docs",
     "doc_trigram_backoff",
     "source_length_quantile_sketch",
+    "embedding_random_projection",
     # -- r6-verdict demotions: these undecorated names now carry the
     #    scale-safe geometries (auto-plane LSH / wide simhash), so they
     #    need fresh certification under the new semantics --
@@ -94,9 +95,8 @@ _GATE_HEAD = (
     "ann_lsh_topk",
     "ann_pq_topk",
     "ann_recall_at_k",
-    "asof_next_purchase",
     # r5-green entries left for the round-8 rotation:
-    # bpe_encode_docs, bpe_merges_docs,
+    # asof_next_purchase, bpe_encode_docs, bpe_merges_docs,
     # corpus_vocabulary_docs, cosine_range_search,
     # cosine_topk_bruteforce, dedup_clusters_docs, dedup_survivors_docs,
     # doc_fingerprint_overlap, doc_length_quantiles,

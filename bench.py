@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "source_kl_divergence_docs",
     "doc_trigram_backoff",
     "source_length_quantile_sketch",
+    "embedding_random_projection",
 ]
 
 

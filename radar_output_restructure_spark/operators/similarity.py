@@ -1917,3 +1917,74 @@ def decontaminate_vs_eval(
     return corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).mapInPandas(score, out_schema)
+
+
+RP_OUT_DIMS = 16
+RP_SCALE = 1000
+
+
+def rp_sign_matrix(out_dims: int = RP_OUT_DIMS, in_dims: int = 64) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i) is
+    the parity of md5("rp:j:i") — reproducible from the seed strings alone,
+    no RNG state. Generated driver-side once and baked into BOTH the Spark
+    plan and the DuckDB oracle as literals, so no cross-engine hash
+    agreement is needed at all."""
+    import hashlib
+
+    return [
+        [
+            1
+            - 2
+            * (
+                int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:12], 16)
+                % 2
+            )
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = RP_OUT_DIMS,
+    scale: int = RP_SCALE,
+) -> DataFrame:
+    """(vec_id, dim, proj): Johnson–Lindenstrauss ±1 random projection of
+    the embedding column to `out_dims` dimensions — the standard cheap
+    dimensionality reduction run BEFORE expensive ANN/dedup passes (a ±1
+    Achlioptas matrix preserves pairwise distances within the JL bound at
+    1/4 the dimensionality here, and the projected vectors are 4x cheaper
+    to store, shuffle, and score).
+
+    Exactness: elements quantize to integers (round(x*scale)), the
+    projection is a sum of ±q_i per output dim — pure BIGINT arithmetic
+    any engine reproduces. The sign matrix is deterministic
+    (`rp_sign_matrix`) and enters the plan as LITERALS, so executors do no
+    hashing. MAP-ONLY: one zip_with/aggregate fold per output dim over the
+    scan, a single posexplode to gate-hashable scalar rows, no shuffle at
+    any corpus size.
+    """
+    signs = rp_sign_matrix(out_dims)
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("vec_id"), qvec.alias("__q"))
+    projs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__q"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dims)
+        ]
+    )
+    return base.select("vec_id", F.posexplode(projs).alias("dim", "proj"))

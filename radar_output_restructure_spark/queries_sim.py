@@ -1861,3 +1861,49 @@ def q_snapshot_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < SNAPSHOT_HIST_MAX),
         max_hamming=SIMHASH_MAX_HAMMING,
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (round 7)
+# ---------------------------------------------------------------------------
+
+from radar_output_restructure_spark.operators.similarity import (  # noqa: E402
+    RP_OUT_DIMS,
+    RP_SCALE,
+    rp_sign_matrix,
+)
+
+_RP_SIGNS = rp_sign_matrix(RP_OUT_DIMS, DIMS)
+_RP_SQL_SIGNS = ", ".join(
+    "[" + ", ".join(str(s) for s in row) + "]" for row in _RP_SIGNS
+)
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH s AS (SELECT [{_RP_SQL_SIGNS}] AS sm),
+    q AS (
+      SELECT vec_id,
+             [CAST(round(CAST(embedding[i] AS DOUBLE) * {RP_SCALE}, 0)
+                   AS BIGINT) for i in range(1, {DIMS + 1})] AS qv
+      FROM embeddings
+    )
+    SELECT q.vec_id,
+           CAST(j - 1 AS INT) AS dim,
+           CAST(list_sum([qv[i] * sm[j][i]
+                          for i in range(1, {DIMS + 1})]) AS BIGINT) AS proj
+    FROM q, (SELECT unnest(range(1, {RP_OUT_DIMS + 1})) AS j), s
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection 64 -> 16 dims, exact integer arithmetic,
+    map-only — the pre-ANN dimensionality reduction
+    (operators/similarity.random_projection; the deterministic sign matrix
+    enters BOTH engines as literals)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb)

@@ -88,6 +88,7 @@ HEAVY = [
     "source_kl_divergence_docs",
     "doc_trigram_backoff",
     "source_length_quantile_sketch",
+    "embedding_random_projection",
 ]
 
 ID_STRIDE = 10_000_000

@@ -2594,3 +2594,36 @@ def test_log_bucket_quantiles_mergeable_and_bounded_error(spark):
     )
     row2 = log_bucket_quantiles(half, "n_chars").collect()[0]
     assert (row2.q50, row2.q95, row2.q99) == (row.q50, row.q95, row.q99)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: relative pairwise distances survive 64 -> 16
+    projection (statistically; the ±1 matrix is deterministic so the test
+    is stable), and the projection is exact integer output."""
+    import numpy as np
+
+    from radar_output_restructure_spark.operators.similarity import (
+        RP_SCALE,
+        random_projection,
+        rp_sign_matrix,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(6, 64).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(64).astype("float32")  # near pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df).collect()
+    proj = np.zeros((6, 16))
+    for r in out:
+        proj[r.vec_id, r.dim] = r.proj
+    # exact integer replay: proj == S @ round(x*scale)
+    s = np.array(rp_sign_matrix(16, 64), dtype=np.int64)
+    q = np.round(vecs.astype(np.float64) * RP_SCALE).astype(np.int64)
+    assert (proj == (q @ s.T)).all()
+    # the planted near-pair stays the closest pair after projection
+    d = ((proj[:, None, :] - proj[None, :, :]) ** 2).sum(-1).astype(float)
+    d[np.arange(6), np.arange(6)] = np.inf
+    assert d[0].argmin() == 1 and d[1].argmin() == 0
