@@ -49,14 +49,26 @@ def _is_green(row: dict) -> bool:
     return bool(row.get("rows_match"))
 
 
-def build() -> dict:
+def build(max_round: int | None = None) -> dict:
+    """Build the ledger from the CORRECTNESS_r*.json artifacts on disk.
+
+    ``max_round`` caps which driver rounds are read. The driver writes
+    CORRECTNESS_r{N}.json AFTER the builder's last round-N commit, so a
+    committed ledger is always one artifact behind the working tree at the
+    start of round N+1; the staleness test passes the committed ledger's own
+    ``latest_round`` here so that newer, not-yet-ledgered artifacts cannot
+    retroactively invalidate it (r7 verdict "What's wrong" #1).
+    """
     rounds: dict[int, dict] = {}
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
+        rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as fh:
-            rounds[int(m.group(1))] = json.load(fh)
+            rounds[rnd] = json.load(fh)
     latest = max(rounds) if rounds else 0
 
     import __spark_entry__ as entry
