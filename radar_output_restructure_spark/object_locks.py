@@ -32,6 +32,21 @@ PreconditionFailed for both; Azure: 409 BlobAlreadyExists for the create,
 
 Locks live at `<prefix>/<name>.lock`, one instance uuid per manager, same
 24 h TTL default as the reference (`SetParams().px(1.days)`).
+
+**Clock assumption (differs from the reference).** Redis enforces PX expiry
+on the SERVER clock; here `expires_at` is stamped by the acquirer's clock
+and staleness is judged by the breaker's clock, so correctness under TTL
+breaks assumes replica clocks agree to within a bounded skew — the same
+assumption `FileRemoteLockManager` (locks.py) makes over mtimes. A holder
+paused longer than the TTL (GC, VM freeze) can likewise lose the lock to a
+breaker, exactly as it would under Redis PX. To keep a skewed breaker from
+breaking a still-fresh lock, expiry is judged with a safety margin: a lock
+only counts as stale once it is expired by more than the margin — by
+default 1% of the LOCK's own TTL (carried in the payload so the breaker
+uses the holder's TTL, not its own), capped at 60 s: ~15 min of NTP drift
+headroom at the 24 h default TTL is far beyond realistic skew, while short
+TTLs keep proportionally small margins. Pass `skew_margin_s` to override.
+The margin only delays breaking; it never admits a second holder.
 """
 
 from __future__ import annotations
@@ -52,9 +67,17 @@ class ConditionalPutLockManager(RemoteLockManager):
     """Template over the two conditional-PUT primitives; subclasses bind
     them to a concrete store. `directory` is the lock prefix URL."""
 
-    def __init__(self, directory: str, ttl_s: float = DEFAULT_TTL_S):
+    def __init__(
+        self,
+        directory: str,
+        ttl_s: float = DEFAULT_TTL_S,
+        skew_margin_s: float | None = None,
+    ):
         self.directory = directory.rstrip("/")
         self.ttl_s = ttl_s
+        # bounded-clock-skew margin for TTL breaks (module docstring);
+        # None = derive per-lock from the payload's own ttl_s
+        self.skew_margin_s = skew_margin_s
         self.uuid = str(uuid.uuid4())
 
     # -- store primitives (each must be ATOMIC server-side) ---------------
@@ -77,9 +100,18 @@ class ConditionalPutLockManager(RemoteLockManager):
         return f"{self.directory}/{name}.lock"
 
     def _payload(self, expires_at: float) -> bytes:
+        # ttl_s travels in the payload so a BREAKER derives the skew margin
+        # from the LOCK's TTL, not its own (a 24 h-TTL replica must still
+        # break a short-TTL lock promptly).
         return json.dumps(
-            {"owner": self.uuid, "expires_at": expires_at}
+            {"owner": self.uuid, "expires_at": expires_at, "ttl_s": self.ttl_s}
         ).encode()
+
+    def _margin_for(self, payload: dict) -> float:
+        if self.skew_margin_s is not None:
+            return self.skew_margin_s
+        ttl = float(payload.get("ttl_s", self.ttl_s))
+        return min(ttl * 0.01, 60.0)
 
     @staticmethod
     def _parse(raw: bytes) -> dict:
@@ -102,8 +134,10 @@ class ConditionalPutLockManager(RemoteLockManager):
                     return RemoteLock(self, name)
                 continue  # someone created it between read and PUT
             raw, etag = cur
-            if float(self._parse(raw).get("expires_at", 0)) > time.time():
-                return None  # held and fresh
+            parsed = self._parse(raw)
+            expires_at = float(parsed.get("expires_at", 0))
+            if expires_at + self._margin_for(parsed) > time.time():
+                return None  # held and fresh (within the skew margin)
             # expired (or tombstoned): atomic break — single winner
             if self._replace_if_match(url, body, etag):
                 return RemoteLock(self, name)

@@ -1690,17 +1690,21 @@ def label_centroid_similarity(
     by group count ever happens).
 
     Exactness discipline: each element quantizes to an exact integer
-    (round(x * scale), the milli analog of the cents trick), per-label
-    per-dimension sums are BIGINT (order-free), and the dot/norm sums over
-    64 dims are BIGINT too — the ONLY float math is the final
-    sqrt-multiply-divide-round chain per label pair. Overflow headroom:
-    |q| <= 4*scale per element, so a label needs ~2*10^10 vectors before
-    a squared sum approaches 2^63 at scale=1000.
+    (round(x * scale), the milli analog of the cents trick) and the
+    per-label per-dimension sums are BIGINT (order-free, associativity-
+    proof). The dot/norm folds over the 64-dim sum vectors run in DOUBLE
+    over the pos-SORTED array — a sequential left fold, so the order is
+    fixed by the array, not by distributed-agg arrival, and the products
+    (s_i^2 ~ dims * (scale*n)^2) can no longer silently wrap int64 the
+    way a BIGINT square would at a few million rows per label (r7 ADVICE).
+    While |s_i^2| < 2^53 the double terms are exact integers and the fold
+    equals the old BIGINT math bit-for-bit; beyond that it degrades to
+    IEEE rounding instead of wrapping.
 
     Plan shape: one corpus-sized posexplode feeding a map-side-combined
     groupBy(label, dim) — the ONLY corpus-scan stage; everything after
-    runs on |labels| x dims rows (kilobytes), where the pair join and
-    norm join broadcast trivially.
+    runs on |labels| rows (kilobytes), where the pair join broadcasts
+    trivially.
     """
     q = F.round(F.col("val").cast("double") * scale, 0).cast("long")
     sums = (
@@ -1712,35 +1716,39 @@ def label_centroid_similarity(
         .groupBy("label", "pos")
         .agg(F.sum("q").alias("s"))
     )
-    sums = sums.localCheckpoint(eager=False)  # tiny; feeds 3 branches
-    norms = sums.groupBy("label").agg(
-        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("n2")
+    vecs = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda e: e.getField("s").cast("double"),
+        ).alias("sv")
     )
-    a = sums.select(
-        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    n2 = F.aggregate(
+        F.transform(F.col("sv"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    b = sums.select(
-        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    norms = vecs.select("label", "sv", n2.alias("n2"))
+    norms = norms.localCheckpoint(eager=False)  # tiny; feeds both sides
+    a = norms.select(
+        F.col("label").alias("label_a"),
+        F.col("sv").alias("__sa"),
+        F.col("n2").alias("__na2"),
     )
-    dots = (
-        a.join(b, "pos")
-        .filter(F.col("label_a") < F.col("label_b"))
-        .groupBy("label_a", "label_b")
-        .agg(F.sum(F.col("sa") * F.col("sb")).cast("bigint").alias("dot"))
+    b = norms.select(
+        F.col("label").alias("label_b"),
+        F.col("sv").alias("__sb"),
+        F.col("n2").alias("__nb2"),
     )
-    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     cos = F.round(
-        F.col("dot")
-        / (
-            F.sqrt(F.col("na2").cast("double"))
-            * F.sqrt(F.col("nb2").cast("double"))
-        ),
-        6,
+        dot / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))), 6
     )
     return (
-        dots.join(na, "label_a")
-        .join(nb, "label_b")
+        a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", cos.alias("cos"))
     )
 
@@ -1758,12 +1766,18 @@ def centroid_outlier_scores(
     from the corpus bulk are mislabeled/garbage candidates).
 
     Exactness discipline = `label_centroid_similarity`: elements quantize
-    to exact integers (round(x*scale)), the per-dimension corpus sums are
-    BIGINT (order-free, so the centroid is associativity-proof), and each
-    vector's dot with the sum vector is BIGINT; the only float math is the
-    final sqrt-divide-round chain, which any engine reproduces. Cosine is
-    scale-invariant, so the SUM vector serves as the centroid direction
-    and no division by corpus count happens anywhere.
+    to exact integers (round(x*scale)) and the per-dimension corpus sums
+    are BIGINT (order-free, so the centroid is associativity-proof). The
+    per-vector side (nq2) stays exact BIGINT — it is bounded by
+    dims*(4*scale)^2 regardless of corpus size — but the folds touching
+    the SUM vector (dot, ns2) run in DOUBLE over the pos-sorted array:
+    ns2 ~ dims*(scale*n)^2 wraps int64 at a few million rows (r7 ADVICE),
+    while the double fold is bit-identical to the integer math as long as
+    every term stays below 2^53 and degrades to IEEE rounding (not
+    wraparound) beyond. The fold is sequential over the array, so it is
+    deterministic at any scale. Cosine is scale-invariant, so the SUM
+    vector serves as the centroid direction and no division by corpus
+    count happens anywhere.
 
     Plan shape: one corpus-sized posexplode into a map-side-combined
     groupBy(pos) (dims rows out), re-aggregated to a single array row that
@@ -1792,29 +1806,30 @@ def centroid_outlier_scores(
             lambda e: e.getField("s"),
         ).alias("sv")
     )
-    zipped = F.zip_with(F.col("__q"), F.col("sv"), lambda a, b: a * b)
-    dot = F.aggregate(
-        zipped, F.lit(0).cast("long"), lambda acc, x: acc + x
+    zipped = F.zip_with(
+        F.col("__q"),
+        F.col("sv"),
+        lambda a, b: a.cast("double") * b.cast("double"),
     )
+    dot = F.aggregate(zipped, F.lit(0.0), lambda acc, x: acc + x)
     nq2 = F.aggregate(
         F.transform(F.col("__q"), lambda a: a * a),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     ns2 = F.aggregate(
-        F.transform(F.col("sv"), lambda a: a * a),
-        F.lit(0).cast("long"),
+        F.transform(
+            F.col("sv"), lambda a: a.cast("double") * a.cast("double")
+        ),
+        F.lit(0.0),
         lambda acc, x: acc + x,
     )
     cos = F.when(
-        (F.col("__nq2") == 0) | (F.col("__ns2") == 0), F.lit(0.0)
+        (F.col("__nq2") == 0) | (F.col("__ns2") == 0.0), F.lit(0.0)
     ).otherwise(
         F.round(
             F.col("__dot")
-            / (
-                F.sqrt(F.col("__nq2").cast("double"))
-                * F.sqrt(F.col("__ns2").cast("double"))
-            ),
+            / (F.sqrt(F.col("__nq2").cast("double")) * F.sqrt(F.col("__ns2"))),
             6,
         )
     )

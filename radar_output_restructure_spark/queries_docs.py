@@ -191,10 +191,15 @@ SQL_SHINGLES = r"""
     "jaccard_pairs_docs",
     f"""
     WITH sh AS ({SQL_SHINGLES}),
-    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    kept AS (
+      SELECT doc, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh
+                        GROUP BY shingle HAVING count(*) <= 50)
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM kept GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM kept a JOIN kept b USING (shingle)
       WHERE a.doc < b.doc
       GROUP BY 1, 2
     )
@@ -207,10 +212,14 @@ SQL_SHINGLES = r"""
     """,
 )
 def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard join, J >= 0.4 (finds the planted
-    near-duplicates; skew-capped variant for 100 TB in operators/dedup_scale)."""
+    """Exact word-trigram Jaccard join, J >= 0.4, with the df>50
+    stop-shingle cap (r7 verdict "What's wrong" #2): the posting-list
+    self-join is O(sum df^2) per shingle, so one boilerplate trigram with
+    df=d yields d^2/2 candidates at 100 TB; dropping hot shingles BEFORE
+    sizes/self-join bounds every bucket (the oracle's `kept` CTE mirrors
+    the cap exactly, like char_ngram_jaccard_docs)."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return jaccard_pairs(docs, threshold=0.4)
+    return jaccard_pairs(docs, threshold=0.4, max_shingle_df=50)
 
 
 @register(
@@ -1723,10 +1732,15 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment_pairs_docs",
     f"""
     WITH sh AS ({SQL_SHINGLES}),
-    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    kept AS (
+      SELECT doc, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh
+                        GROUP BY shingle HAVING count(*) <= 50)
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM kept GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle)
+      FROM kept a JOIN kept b USING (shingle)
       WHERE a.doc < b.doc
       GROUP BY 1, 2
     )
@@ -1743,13 +1757,17 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle containment >= 0.6 in either direction — the
     quote/subset-duplication signal symmetric Jaccard misses
-    (operators/dedup_scale.containment_pairs)."""
+    (operators/dedup_scale.containment_pairs). Carries the same df>50
+    stop-shingle cap as jaccard_pairs_docs (r7 verdict "What's wrong" #2)
+    so no gated query ships an uncapped posting self-join; the oracle's
+    `kept` CTE mirrors the cap (sizes computed AFTER the drop, matching
+    the operator)."""
     from radar_output_restructure_spark.operators.dedup_scale import (
         containment_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return containment_pairs(docs, threshold=0.6)
+    return containment_pairs(docs, threshold=0.6, max_shingle_df=50)
 
 
 @register(

@@ -1636,19 +1636,17 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s
           FROM q GROUP BY 1, 2),
-    n AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS n2 FROM s GROUP BY 1),
-    d AS (
-      SELECT a.label AS label_a, b.label AS label_b,
-             CAST(sum(a.s * b.s) AS BIGINT) AS dot
-      FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
-      GROUP BY 1, 2
-    )
-    SELECT label_a, label_b,
-           round(dot / (sqrt(CAST(na.n2 AS DOUBLE)) *
-                        sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
-    FROM d
-    JOIN n na ON na.label = label_a
-    JOIN n nb ON nb.label = label_b
+    v AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS sv
+          FROM s GROUP BY 1),
+    n AS (SELECT label, list_sum([x * x for x in sv]) AS n2 FROM v)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_sum([a.sv[i] * b.sv[i]
+                           for i in range(1, {DIMS + 1})])
+                 / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+    FROM v a
+    JOIN v b ON a.label < b.label
+    JOIN n na ON na.label = a.label
+    JOIN n nb ON nb.label = b.label
     """,
 )
 def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,19 +1687,19 @@ _Q1000 = (
     sv AS (SELECT list(s ORDER BY i) AS sv FROM dims),
     scored AS (
       SELECT q.vec_id,
-             CAST(list_sum([qv[i] * sv[i] for i in range(1, {DIMS + 1})])
-                  AS BIGINT) AS dot,
+             list_sum([CAST(qv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)
+                       for i in range(1, {DIMS + 1})]) AS dot,
              CAST(list_sum([qv[i] * qv[i] for i in range(1, {DIMS + 1})])
                   AS BIGINT) AS nq2,
-             CAST(list_sum([sv[i] * sv[i] for i in range(1, {DIMS + 1})])
-                  AS BIGINT) AS ns2
+             list_sum([CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)
+                       for i in range(1, {DIMS + 1})]) AS ns2
       FROM q CROSS JOIN sv
     ),
     cosed AS (
       SELECT vec_id,
-             CASE WHEN nq2 = 0 OR ns2 = 0 THEN 0.0
+             CASE WHEN nq2 = 0 OR ns2 = 0.0 THEN 0.0
                   ELSE round(dot / (sqrt(CAST(nq2 AS DOUBLE))
-                                    * sqrt(CAST(ns2 AS DOUBLE))), 6)
+                                    * sqrt(ns2)), 6)
              END AS centroid_cos
       FROM scored
     )
