@@ -252,3 +252,134 @@ def test_lock_manager_for_scheme_dispatch(s3_endpoint, azure_endpoint):
     assert isinstance(
         lock_manager_for("/tmp/some/dir"), FileRemoteLockManager
     )
+
+
+def test_two_replica_full_pipeline_over_s3(s3_endpoint, spark):
+    """r7 verdict item 4: TWO complete restructure instances running
+    CONCURRENTLY against one s3:// target — object locks + shared manifest
+    + shared output bucket, the reference's replicated deployment mode
+    (worker/RadarKafkaRestructure.kt:108-128 tryWithLock-or-skip over
+    accounting/RedisRemoteLockManager.kt:8-45).
+
+    Asserts the full contract the pieces prove individually:
+    * disjoint topic processing — for every topic exactly ONE replica
+      writes (the other either skips on lock contention or prunes an
+      already-committed listing to nothing);
+    * exactly-once output — the union of CSV rows equals the input rows,
+      no duplicates, none missing, even though both replicas attempted
+      every topic;
+    * clean lock release — every topic lock is re-acquirable afterwards;
+    * a rerun of BOTH replicas is a global no-op.
+    """
+    import threading
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.plans.restructure import (
+        RestructureConfig,
+        RestructurePlan,
+    )
+    from tests.test_legacy_offsets import _fixture_file
+
+    import tempfile
+
+    input_dir = tempfile.mkdtemp(prefix="two_replica_in_")
+    topics = ["t_alpha", "t_beta", "t_gamma", "t_delta"]
+    n_rows = {}
+    for ti, topic in enumerate(topics):
+        rows = [
+            Row(
+                key=Row(projectId="p", userId=f"u{r % 3}", sourceId="s"),
+                value=Row(
+                    time=1580219820.0 + r * 60.0, status=f"{topic}-{r}"
+                ),
+            )
+            for r in range(20)
+        ]
+        # two files per topic so commit batches are non-trivial
+        _fixture_file(spark, input_dir, topic, rows[:12], 0, 0, 11)
+        _fixture_file(spark, input_dir, topic, rows[12:], 0, 12, 19)
+        n_rows[topic] = len(rows)
+
+    out = f"s3://{BUCKET}/two_replica/out"
+    lock_dir = f"s3://{BUCKET}/two_replica/locks"
+
+    def make_plan(seed: int) -> RestructurePlan:
+        # each replica = its own plan instance, own lock-manager uuid, own
+        # boto3 client; opposite shuffle seeds start them on different
+        # topics like the reference's shuffled topic order (O5)
+        return RestructurePlan(
+            spark,
+            RestructureConfig(
+                input_dir=input_dir,
+                output_dir=out,
+                lock_dir=lock_dir,
+                shuffle_topics=True,
+                shuffle_seed=seed,
+            ),
+            target_storage=S3TargetStorage(
+                endpoint_url=s3_endpoint, **S3_CRED
+            ),
+        )
+
+    results: dict[int, dict] = {}
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(2)
+
+    def run_replica(idx: int, seed: int) -> None:
+        try:
+            plan = make_plan(seed)
+            barrier.wait(timeout=60)
+            results[idx] = plan.run()
+        except BaseException as exc:  # surface into the test thread
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run_replica, args=(i, seed))
+        for i, seed in enumerate((7, 1))  # seed 7 permutes, 1 differs
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert set(results) == {0, 1}
+
+    # disjoint processing: exactly one replica wrote each topic
+    for topic in topics:
+        writers = [i for i in (0, 1) if results[i].get(topic)]
+        assert len(writers) <= 1, f"{topic} written by both replicas"
+    written_topics = {
+        t for r in results.values() for t, files in r.items() if files
+    }
+    assert written_topics == set(topics)
+
+    # exactly-once output: union of CSV rows == input rows, no dupes
+    storage = S3TargetStorage(endpoint_url=s3_endpoint, **S3_CRED)
+    statuses: list[str] = []
+    for path in storage.walk_files(out):
+        if not path.endswith(".csv"):
+            continue
+        lines = storage.read(path).decode().strip().splitlines()
+        assert lines[0] == "key.projectId,key.userId,key.sourceId,value.time,value.status"
+        statuses += [ln.rsplit(",", 1)[1] for ln in lines[1:]]
+    assert len(statuses) == sum(n_rows.values())
+    assert len(set(statuses)) == len(statuses)  # no duplicate rows
+    expected = {
+        f"{topic}-{r}" for topic in topics for r in range(n_rows[topic])
+    }
+    assert set(statuses) == expected
+
+    # clean release: every topic lock is immediately re-acquirable
+    mgr = S3RemoteLockManager(
+        lock_dir, endpoint_url=s3_endpoint, **S3_CRED
+    )
+    for topic in topics:
+        lock = mgr.acquire_lock(topic)
+        assert lock is not None, f"lock for {topic} not released"
+        lock.close()
+
+    # rerun both replicas: global no-op (manifest prunes everything)
+    for seed in (7, 1):
+        rerun = make_plan(seed).run()
+        assert all(files == [] for files in rerun.values()), rerun
