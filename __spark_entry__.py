@@ -29,9 +29,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.QUERIES["restructure_flagship"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-8 new queries (gate slots 33..50; kept <= 18 so the rotation stays
-#: within the capacity bound tests/test_registry_coverage.py enforces).
-_R8_ADDITIONS: tuple[str, ...] = ()
+#: Round-8 new queries (gate slots 33..43; kept well under the <= 18 the
+#: capacity bound in tests/test_registry_coverage.py allows, so the 7
+#: trailing head slots flow to the oldest r6-certified queries and shrink
+#: the round-9 rotation backlog).
+_R8_ADDITIONS: tuple[str, ...] = (
+    "doc_gopher_quality",
+    "doc_type_token_ratio",
+    "tokenizer_fertility_docs",
+    "doc_ngram_novelty",
+    "doc_train_split",
+    "source_balance_weights_docs",
+    "source_dup_rate_docs",
+    "dup_group_size_hist_docs",
+    "minhash_estimate_error_docs",
+    "embedding_gram_matrix",
+    "ann_multiprobe_lsh_topk",
+)
 
 #: The driver's gate records only the first ~50 dict entries, so ordering
 #: chooses which queries get a CORRECTNESS row each round. Round-8 rotation

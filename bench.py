@@ -161,6 +161,18 @@ BENCH_QUERIES = [
     "doc_trigram_backoff",
     "source_length_quantile_sketch",
     "embedding_random_projection",
+    # round-8 additions
+    "doc_gopher_quality",
+    "doc_type_token_ratio",
+    "tokenizer_fertility_docs",
+    "doc_ngram_novelty",
+    "doc_train_split",
+    "source_balance_weights_docs",
+    "source_dup_rate_docs",
+    "dup_group_size_hist_docs",
+    "minhash_estimate_error_docs",
+    "embedding_gram_matrix",
+    "ann_multiprobe_lsh_topk",
 ]
 
 

@@ -44,42 +44,9 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
-def salted_agg(
-    df: DataFrame,
-    keys: list[str],
-    aggs: "dict[str, tuple[str, str]]",
-    salt_buckets: int = 16,
-) -> DataFrame:
-    """Two-phase aggregation for skewed keys (SURVEY §4 skew lever).
-
-    A hot key concentrates its whole group on one reducer; salting splits it:
-    phase 1 aggregates on (key, salt) — the hot key fans out over
-    `salt_buckets` reducers — and phase 2 merges the partials per key. Only
-    decomposable aggregates are supported: `aggs` maps output column ->
-    (input column, fn) with fn in {sum, count, min, max}.
-
-    AQE's skew-join handling covers JOIN skew automatically; groupBy skew
-    still needs this explicit split (or enough partial aggregation, which
-    pure count/sum usually gets map-side — salting matters when the
-    per-group state is large, e.g. collect-style or high-cardinality
-    sub-aggregations).
-    """
-    from pyspark.sql import functions as F
-
-    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
-    )
-    p1 = salted.groupBy(*keys, "__salt").agg(
-        *[
-            phase1_fn[fn](F.col(col)).alias(f"__p_{out}")
-            for out, (col, fn) in aggs.items()
-        ]
-    )
-    return p1.groupBy(*keys).agg(
-        *[
-            merge_fn[fn](F.col(f"__p_{out}")).alias(out)
-            for out, (col, fn) in aggs.items()
-        ]
-    )
+# Salted two-stage aggregation (the groupBy-skew lever) lives in
+# operators/skew.salted_agg: salt_col=None gives the seeded-rand() salt for
+# associative aggs (the variant that used to live here, folded in per the
+# r7 verdict item 7); a value-derived salt_col additionally splits
+# COUNT(DISTINCT) exactly. AQE's skew handling covers JOIN skew; groupBy
+# skew still needs the explicit split.

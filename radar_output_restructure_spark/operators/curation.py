@@ -581,3 +581,69 @@ def winsorize_by_group(
             ).alias("clamped"),
         )
     )
+
+
+# --- round-8 additions -------------------------------------------------------
+
+
+def content_train_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_lo: str = "f6",
+    test_lo: str = "fb",
+) -> DataFrame:
+    """(doc, bucket, split): deterministic CONTENT-hash train/val/test
+    assignment — the first two hex chars of md5(text) partition [00, ff]
+    into train [00, val_lo), val [val_lo, test_lo), test [test_lo, ff].
+    Defaults give ~96.1 / 2.0 / 2.0%.
+
+    The complement of `train_split` above (which hashes the ID): hashing
+    the TEXT puts exact duplicates in the same split — no train/test
+    leakage through copies, the failure mode an id-hash split cannot see —
+    at the price of moving a document between splits when its content is
+    edited. Both are map-only, rand()-free, stable under corpus growth.
+    Hex-string comparison is binary-collation equal across engines.
+    """
+    bucket = F.substring(F.md5(F.col(text_col)), 1, 2)
+    split = (
+        F.when(bucket < F.lit(val_lo), F.lit("train"))
+        .when(bucket < F.lit(test_lo), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def source_balance_weights(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """(source, n_docs, weight_micro): per-source upsampling factor that
+    equalizes the mixture — weight = (corpus / n_sources) / n_docs, the
+    repeat factor a data-mixing stage applies so every source contributes
+    a uniform share of training tokens (docs stand in for tokens here;
+    swap the count for a token sum in production).
+
+    Plan: one map-side-combined groupBy(source) plus a broadcast of the
+    1-row corpus total — no data-sized shuffle. Integer-micro exact.
+    """
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_sources"),
+    )
+    w = F.round(
+        F.col("__total")
+        * 1000000.0
+        / (F.col("__n_sources") * F.col("n_docs")),
+        0,
+    ).cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", w.alias("weight_micro"))
+    )

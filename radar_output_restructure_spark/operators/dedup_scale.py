@@ -994,3 +994,136 @@ def containment_pairs(
             >= threshold
         )
     )
+
+
+# --- round-8 additions: dedup observability + sketch validation -------------
+
+
+def source_dup_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_dup_docs, dup_rate_micro): per-source share of
+    documents whose exact content (md5 digest) appears more than once in
+    the WHOLE corpus — the first number a curation run reports per crawl/
+    dump, and the signal for source-level blocklisting (a mirror shows up
+    as dup_rate ~ 1).
+
+    Plan: digest df via one map-side-combined groupBy(md5), the
+    co-partitioned join back on digest (reuses the exchange), then a
+    |sources|-keyed aggregation — the same single-md5-shuffle shape as
+    exact_dedup_groups, nothing quadratic.
+    """
+    w = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    w = w.localCheckpoint(eager=False)  # feeds digest-df + per-source scan
+    counts = w.groupBy("digest").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        w.join(counts, "digest")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("__n") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") * 1000000.0 / F.col("n_docs"), 0)
+            .cast("bigint")
+            .alias("dup_rate_micro"),
+        )
+    )
+
+
+def dup_group_size_hist(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(n_copies, n_groups): histogram of exact-duplicate group sizes —
+    the shape that decides dedup strategy (a long tail of 2-copy groups
+    vs a few mega-groups wants different survivors/skew handling). Two
+    map-side-combined aggregations, digest shuffle then |distinct sizes|
+    rows; sketch-free and exact."""
+    return (
+        exact_dedup_groups(df, text_col, id_col)
+        .groupBy(F.col("n_copies").cast("bigint").alias("n_copies"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    )
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(doc_a, doc_b, n_matching, est_micro, exact_micro, abs_err_micro):
+    MinHash-estimated vs EXACT Jaccard for every LSH candidate pair — the
+    sketch-calibration audit that tells you whether `num_hashes` is
+    adequate before trusting estimate-only dedup at scale (E[|err|] ~
+    1/sqrt(num_hashes); rising measured error means hash-budget or banding
+    drift).
+
+    Plan: signatures via the single-shuffle minhash_wide; candidates from
+    band buckets; the estimate is a broadcast three-way join over the
+    candidate-restricted signature frame; the exact leg is
+    jaccard_for_pairs (candidate-restricted, never all-pairs). A candidate
+    pair sharing NO shingle (pure band-hash collision) exact-scores 0 via
+    the left join, so the audit sees false-positive candidates too.
+    """
+    wide = minhash_wide(df, text_col, id_col, k, num_hashes)
+    wide = wide.localCheckpoint(eager=False)  # feeds bands + both est sides
+    cand = lsh_candidate_pairs(wide, num_hashes, rows_per_band)
+    cand = cand.localCheckpoint(eager=False)
+    a = wide.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = wide.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    n_matching = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint")
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_matching.cast("bigint").alias("n_matching"),
+        )
+    )
+    exact = jaccard_for_pairs(df, cand, text_col, id_col, k).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    est_micro = F.round(
+        F.col("n_matching") * 1000000.0 / num_hashes, 0
+    ).cast("bigint")
+    exact_micro = F.round(
+        F.coalesce(F.col("jaccard"), F.lit(0.0)) * 1000000, 0
+    ).cast("bigint")
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching",
+            est_micro.alias("est_micro"),
+            exact_micro.alias("exact_micro"),
+        )
+        .withColumn(
+            "abs_err_micro",
+            F.abs(F.col("est_micro") - F.col("exact_micro")).cast("bigint"),
+        )
+    )

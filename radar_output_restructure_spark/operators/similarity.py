@@ -2003,3 +2003,116 @@ def random_projection(
         ]
     )
     return base.select("vec_id", F.posexplode(projs).alias("dim", "proj"))
+
+
+def gram_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    scale: int = 1000,
+) -> DataFrame:
+    """(i, j, s): upper triangle (i <= j, 1-based) of the corpus Gram /
+    uncentered second-moment matrix over milli-quantized embeddings — the
+    input to PCA/whitening/feature-correlation audits of an embedding
+    column.
+
+    Plan: a vectorized Arrow pass computes one dims x dims int64 partial
+    per batch (numpy integer matmul — exact, order-free) and emits
+    dims*(dims+1)/2 rows per batch; a groupBy(i, j) over those partials
+    reduces to one matrix. The shuffle volume is partials * cells
+    (kilobytes), never corpus-sized — the same map-side-combine shape as a
+    sum, with the quadratic dims work done batch-local in C. Exactness:
+    quantized elements are exact integers, int64 sums are associative;
+    per-element products bound |s| by dims-free (scale^2 * n), so int64
+    holds to ~10^12 rows at scale=1000.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dims)
+    out_i = (iu[0] + 1).astype(np.int32)
+    out_j = (iu[1] + 1).astype(np.int32)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            q = np.rint(x * scale).astype(np.int64)
+            g = q.T @ q  # exact int64 matmul
+            yield pd.DataFrame(
+                {"i": out_i, "j": out_j, "s": g[iu]}
+            )
+
+    part = df.select(F.col(vec_col).alias("__v")).mapInPandas(
+        partials, schema="i int, j int, s long"
+    )
+    return part.groupBy("i", "j").agg(F.sum("s").cast("bigint").alias("s"))
+
+
+def cosine_topk_lsh_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS the
+    `num_planes` buckets at Hamming distance 1 (one sign bit flipped) in
+    every table, then exact-cosine re-ranks the candidate union.
+
+    The recall/memory trade every production LSH index makes: probing
+    b+1 buckets per table buys roughly the recall of (b+1)x as many
+    tables while storing (and bucket-building over) L tables' worth of
+    corpus — here 3 tables x 5 probes approach the 10-table single-probe
+    index (ann_lsh_topk) at 30% of the index footprint. Probe expansion
+    happens on the QUERY side only (queries x L x (b+1) rows, broadcast),
+    so the corpus-side plan is identical to the single-probe index: one
+    map-only bucket pass, join, per-query top-k.
+    """
+    cb = hyperplane_lsh_buckets(
+        corpus, num_planes, dims, id_col, vec_col, num_tables
+    )
+    qb = hyperplane_lsh_buckets(
+        queries, num_planes, dims, id_col, vec_col, num_tables
+    )
+    probes = [F.col("bucket")] + [
+        F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)
+    ]
+    qp = qb.select(
+        F.col("vec_id").alias("query_id"),
+        "table",
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    cand = (
+        cb.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket")
+        .join(F.broadcast(qp), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    sims = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -20,10 +20,14 @@ Stage-2 input is |keys| x S rows regardless of corpus size — kilobytes —
 so the second shuffle is free; the win is stage 1's reduce parallelism
 going from |keys| to |keys| x S.
 
-Relation to `operators/bucketing.salted_agg`: that variant salts with
-rand() and covers only associative aggs (its salt carries no semantic
-constraint); THIS one derives the salt from a data column so it can also
-split COUNT(DISTINCT) exactly — use this when a distinct leg is present.
+Salt choice (r7 verdict item 7 folded the former bucketing.salted_agg
+rand() variant in here as the `salt_col=None` default): a rand()-derived
+salt spreads rows uniformly and is always safe for ASSOCIATIVE aggs
+(sum/count/min/max) — partials recombine regardless of which sub-group a
+row landed in. A COUNT(DISTINCT) leg additionally needs equal values in
+the same sub-group (else the same value is counted in several partials),
+so it requires a value-derived `salt_col` that is a pure function of the
+distinct column; passing none raises instead of silently over-counting.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: list[tuple[str, Column, str]],
-    salt_col: Column,
+    salt_col: Column | None = None,
     num_salts: int = 32,
 ) -> DataFrame:
     """Two-stage salted aggregation.
@@ -54,13 +58,23 @@ def salted_agg(
     sum / count / count_distinct / min / max. `salt_col` MUST be a pure
     function of the count_distinct column when one is present (the
     disjointness that makes the combined distinct count exact); for other
-    aggs any value-spreading expression works.
+    aggs any value-spreading expression works, and `salt_col=None` salts
+    with seeded rand() (the former bucketing.salted_agg behavior —
+    associative aggs only).
     """
     for kind, _c, _a in aggs:
         if kind not in _COMBINERS:
             raise ValueError(f"unsupported agg kind: {kind}")
-
-    salt = F.pmod(salt_col, F.lit(num_salts)).alias("__salt")
+    if salt_col is None:
+        if any(kind == "count_distinct" for kind, _c, _a in aggs):
+            raise ValueError(
+                "count_distinct needs a value-derived salt_col: a rand() "
+                "salt scatters equal values across sub-groups and the "
+                "summed partials over-count (module docstring)"
+            )
+        salt = (F.rand(seed=42) * num_salts).cast("int").alias("__salt")
+    else:
+        salt = F.pmod(salt_col, F.lit(num_salts)).alias("__salt")
     partials = []
     for kind, col, alias in aggs:
         if kind == "sum":

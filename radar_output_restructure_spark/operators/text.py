@@ -1293,3 +1293,171 @@ def trigram_backoff_score(
         F.coalesce(F.col("n_bi"), z).alias("n_bi"),
         F.coalesce(F.col("n_uni"), z).alias("n_uni"),
     )
+
+
+# --- round-8 curation operators ---------------------------------------------
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len_milli: int = 3_000,
+    max_mean_len_milli: int = 10_000,
+    min_stop_hits: int = 2,
+    min_alpha_micro: int = 800_000,
+) -> DataFrame:
+    """(doc, n_words, mean_word_len_milli, n_stop_distinct,
+    alpha_ratio_micro, passes): the Gopher-style rule-based quality screen
+    (word-count window, mean word length 3-10 chars, >=2 distinct English
+    stopwords, >=80% of words containing a letter) — the standard cheap
+    pre-filter a curation pipeline runs before any model-based scoring.
+
+    Map-only over materialized word arrays; every emitted number is either
+    an exact integer count or an integer-milli/-micro rounding of a ratio
+    of exact integers, so any engine reproduces it bit-for-bit. At 100 TB
+    this is one corpus scan with zero shuffles.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    blank = F.trim(F.col(text_col)) == ""
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.when(blank, F.array().cast("array<string>"))
+        .otherwise(split_words(text_col))
+        .alias("__words"),
+    )
+    n_words = F.size(F.col("__words")).cast("bigint")
+    sum_chars = F.aggregate(
+        F.transform(F.col("__words"), F.length),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_milli = F.when(n_words == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(sum_chars * 1000.0 / n_words, 0).cast("bigint")
+    )
+    n_stop = F.size(
+        F.array_intersect(F.col("__words"), F.array(*[F.lit(s) for s in STOPWORDS_EN]))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(F.col("__words"), lambda x: x.rlike("[a-z]"))
+    ).cast("bigint")
+    alpha_micro = F.when(n_words == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(n_alpha * 1000000.0 / n_words, 0).cast("bigint")
+    )
+    scored = w.select(
+        "doc",
+        n_words.alias("n_words"),
+        mean_milli.alias("mean_word_len_milli"),
+        n_stop.alias("n_stop_distinct"),
+        alpha_micro.alias("alpha_ratio_micro"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len_milli").between(
+            min_mean_len_milli, max_mean_len_milli
+        )
+        & (F.col("n_stop_distinct") >= min_stop_hits)
+        & (F.col("alpha_ratio_micro") >= min_alpha_micro)
+    )
+    return scored.withColumn("passes", passes.cast("int"))
+
+
+def type_token_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, n_tokens, n_types, ttr_micro): lexical diversity — distinct
+    words over total words. Low TTR flags keyword-stuffed / template /
+    repetitive documents that length and stopword screens miss. Map-only,
+    integer-micro exact."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        split_words,
+    )
+
+    blank = F.trim(F.col(text_col)) == ""
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.when(blank, F.array().cast("array<string>"))
+        .otherwise(split_words(text_col))
+        .alias("__words"),
+    )
+    n_tokens = F.size(F.col("__words")).cast("bigint")
+    n_types = F.size(F.array_distinct(F.col("__words"))).cast("bigint")
+    ttr = F.when(n_tokens == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(n_types * 1000000.0 / n_tokens, 0).cast("bigint")
+    )
+    return w.select(
+        "doc",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        ttr.alias("ttr_micro"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_words, n_bpe_tokens, fertility_micro): sub-word tokens
+    per whitespace word, per source — the tokenizer-efficiency audit run
+    before fixing a data mixture (high fertility = a source the tokenizer
+    fragments, costing context length). One map-side-combined groupBy over
+    |sources| keys; exact integer sums, micro-rounded ratio."""
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count(text_col)).cast("bigint").alias("n_words"),
+        F.sum(bpe_token_count(text_col)).cast("bigint").alias("n_bpe_tokens"),
+    )
+    fert = F.when(F.col("n_words") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.round(F.col("n_bpe_tokens") * 1000000.0 / F.col("n_words"), 0)
+        .cast("bigint")
+    )
+    return agg.select(
+        "source", "n_words", "n_bpe_tokens", fert.alias("fertility_micro")
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(doc, n_shingles, n_novel, novelty_micro): the fraction of a doc's
+    distinct word-k-grams appearing NOWHERE else in the corpus (df == 1) —
+    high novelty separates original content from boilerplate recombination;
+    near-zero novelty marks template/mirror pages worth deprioritizing.
+
+    Plan: one corpus explode into the df aggregation (map-side combined),
+    then the co-partitioned join back (reuses the shingle exchange) and a
+    per-doc aggregation — two bounded shuffles, no self-join, no quadratic
+    term anywhere (df counting touches each posting once). Docs shorter
+    than k words have no shingles and are absent, mirroring the oracle.
+    """
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        _exploded_shingles,
+    )
+
+    ex = _exploded_shingles(df, text_col, id_col, k)
+    ex = ex.localCheckpoint(eager=False)  # feeds df-count + per-doc branches
+    dfs = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        ex.join(dfs, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc",
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") * 1000000.0 / F.col("n_shingles"), 0)
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )

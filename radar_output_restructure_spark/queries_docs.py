@@ -1924,3 +1924,220 @@ def q_source_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
     return log_bucket_quantiles(docs, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: rule-based quality, splits, mixing, dedup observability
+# ---------------------------------------------------------------------------
+
+_SQL_WORDS_GUARDED = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END"
+)
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS_EN) + "]"
+_SQL_MEAN_MILLI = (
+    "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(sum_chars * 1000.0 / n_words, 0) AS BIGINT) END"
+)
+_SQL_ALPHA_MICRO = (
+    "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(round(n_alpha * 1000000.0 / n_words, 0) AS BIGINT) END"
+)
+
+
+@register(
+    "doc_gopher_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS doc, {_SQL_WORDS_GUARDED} AS words FROM documents
+    ),
+    f AS (
+      SELECT doc,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum([length(x) for x in words]), 0)
+                  AS BIGINT) AS sum_chars,
+             CAST(len(list_intersect(words, {_SQL_STOPLIST}))
+                  AS BIGINT) AS n_stop_distinct,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                  AS BIGINT) AS n_alpha
+      FROM w
+    )
+    SELECT doc, n_words,
+           {_SQL_MEAN_MILLI} AS mean_word_len_milli,
+           n_stop_distinct,
+           {_SQL_ALPHA_MICRO} AS alpha_ratio_micro,
+           CAST(n_words BETWEEN 50 AND 100000
+                AND {_SQL_MEAN_MILLI} BETWEEN 3000 AND 10000
+                AND n_stop_distinct >= 2
+                AND {_SQL_ALPHA_MICRO} >= 800000 AS INT) AS passes
+    FROM f
+    """,
+)
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule screen: word-count window, mean word length,
+    distinct-stopword floor, alpha-word ratio — map-only, integer-exact
+    (operators/text.gopher_quality)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.gopher_quality(docs)
+
+
+@register(
+    "doc_type_token_ratio",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS doc, {_SQL_WORDS_GUARDED} AS words FROM documents
+    )
+    SELECT doc,
+           CAST(len(words) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+           CASE WHEN len(words) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(len(list_distinct(words)) * 1000000.0
+                                / len(words), 0) AS BIGINT) END AS ttr_micro
+    FROM w
+    """,
+)
+def q_doc_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity (distinct words / words, integer-micro) — the
+    template/keyword-stuffing screen (operators/text.type_token_ratio)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.type_token_ratio(docs)
+
+
+@register(
+    "tokenizer_fertility_docs",
+    f"""
+    SELECT source,
+           CAST(sum({_SQL_NTOK}) AS BIGINT) AS n_words,
+           CAST(sum({_SQL_NBPE}) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN sum({_SQL_NTOK}) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(sum({_SQL_NBPE}) * 1000000.0
+                                / sum({_SQL_NTOK}), 0) AS BIGINT)
+           END AS fertility_micro
+    FROM documents GROUP BY source
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word tokens per whitespace word per source — the tokenizer-
+    efficiency audit before fixing a data mixture
+    (operators/text.tokenizer_fertility)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.tokenizer_fertility(docs)
+
+
+@register(
+    "doc_ngram_novelty",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    dfs AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+    SELECT doc,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000.0
+                      / count(*), 0) AS BIGINT) AS novelty_micro
+    FROM sh JOIN dfs USING (shingle)
+    GROUP BY doc
+    """,
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of a doc's distinct trigrams unique in the corpus (df=1) —
+    originality vs boilerplate-recombination signal; df-count + join-back,
+    no self-join (operators/text.ngram_novelty)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return X.ngram_novelty(docs)
+
+
+@register(
+    "doc_train_split",
+    """
+    SELECT doc_id AS doc,
+           substr(md5(text), 1, 2) AS bucket,
+           CASE WHEN substr(md5(text), 1, 2) < 'f6' THEN 'train'
+                WHEN substr(md5(text), 1, 2) < 'fb' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~96/2/2): stable
+    under corpus growth, leakage-proof for exact copies, map-only
+    (operators/curation.content_train_split; the id-hash complement is
+    train_split_docs)."""
+    from radar_output_restructure_spark.operators.curation import (
+        content_train_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return content_train_split(docs)
+
+
+@register(
+    "source_balance_weights_docs",
+    """
+    WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS s FROM per)
+    SELECT source, n_docs,
+           CAST(round(t * 1000000.0 / (s * n_docs), 0) AS BIGINT)
+             AS weight_micro
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_source_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source upsampling factor equalizing the training mixture —
+    groupBy(source) + broadcast 1-row total, no data-sized shuffle
+    (operators/curation.source_balance_weights)."""
+    from radar_output_restructure_spark.operators.curation import (
+        source_balance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return source_balance_weights(docs)
+
+
+@register(
+    "source_dup_rate_docs",
+    """
+    WITH w AS (SELECT source, md5(text) AS digest FROM documents),
+    c AS (SELECT digest, count(*) AS n FROM w GROUP BY digest)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 1000000.0
+                      / count(*), 0) AS BIGINT) AS dup_rate_micro
+    FROM w JOIN c USING (digest)
+    GROUP BY source
+    """,
+)
+def q_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of exact-duplicate docs (corpus-wide digests) —
+    the mirror/blocklist signal; single md5 shuffle
+    (operators/dedup_scale.source_dup_rate)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        source_dup_rate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return source_dup_rate(docs)
+
+
+@register(
+    "dup_group_size_hist_docs",
+    """
+    WITH g AS (SELECT md5(text) AS digest, count(*) AS n_copies
+               FROM documents GROUP BY md5(text))
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(count(*) AS BIGINT) AS n_groups
+    FROM g GROUP BY n_copies
+    """,
+)
+def q_dup_group_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of exact-dup group sizes — the shape that picks the dedup
+    strategy (operators/dedup_scale.dup_group_size_hist)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        dup_group_size_hist,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dup_group_size_hist(docs)

@@ -1905,3 +1905,159 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     return random_projection(emb)
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: sketch calibration, Gram matrix, multi-probe LSH
+# ---------------------------------------------------------------------------
+
+_SQL_BANDS_CAND = f"""
+    , bands AS (
+      SELECT doc, seed // {ROWS_PER_BAND} AS band,
+             md5(array_to_string(list_sort(
+               list(CAST(seed AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ','))
+               AS band_hash
+      FROM hs GROUP BY doc, seed // {ROWS_PER_BAND}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b USING (band, band_hash)
+      WHERE a.doc < b.doc
+    )
+"""
+
+
+@register(
+    "minhash_estimate_error_docs",
+    _SQL_MINHASH
+    + _SQL_BANDS_CAND
+    + f"""
+    , est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN a.minhash = b.minhash THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matching
+      FROM cand c
+      JOIN hs a ON a.doc = c.doc_a
+      JOIN hs b ON b.doc = c.doc_b AND b.seed = a.seed
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT c.doc_a, c.doc_b,
+             round(coalesce(i.n_common, 0) * 1.0
+                   / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc = c.doc_a
+      JOIN sizes sb ON sb.doc = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_matching, est_micro, exact_micro,
+           CAST(abs(est_micro - exact_micro) AS BIGINT) AS abs_err_micro
+    FROM (
+      SELECT e.doc_a, e.doc_b, e.n_matching,
+             CAST(round(e.n_matching * 1000000.0 / {NUM_HASHES}, 0)
+                  AS BIGINT) AS est_micro,
+             CAST(round(x.jaccard * 1000000, 0) AS BIGINT) AS exact_micro
+      FROM est e
+      JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+    )
+    """,
+)
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimated vs exact Jaccard on every LSH candidate pair —
+    the sketch-calibration audit (E[|err|] ~ 1/sqrt(num_hashes)); pure
+    band-hash collisions exact-score 0 so false positives are visible
+    (operators/dedup_scale.minhash_estimate_error)."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        minhash_estimate_error,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return minhash_estimate_error(
+        docs, num_hashes=NUM_HASHES, rows_per_band=ROWS_PER_BAND
+    )
+
+
+@register(
+    "embedding_gram_matrix",
+    f"""
+    WITH q AS (SELECT {_Q1000} AS qv FROM embeddings)
+    SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s
+    FROM q,
+         (SELECT unnest(range(1, {DIMS + 1})) AS i),
+         (SELECT unnest(range(1, {DIMS + 1})) AS j)
+    WHERE i <= j
+    GROUP BY i, j
+    """,
+)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle corpus Gram matrix over milli-quantized embeddings
+    (PCA/whitening input): per-batch exact int64 numpy matmul partials,
+    groupBy(i, j) reduce — kilobyte shuffles at any corpus size
+    (operators/similarity.gram_matrix)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        gram_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, dims=DIMS, scale=OUTLIER_SCALE)
+
+
+MP_TABLES = 3  # multi-probe: 3 tables x (planes+1) probes ~ 10-table recall
+_SQL_MP_BUCKETS = sql_buckets_union(NUM_PLANES, MP_TABLES)
+
+
+@register(
+    "ann_multiprobe_lsh_topk",
+    f"""
+    WITH b AS (
+{_SQL_MP_BUCKETS}
+    ),
+    probes AS (
+      SELECT vec_id, tbl,
+             CASE WHEN p.i = 0 THEN bucket
+                  ELSE xor(bucket, (1 << (p.i - 1))) END AS bucket
+      FROM b, (SELECT unnest(range({NUM_PLANES + 1})) AS i) p
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b c JOIN probes q USING (tbl, bucket)
+      WHERE c.vec_id != q.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = neighbor_id
+      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def q_ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: 3 tables, each query also probes the
+    Hamming-1 buckets (one plane bit flipped) — ~the recall of the
+    10-table single-probe index at 30% of the index footprint; probe
+    expansion is query-side only, the corpus path stays map-only
+    (operators/similarity.cosine_topk_lsh_multiprobe)."""
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk_lsh_multiprobe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh_multiprobe(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        k=TOP_K,
+        num_planes=NUM_PLANES,
+        num_tables=MP_TABLES,
+    )

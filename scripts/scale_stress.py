@@ -89,10 +89,33 @@ HEAVY = [
     "doc_trigram_backoff",
     "source_length_quantile_sketch",
     "embedding_random_projection",
+    "doc_ngram_novelty",
+    "doc_gopher_quality",
+    "source_dup_rate_docs",
+    "minhash_estimate_error_docs",
+    "embedding_gram_matrix",
+    "ann_multiprobe_lsh_topk",
 ]
 
 ID_STRIDE = 10_000_000
 DIMS = 64
+
+#: Hot-key stress set (VERDICT r7 item 5): the decorrelated tiling proves
+#: linearity in N but is BLIND to hot-key quadratics by construction —
+#: cross-tile shingles are independent, so per-shingle df never grows with
+#: N. This mode plants one UNsuffixed boilerplate phrase in 10% of docs in
+#: every tile, so the phrase's shingle df grows linearly with corpus size
+#: and an uncapped posting self-join goes quadratic (df^2 candidate pairs)
+#: while df-capped queries drop the hot shingles and stay linear.
+HOTKEY_PHRASE = "all rights reserved worldwide inc"
+HOTKEY_FRAC_MOD = 10  # doc_id % 10 == 0 -> 10% of docs carry the phrase
+HOTKEY_QUERIES = [
+    "jaccard_pairs_docs",
+    "containment_pairs_docs",
+    "char_ngram_jaccard_docs",
+    "sparse_cosine_pairs_docs",
+    "minhash_lsh_pairs_docs",
+]
 
 
 def build_synth(base: str, tiles: int, out_dir: str) -> None:
@@ -137,6 +160,43 @@ def build_synth(base: str, tiles: int, out_dir: str) -> None:
             ) TO '{emb_out}' (FORMAT PARQUET)
             """
         )
+
+
+def build_synth_hot(base: str, tiles: int, out_dir: str) -> None:
+    """Decorrelated tiling PLUS a planted hot key: every tile appends the
+    same unsuffixed HOTKEY_PHRASE to doc_id % HOTKEY_FRAC_MOD == 0 docs,
+    so the phrase's shingles are shared ACROSS tiles and their df scales
+    with the corpus. tiles=1 degenerates to base-with-hot-key (the
+    comparison point)."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs_out = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(docs_out):
+        return
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE tile AS SELECT unnest(range({tiles})) AS t")
+    con.execute(
+        f"""
+        COPY (
+          WITH tiled AS (
+            SELECT d.doc_id + t.t * {ID_STRIDE} AS doc_id,
+                   CASE WHEN t.t = 0 THEN d.text
+                        ELSE regexp_replace(d.text, '(\\S+)',
+                                            '\\1~' || CAST(t.t AS VARCHAR), 'g')
+                   END AS text,
+                   d.lang, d.source
+            FROM '{base}/documents.parquet' d CROSS JOIN tile t
+          )
+          SELECT doc_id,
+                 CASE WHEN doc_id % {HOTKEY_FRAC_MOD} = 0
+                      THEN text || ' {HOTKEY_PHRASE}' ELSE text END AS text,
+                 lang, source,
+                 length(CASE WHEN doc_id % {HOTKEY_FRAC_MOD} = 0
+                        THEN text || ' {HOTKEY_PHRASE}' ELSE text
+                        END) AS n_chars
+          FROM tiled
+        ) TO '{docs_out}' (FORMAT PARQUET)
+        """
+    )
 
 
 def plan_shape(df) -> dict[str, int]:
@@ -222,10 +282,22 @@ def _reference_configs() -> dict:
         )
         return semantic_dedup(emb, centroids, SEMDEDUP_TAU)
 
+    def jaccard_uncapped(spark, sf_dir):
+        # the pre-r8 geometry of jaccard_pairs_docs (max_shingle_df=None):
+        # kept ONLY as the hot-key stress reference point showing why the
+        # registry query now passes the df cap (r7 "What's wrong" #2)
+        from radar_output_restructure_spark.operators.dedup_scale import (
+            jaccard_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents", spread=True)
+        return jaccard_pairs(docs, threshold=0.4)
+
     return {
         "embedding_near_dup_fixed4_reference": emb_fixed4,
         "simhash_near_dup_32bit_reference": simhash_32bit,
         "semantic_dedup_pinned_k16_reference": sem_pinned_k16,
+        "jaccard_pairs_uncapped_reference": jaccard_uncapped,
     }
 
 
@@ -240,11 +312,12 @@ def main() -> None:
     ap.add_argument("--md", default=None)
     ap.add_argument("--lever", action="store_true",
                     help="demonstrate the bits~log2(n) LSH lever at tiled scale")
+    ap.add_argument("--hotkey", action="store_true",
+                    help="hot-key stress: plant a shared boilerplate phrase "
+                         "across tiles so per-shingle df grows with N "
+                         "(r7 verdict item 5); appends a section to --md")
     args = ap.parse_args()
     names = args.queries or HEAVY
-
-    synth_dir = f"/tmp/spark_graft_synth{args.tiles}"
-    build_synth(args.base, args.tiles, synth_dir)
 
     import __spark_entry__ as entry_mod
     from radar_output_restructure_spark import get_spark
@@ -254,6 +327,68 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(entry_mod.queries())
     registry.update(_reference_configs())
+
+    if args.hotkey:
+        # hot-key df must be large enough that the df^2 term dominates
+        # fixed overhead: sf0.1 (5,000 docs, 500 hot at 10%) gives the
+        # uncapped reference ~37M candidate pairs at 10 tiles (100x the
+        # base's 375k, vs the 10x linear workload) while every df-capped
+        # query drops the hot shingles at BOTH scales (df 500 > cap 50)
+        base = args.base
+        tag = base.rstrip("/").rsplit("/", 1)[-1]
+        hot_base = f"/tmp/spark_graft_hot_{tag}_1"
+        hot_tiled = f"/tmp/spark_graft_hot_{tag}_{args.tiles}"
+        build_synth_hot(base, 1, hot_base)
+        build_synth_hot(base, args.tiles, hot_tiled)
+        hot_names = args.queries or (
+            HOTKEY_QUERIES + ["jaccard_pairs_uncapped_reference"]
+        )
+        hot_rows = []
+        for name in hot_names:
+            fn = registry[name]
+            t_b = timed(lambda: fn(spark, hot_base), args.runs)
+            t_s = timed(lambda: fn(spark, hot_tiled), args.runs)
+            ratio = t_s / t_b
+            hot_rows.append({
+                "query": name,
+                "hot_base_sec": round(t_b, 2),
+                "hot_tiled_sec": round(t_s, 2),
+                "ratio": round(ratio, 2),
+                "per_tile": round(ratio / args.tiles, 2),
+            })
+            print(json.dumps(hot_rows[-1]))
+        if args.md:
+            with open(args.md, "a") as fh:
+                fh.write(
+                    f"\n## Hot-key stress (planted high-df shingle, base "
+                    f"{tag}, {args.tiles}x tiles)\n\n"
+                    "The decorrelated tiling above cannot expose hot-key "
+                    "quadratics (cross-tile\nshingles are independent by "
+                    f"construction), so this mode appends the UNsuffixed\n"
+                    f"phrase `{HOTKEY_PHRASE!r}` to doc_id % "
+                    f"{HOTKEY_FRAC_MOD} == 0 docs in EVERY tile: the\n"
+                    "phrase's shingle df grows linearly with the corpus, "
+                    "and an uncapped posting\nself-join pays df^2/2 pairs "
+                    "per hot shingle. Every df-capped registry query\n"
+                    "drops the hot shingles and stays ~linear; "
+                    "`jaccard_pairs_uncapped_reference`\n(stress-harness "
+                    "only — the pre-r8 geometry of jaccard_pairs_docs) is "
+                    "the retained\ncautionary row.\n\n"
+                    f"local[{cpus}], best of {args.runs} runs per point.\n\n"
+                    "| query | hot base s | hot tiled s | ratio | ratio/N |\n"
+                    "|---|---|---|---|---|\n"
+                )
+                for r in hot_rows:
+                    fh.write(
+                        f"| {r['query']} | {r['hot_base_sec']} | "
+                        f"{r['hot_tiled_sec']} | x{r['ratio']} | "
+                        f"x{r['per_tile']} |\n"
+                    )
+            print(f"appended hot-key section to {args.md}")
+        return
+
+    synth_dir = f"/tmp/spark_graft_synth{args.tiles}"
+    build_synth(args.base, args.tiles, synth_dir)
 
     rows = []
     for name in names:
