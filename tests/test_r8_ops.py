@@ -216,3 +216,45 @@ def test_multiprobe_lsh_never_below_single_probe(spark, sf_dir):
     n_cand_m = multi.count()
     n_cand_s = single.count()
     assert n_cand_m >= n_cand_s
+
+
+def test_r8_metric_invariants_on_real_data(spark, sf_dir):
+    """Range/consistency invariants every micro-ratio metric must satisfy
+    on the real testdata, whatever the corpus contents."""
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        dup_group_size_hist,
+        minhash_estimate_error,
+        source_dup_rate,
+    )
+    from radar_output_restructure_spark.operators.text import (
+        gopher_quality,
+        ngram_novelty,
+        type_token_ratio,
+    )
+    from radar_output_restructure_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    for r in type_token_ratio(docs).collect():
+        assert 0 <= r.n_types <= r.n_tokens
+        assert 0 <= r.ttr_micro <= 1_000_000
+    for r in ngram_novelty(docs).collect():
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert 0 <= r.novelty_micro <= 1_000_000
+    for r in gopher_quality(docs).collect():
+        assert r.passes in (0, 1)
+        assert 0 <= r.alpha_ratio_micro <= 1_000_000
+        assert (r.n_words == 0) == (r.mean_word_len_milli == 0)
+    rates = source_dup_rate(docs).collect()
+    assert sum(r.n_docs for r in rates) == n_docs
+    for r in rates:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0 <= r.dup_rate_micro <= 1_000_000
+    hist = dup_group_size_hist(docs).collect()
+    assert sum(r.n_copies * r.n_groups for r in hist) == n_docs
+    for r in minhash_estimate_error(docs).collect():
+        assert 0 <= r.n_matching <= 8
+        assert 0 <= r.est_micro <= 1_000_000
+        assert 0 <= r.exact_micro <= 1_000_000
+        assert r.abs_err_micro == abs(r.est_micro - r.exact_micro)
