@@ -45,6 +45,8 @@ _R8_ADDITIONS: tuple[str, ...] = (
     "minhash_estimate_error_docs",
     "embedding_gram_matrix",
     "ann_multiprobe_lsh_topk",
+    "ann_ivf_incremental_topk",
+    "scd2_user_state_events",
 )
 
 #: The driver's gate records only the first ~50 dict entries, so ordering

@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "minhash_estimate_error_docs",
     "embedding_gram_matrix",
     "ann_multiprobe_lsh_topk",
+    "ann_ivf_incremental_topk",
+    "scd2_user_state_events",
 ]
 
 

@@ -132,3 +132,29 @@ def probe_ivf_index(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def append_ivf_index(
+    corpus_delta: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ingest a delta batch into an existing persisted index.
+
+    At 100 TB the index is never rebuilt for a daily arrival: the delta is
+    assigned against the SAME frozen centroids (identical `ivf_cells`
+    arithmetic, fused into the write scan) and appended as new parquet
+    files inside the matching `cell=` directories — dynamic partition
+    append, touching only the cells the delta hashes to. Probes see the
+    union immediately and results are bit-identical to a full rebuild,
+    because home-cell assignment is a pure per-vector function of the
+    frozen centroids (order/batching cannot change it). Re-clustering
+    (centroid drift as the distribution shifts) is a separate, deliberate
+    rebuild — the FAISS/SCANN operational split re-expressed as parquet
+    layout.
+    """
+    write_ivf_index(
+        corpus_delta, centroids, path, id_col, vec_col, mode="append"
+    )

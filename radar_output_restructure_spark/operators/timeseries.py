@@ -98,3 +98,72 @@ def interval_join(
         F.col(left_ts) < F.col(end_col)
     )
     return l_df.join(r_df, [*keys, "__bucket"]).filter(residual).drop("__bucket")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(key, state, valid_from, valid_to, n_events): type-2 slowly-changing-
+    dimension intervals from an event stream — consecutive events with the
+    SAME state collapse into one validity interval; an interval closes the
+    instant a DIFFERENT state arrives (half-open [from, to)); the latest
+    interval stays open (valid_to NULL). The standard warehouse build for
+    "what was this entity's state at time t" joins.
+
+    Gaps-and-islands entirely inside codegen windows: lag() marks change
+    points, a running SUM numbers the islands, per-island bounds come from
+    windows over (key, island) — which Catalyst serves from the SAME
+    HashPartitioning(key) exchange (a partitioning on a subset of the
+    clustering keys satisfies the distribution), so island reduction costs
+    a sort, not a shuffle — and lead() over the per-key island frame
+    closes each interval. ONE hash shuffle of event rows total (verified
+    in tests/test_r8_ops.py on the physical plan); no self-join. Ordering
+    ties on `ts` break by `tie_col` so the island numbering — and
+    therefore every interval — is deterministic under any arrival order.
+    """
+    order = [F.col(ts_col).asc(), F.col(tie_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = (
+        (F.lag(state_col).over(w).isNull())
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("long")
+    # the key column keeps its ORIGINAL name until the final projection:
+    # renaming it mid-plan makes the (key, island) windows' clustering
+    # requirement reference a new attribute, and Catalyst then inserts a
+    # fresh Exchange instead of reusing HashPartitioning(key_col)
+    islands = df.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tie_col).alias("__tie"),
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__island"),
+    )
+    wki = Window.partitionBy(key_col, "__island")
+    wko = wki.orderBy(F.col("__ts").asc(), F.col("__tie").asc())
+    per_island = (
+        islands.select(
+            F.col(key_col),
+            "state",
+            "__island",
+            F.min("__ts").over(wki).alias("valid_from"),
+            F.count(F.lit(1)).over(wki).cast("bigint").alias("n_events"),
+            F.row_number().over(wko).alias("__rn"),
+        )
+        # one row per island; its own `state` IS the island state (constant
+        # within an island by construction of the change-point sum)
+        .filter(F.col("__rn") == 1)
+    )
+    wi = Window.partitionBy(key_col).orderBy(F.col("__island").asc())
+    return per_island.select(
+        F.col(key_col).alias("key"),
+        F.col("state"),
+        F.col("valid_from"),
+        F.lead("valid_from").over(wi).alias("valid_to"),
+        F.col("n_events"),
+    )

@@ -273,3 +273,46 @@ def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_col=F.col("user_id"),
         num_salts=32,
     )
+
+
+@register(
+    "scd2_user_state_events",
+    """
+    WITH ev AS (
+      SELECT user_id AS key, event_type AS state, ts, event_id FROM events
+    ),
+    marked AS (
+      SELECT key, state, ts, event_id,
+             CASE WHEN lag(state) OVER w IS NULL
+                    OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT key, state, ts, chg,
+             sum(chg) OVER (PARTITION BY key ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    agg AS (
+      SELECT key, island, min(state) AS state, min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY key, island
+    )
+    SELECT key, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY key ORDER BY island)
+             AS valid_to,
+           n_events
+    FROM agg
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD intervals of each user's event_type: gaps-and-islands in
+    codegen windows, ONE hash shuffle on the key reused by every window
+    and the island aggregation; latest interval open (valid_to NULL)
+    (operators/timeseries.scd2_intervals)."""
+    from radar_output_restructure_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev)

@@ -1582,6 +1582,55 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_SPLIT = 300  # base index = vec_id < 300; delta batch = the rest
+
+
+@register("ann_ivf_incremental_topk", _persisted_ivf_oracle_sql())
+def q_ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest serving path: the index is built from the first
+    corpus slice, then the remaining vectors are APPENDED as a delta batch
+    against the frozen centroids (operators/ann_index.append_ivf_index —
+    dynamic partition append into only the delta's home cells). Probe
+    results are bit-identical to the full-rebuild index and the in-session
+    ann_ivf_topk, so all three share one oracle — the proof that daily
+    ingestion never needs a rebuild until centroids are deliberately
+    re-trained."""
+    import os
+
+    from radar_output_restructure_spark.operators.ann_index import (
+        append_ivf_index,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from radar_output_restructure_spark.sources.tables import (
+        dataset_fingerprint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    tag = dataset_fingerprint(sf_dir, ("embeddings",))
+    path = f"/tmp/spark_graft_ivf_index_incr_{tag}"
+    marker = os.path.join(path, "_DELTA_APPENDED")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)  # never probe a half-built index
+        write_ivf_index(emb.filter(F.col("vec_id") < INCR_SPLIT), centroids, path)
+        append_ivf_index(
+            emb.filter(F.col("vec_id") >= INCR_SPLIT), centroids, path
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return probe_ivf_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        centroids,
+        k=TOP_K,
+        nprobe=NPROBE,
+    )
+
+
 # ---------------------------------------------------------------------------
 # hard-negative mining (contrastive training pairs)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ HEAVY = [
     "minhash_estimate_error_docs",
     "embedding_gram_matrix",
     "ann_multiprobe_lsh_topk",
+    "ann_ivf_incremental_topk",
 ]
 
 ID_STRIDE = 10_000_000

@@ -78,3 +78,50 @@ def test_ivf_index_prunes_and_matches(spark, sf_dir, tmp_path):
         marker = f"cell={unprobed[0].rsplit('cell=', 1)[1]}"
         scan_section = plan.split("PartitionFilters", 1)[1]
         assert marker not in scan_section
+
+
+def test_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """append_ivf_index: base build + delta append produce byte-identical
+    index CONTENT ((vec_id, cell) assignments) and probe results to a
+    single full build — home-cell assignment is a pure function of the
+    frozen centroids, so ingestion order cannot matter."""
+    from radar_output_restructure_spark.operators.ann_index import (
+        append_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    full_path = str(tmp_path / "full")
+    incr_path = str(tmp_path / "incr")
+    write_ivf_index(emb, centroids, full_path)
+    write_ivf_index(emb.filter(F.col("vec_id") < 200), centroids, incr_path)
+    append_ivf_index(
+        emb.filter(F.col("vec_id") >= 200), centroids, incr_path
+    )
+
+    read = lambda p: {  # noqa: E731
+        (r.vec_id, r.cell) for r in spark.read.parquet(p).collect()
+    }
+    assert read(incr_path) == read(full_path)
+
+    probe = lambda p: {  # noqa: E731
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in probe_ivf_index(
+            spark, p, queries, centroids, k=5, nprobe=4
+        ).collect()
+    }
+    assert probe(incr_path) == probe(full_path)
+
+    # the delta touched only its own home cells: every delta row's file is
+    # distinct from the base files, but lives under an existing cell= dir
+    base_files = set(glob.glob(os.path.join(incr_path, "cell=*", "*.parquet")))
+    append_ivf_index(
+        emb.filter(F.col("vec_id") >= 490), centroids, incr_path
+    )
+    new_files = (
+        set(glob.glob(os.path.join(incr_path, "cell=*", "*.parquet")))
+        - base_files
+    )
+    assert new_files  # append added files without rewriting the base

@@ -258,3 +258,61 @@ def test_r8_metric_invariants_on_real_data(spark, sf_dir):
         assert 0 <= r.est_micro <= 1_000_000
         assert 0 <= r.exact_micro <= 1_000_000
         assert r.abs_err_micro == abs(r.est_micro - r.exact_micro)
+
+
+def test_scd2_intervals_semantics(spark):
+    from datetime import datetime
+
+    from radar_output_restructure_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: A A B A -> three intervals (consecutive A's merge)
+        Row(event_id=1, user_id=1, event_type="A", ts=t(0)),
+        Row(event_id=2, user_id=1, event_type="A", ts=t(1)),
+        Row(event_id=3, user_id=1, event_type="B", ts=t(2)),
+        Row(event_id=4, user_id=1, event_type="A", ts=t(3)),
+        # user 2: single state, stays open
+        Row(event_id=5, user_id=2, event_type="C", ts=t(0)),
+        # tie on ts resolved by event_id: 6 (X) before 7 (Y)
+        Row(event_id=7, user_id=3, event_type="Y", ts=t(0)),
+        Row(event_id=6, user_id=3, event_type="X", ts=t(0)),
+    ]
+    out = scd2_intervals(spark.createDataFrame(rows)).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r.key, r.valid_from)):
+        by_key.setdefault(r.key, []).append(r)
+    u1 = by_key[1]
+    assert [(r.state, r.n_events) for r in u1] == [("A", 2), ("B", 1), ("A", 1)]
+    assert u1[0].valid_to == u1[1].valid_from == t(2)
+    assert u1[1].valid_to == u1[2].valid_from == t(3)
+    assert u1[2].valid_to is None  # latest interval open
+    assert by_key[2][0].valid_to is None and by_key[2][0].n_events == 1
+    u3 = sorted(by_key[3], key=lambda r: r.state)
+    assert [(r.state, r.valid_to is None) for r in u3] == [
+        ("X", False),
+        ("Y", True),
+    ]  # event_id tiebreak: X's interval closed by Y at the same instant
+
+
+def test_scd2_single_shuffle_plan(spark, sf_dir):
+    """The gaps-and-islands plan shuffles event rows EXACTLY once: the
+    (key, island) windows and the closing lead() all reuse the original
+    HashPartitioning(key) exchange (keeping the key column un-renamed
+    through the plan is what makes Catalyst accept the reuse)."""
+    import contextlib
+    import io
+
+    from radar_output_restructure_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+    from radar_output_restructure_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scd2_intervals(ev).explain()
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
