@@ -99,8 +99,16 @@ _GATE_HEAD = (
     "containment_pairs_docs",
     # -- round-8 additions (never certified) --
     *_R8_ADDITIONS,
-    # After the head: the r6-certified set (CORRECTNESS_r06.json) rides
-    # at age 2 entering round 9 — they are the round-9 rotation backlog
+    # -- r6 backlog refreshes (slots 46-50): five reference-core queries
+    #    certified early so the round-9 rotation backlog shrinks to 45,
+    #    keeping ~5 free gate slots for round-9 additions --
+    "event_time_cascade",
+    "asof_last_purchase",
+    "dedup_keep_first",
+    "extraction_check",
+    "offset_antijoin",
+    # After the head: the rest of the r6-certified set (CORRECTNESS_r06.json)
+    # rides at age 2 entering round 9 — they are the round-9 rotation backlog
     # (char_ngram_jaccard_docs, curation_pipeline_docs, dedup_exact_docs,
     # the doc_* text set, restructure_flagship + reference-core six, the
     # nine ann_* queries, mp_enrichment, offset_antijoin, dedup_keep_first,

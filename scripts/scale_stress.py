@@ -96,6 +96,9 @@ HEAVY = [
     "embedding_gram_matrix",
     "ann_multiprobe_lsh_topk",
     "ann_ivf_incremental_topk",
+    "scd2_user_state_events",
+    "rolling_1h_user_stats",
+    "event_time_cascade",
 ]
 
 ID_STRIDE = 10_000_000
@@ -159,6 +162,23 @@ def build_synth(base: str, tiles: int, out_dir: str) -> None:
                      e.label
               FROM '{base}/embeddings.parquet' e CROSS JOIN tile t
             ) TO '{emb_out}' (FORMAT PARQUET)
+            """
+        )
+    # events: offset user_id/event_id per tile — each tile is an independent
+    # user population with identical per-user event streams, so user-keyed
+    # operators (SCD-2 islands, sessions, rolling windows) see exactly N x
+    # the base workload with unchanged per-key cardinalities.
+    ev_out = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(ev_out):
+        con.execute(
+            f"""
+            COPY (
+              SELECT e.event_id + t.t * {ID_STRIDE} AS event_id,
+                     e.ts,
+                     e.user_id + t.t * {ID_STRIDE} AS user_id,
+                     e.event_type, e.value, e.props
+              FROM '{base}/events.parquet' e CROSS JOIN tile t
+            ) TO '{ev_out}' (FORMAT PARQUET)
             """
         )
 

@@ -297,6 +297,58 @@ def test_scd2_intervals_semantics(spark):
     ]  # event_id tiebreak: X's interval closed by Y at the same instant
 
 
+def test_scd2_intervals_random_model(spark):
+    """Randomized cross-check vs an O(n) Python reference: many users, few
+    states, and DELIBERATE ts collisions so the event_id tiebreak decides
+    island numbering. Any divergence in change-point marking, island
+    aggregation, or interval closing shows up as a tuple mismatch."""
+    import random
+    from datetime import datetime, timedelta
+
+    from radar_output_restructure_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for eid in range(400):
+        rows.append(
+            Row(
+                event_id=eid,
+                user_id=rng.randrange(12),
+                event_type=rng.choice("ABC"),
+                # minute granularity over a 50-minute span: ~8 events per
+                # (user, ts) cell on average -> ties are the common case
+                ts=base + timedelta(minutes=rng.randrange(50)),
+            )
+        )
+
+    def model(evs):
+        out = []
+        by_user: dict = {}
+        for r in evs:
+            by_user.setdefault(r.user_id, []).append(r)
+        for uid, es in by_user.items():
+            es.sort(key=lambda r: (r.ts, r.event_id))
+            intervals = []  # [state, valid_from, n_events]
+            for r in es:
+                if intervals and intervals[-1][0] == r.event_type:
+                    intervals[-1][2] += 1
+                else:
+                    intervals.append([r.event_type, r.ts, 1])
+            for i, (state, frm, n) in enumerate(intervals):
+                to = intervals[i + 1][1] if i + 1 < len(intervals) else None
+                out.append((uid, state, frm, to, n))
+        return sorted(out)
+
+    got = sorted(
+        (r.key, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in scd2_intervals(spark.createDataFrame(rows)).collect()
+    )
+    assert got == model(rows)
+
+
 def test_scd2_single_shuffle_plan(spark, sf_dir):
     """The gaps-and-islands plan shuffles event rows EXACTLY once: the
     (key, island) windows and the closing lead() all reuse the original
