@@ -158,3 +158,66 @@ def append_ivf_index(
     write_ivf_index(
         corpus_delta, centroids, path, id_col, vec_col, mode="append"
     )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_cell: int = 1,
+) -> dict:
+    """Rewrite cells whose parquet-file count exceeds `max_files_per_cell`
+    back to one file each — the maintenance half of `append_ivf_index`.
+
+    Daily appends land each delta as its own file inside every touched
+    `cell=` directory, so after D days a probe of one cell opens O(D)
+    small files; footer/open overhead starts to dominate the pruned scan
+    the layout exists to provide. Compaction is Spark-native and
+    storage-agnostic (works over file://, s3a://, abfs:// alike):
+
+    * census via the `_metadata.file_path` column — cell + file path only,
+      so column pruning keeps the scan at parquet-footer cost;
+    * only CROWDED cells are re-read (partition-pruned scan) and
+      `repartition("cell")` hash-routes each cell to exactly one task =
+      one output file;
+    * the write uses per-writer dynamic partitionOverwriteMode, replacing
+      only the cell directories present in the rewritten frame — quiet
+      cells are never listed, read, or touched, so the cost is
+      O(crowded cells), not O(index).
+
+    Probe results are unchanged by construction (same rows, same cells).
+    Returns {"cells_compacted", "files_before", "files_after"} for the
+    caller's maintenance accounting.
+    """
+    census = (
+        spark.read.parquet(path)
+        .select("cell", F.col("_metadata.file_path").alias("__f"))
+        .groupBy("cell")
+        .agg(F.countDistinct("__f").alias("n_files"))
+        .filter(F.col("n_files") > max_files_per_cell)
+        .collect()  # driver-small: one row per crowded cell
+    )
+    if not census:
+        return {"cells_compacted": 0, "files_before": 0, "files_after": 0}
+    crowded = sorted(r.cell for r in census)
+    files_before = sum(r.n_files for r in census)
+    # Spark refuses to overwrite a path it is concurrently reading from, so
+    # the rewritten cells are materialized on the executors first
+    # (localCheckpoint cuts the lineage back to the source files); the
+    # footprint is bounded by the crowded-cell volume, not the index.
+    rewritten = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(crowded))
+        .repartition("cell")
+        .localCheckpoint()
+    )
+    (
+        rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return {
+        "cells_compacted": len(crowded),
+        "files_before": files_before,
+        "files_after": len(crowded),
+    }

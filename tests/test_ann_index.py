@@ -125,3 +125,67 @@ def test_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
         - base_files
     )
     assert new_files  # append added files without rewriting the base
+
+
+def test_compact_ivf_index_merges_small_files_probe_identical(
+    spark, sf_dir, tmp_path
+):
+    """compact_ivf_index: after several delta appends, crowded cells carry
+    one file per ingestion; compaction rewrites exactly those cells to one
+    file each, leaves single-file cells untouched, and changes neither the
+    index content nor any probe result."""
+    from radar_output_restructure_spark.operators.ann_index import (
+        append_ivf_index,
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivf")
+
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, path)
+    for lo, hi in ((150, 300), (300, 450), (450, 10**9)):
+        append_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            centroids,
+            path,
+        )
+
+    files_per_cell = lambda: {  # noqa: E731
+        d: len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(path, "cell=*"))
+    }
+    before = files_per_cell()
+    assert any(n > 1 for n in before.values()), before
+
+    content = lambda: {  # noqa: E731
+        (r.vec_id, r.cell) for r in spark.read.parquet(path).collect()
+    }
+    probe = lambda: {  # noqa: E731
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in probe_ivf_index(
+            spark, path, queries, centroids, k=5, nprobe=4
+        ).collect()
+    }
+    content_before, probe_before = content(), probe()
+
+    stats = compact_ivf_index(spark, path)
+    assert stats["cells_compacted"] == sum(
+        1 for n in before.values() if n > 1
+    )
+    assert stats["files_before"] == sum(n for n in before.values() if n > 1)
+    assert stats["files_after"] == stats["cells_compacted"]
+
+    after = files_per_cell()
+    assert set(after) == set(before)  # no cell directory appears/vanishes
+    assert all(n == 1 for n in after.values()), after
+    assert content() == content_before
+    assert probe() == probe_before
+
+    # idempotent: a second pass finds nothing crowded and touches nothing
+    assert compact_ivf_index(spark, path) == {
+        "cells_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
