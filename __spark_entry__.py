@@ -29,10 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.QUERIES["restructure_flagship"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-8 new queries (gate slots 33..43; kept well under the <= 18 the
-#: capacity bound in tests/test_registry_coverage.py allows, so the 7
-#: trailing head slots flow to the oldest r6-certified queries and shrink
-#: the round-9 rotation backlog).
+#: Round-8 new queries (gate slots 33..45; kept under the <= 18 the
+#: capacity bound in tests/test_registry_coverage.py allows, so the 5
+#: trailing head slots go to explicitly-chosen r6-certified queries and
+#: shrink the round-9 rotation backlog).
 _R8_ADDITIONS: tuple[str, ...] = (
     "doc_gopher_quality",
     "doc_type_token_ratio",

@@ -171,9 +171,10 @@ class S3RemoteLockManager(ConditionalPutLockManager):
         ttl_s: float = DEFAULT_TTL_S,
         path_style: bool = False,
         storage=None,
+        skew_margin_s: float | None = None,
         **client_kwargs,
     ):
-        super().__init__(directory, ttl_s)
+        super().__init__(directory, ttl_s, skew_margin_s)
         if storage is not None:  # reuse the sink's configured client
             self._storage = storage
         else:
@@ -257,9 +258,10 @@ class AzureRemoteLockManager(ConditionalPutLockManager):
         endpoint_url: str | None = None,
         ttl_s: float = DEFAULT_TTL_S,
         storage=None,
+        skew_margin_s: float | None = None,
         **storage_kwargs,
     ):
-        super().__init__(directory, ttl_s)
+        super().__init__(directory, ttl_s, skew_margin_s)
         if storage is not None:  # reuse the sink's configured transport
             self._storage = storage
         else:

@@ -160,6 +160,51 @@ def append_ivf_index(
     )
 
 
+_STAGING_DIR = "_compact_staging"
+_SWAP_MANIFEST = "_SWAP_READY.json"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _data_files(fs, jvm, dir_path: str) -> list[str]:
+    """Names of visible parquet data files directly inside `dir_path`."""
+    jdir = jvm.org.apache.hadoop.fs.Path(dir_path)
+    if not fs.exists(jdir):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jdir)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    ]
+
+
+def _complete_swap(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Execute (or re-execute after a crash) the staged-cell swap.
+
+    Per cell: delete destination data files NOT in the staged set, then
+    move staged files in. Both steps are idempotent — re-running after a
+    crash at any point converges to the compacted state with every row
+    present in exactly one of destination or staging throughout.
+    """
+    fs, jvm = _hadoop_fs(spark, path)
+    staging = f"{path}/{_STAGING_DIR}"
+    for cell, staged_names in manifest["cells"].items():
+        dest = f"{path}/cell={cell}"
+        staged_set = set(staged_names)
+        for name in _data_files(fs, jvm, dest):
+            if name not in staged_set:  # an old pre-compaction file
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}"), False)
+        for name in staged_names:
+            src = jvm.org.apache.hadoop.fs.Path(f"{staging}/cell={cell}/{name}")
+            if fs.exists(src):  # not yet moved by a previous attempt
+                fs.rename(src, jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}"))
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+
 def compact_ivf_index(
     spark: SparkSession,
     path: str,
@@ -172,22 +217,47 @@ def compact_ivf_index(
     `cell=` directory, so after D days a probe of one cell opens O(D)
     small files; footer/open overhead starts to dominate the pruned scan
     the layout exists to provide. Compaction is Spark-native and
-    storage-agnostic (works over file://, s3a://, abfs:// alike):
+    storage-agnostic (file://, s3a://, abfs:// alike):
 
     * census via the `_metadata.file_path` column — cell + file path only,
       so column pruning keeps the scan at parquet-footer cost;
     * only CROWDED cells are re-read (partition-pruned scan) and
       `repartition("cell")` hash-routes each cell to exactly one task =
       one output file;
-    * the write uses per-writer dynamic partitionOverwriteMode, replacing
-      only the cell directories present in the rewritten frame — quiet
-      cells are never listed, read, or touched, so the cost is
-      O(crowded cells), not O(index).
+    * the swap is CRASH-SAFE two-phase commit, never an in-place
+      overwrite: compacted copies land in `_compact_staging/` (the
+      underscore prefix hides it from index readers), a swap manifest is
+      published only after the staging write's job commit, and then old
+      files are deleted and staged files renamed in. A crash at any point
+      leaves every row in destination or staging; the next compaction
+      call first completes a published swap (or discards unpublished
+      staging), so no epoch-ledger/replay interaction can lose data.
 
-    Probe results are unchanged by construction (same rows, same cells).
-    Returns {"cells_compacted", "files_before", "files_after"} for the
-    caller's maintenance accounting.
+    Probe results are unchanged by construction (same rows, same cells);
+    a probe racing the swap itself can transiently see a thinner cell —
+    run compaction from the index's maintenance owner (e.g. between
+    ingest epochs), like any table-maintenance operation.
+
+    Returns {"cells_compacted", "files_before", "files_after"}.
     """
+    fs, jvm = _hadoop_fs(spark, path)
+    staging = f"{path}/{_STAGING_DIR}"
+    manifest_path = jvm.org.apache.hadoop.fs.Path(f"{staging}/{_SWAP_MANIFEST}")
+    if fs.exists(manifest_path):  # crashed after publish: finish the swap
+        stream = fs.open(manifest_path)
+        try:
+            import json
+
+            manifest = json.loads(
+                bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            )
+        finally:
+            stream.close()
+        _complete_swap(spark, path, manifest)
+    elif fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
+        # crashed before publish: staging is incomplete garbage
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
     census = (
         spark.read.parquet(path)
         .select("cell", F.col("_metadata.file_path").alias("__f"))
@@ -200,22 +270,36 @@ def compact_ivf_index(
         return {"cells_compacted": 0, "files_before": 0, "files_after": 0}
     crowded = sorted(r.cell for r in census)
     files_before = sum(r.n_files for r in census)
-    # Spark refuses to overwrite a path it is concurrently reading from, so
-    # the rewritten cells are materialized on the executors first
-    # (localCheckpoint cuts the lineage back to the source files); the
-    # footprint is bounded by the crowded-cell volume, not the index.
-    rewritten = (
+
+    # Phase 1: compacted copies into staging (job-commit atomic)
+    (
         spark.read.parquet(path)
         .filter(F.col("cell").isin(crowded))
         .repartition("cell")
-        .localCheckpoint()
-    )
-    (
-        rewritten.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(path)
+        .parquet(staging)
     )
+    # Phase 2: publish the swap manifest (create is atomic-enough: its
+    # presence is the signal and its content was fully written before
+    # rename below; partial states are impossible past the rename)
+    import json
+
+    manifest = {
+        "cells": {
+            str(c): _data_files(fs, jvm, f"{staging}/cell={c}")
+            for c in crowded
+        }
+    }
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{staging}/.{_SWAP_MANIFEST}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode()))
+    finally:
+        out.close()
+    fs.rename(tmp, manifest_path)
+    # Phase 3+4: delete old files, move staged in, drop staging
+    _complete_swap(spark, path, manifest)
     return {
         "cells_compacted": len(crowded),
         "files_before": files_before,

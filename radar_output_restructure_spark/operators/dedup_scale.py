@@ -1002,7 +1002,6 @@ def containment_pairs(
 def source_dup_rate(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """(source, n_docs, n_dup_docs, dup_rate_micro): per-source share of
@@ -1083,11 +1082,21 @@ def minhash_estimate_error(
     wide = wide.localCheckpoint(eager=False)  # feeds bands + both est sides
     cand = lsh_candidate_pairs(wide, num_hashes, rows_per_band)
     cand = cand.localCheckpoint(eager=False)
-    a = wide.select(
+    # restrict the signature frame to docs that appear in some candidate
+    # pair BEFORE broadcasting — the corpus-wide frame is never
+    # broadcastable at scale; the candidate set is small by construction
+    # (same contract as jaccard_for_pairs' semi-join)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    wide_cand = wide.join(F.broadcast(cand_docs), "doc", "left_semi")
+    a = wide_cand.select(
         F.col("doc").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
     )
-    b = wide.select(
+    b = wide_cand.select(
         F.col("doc").alias("doc_b"),
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
     )

@@ -771,29 +771,37 @@ def int8_code_vectors(
     )
 
 
+def _round_half_away_np(v):
+    """Vectorized round-half-away-from-zero on exact binary values.
+
+    numpy has no half-away round (np.rint is banker's), and the naive
+    floor(v + 0.5) overcounts for the double just below 0.5 (v + 0.5
+    rounds UP to 1.0 in IEEE): the guard subtracts 1 wherever
+    floor(|v| + 0.5) - |v| > 0.5, which reproduces round-half-away on the
+    exact binary value — the same result as DuckDB's C round() and
+    Spark's shortest-repr BigDecimal HALF_UP (shortest-repr comparisons
+    against .5 agree with exact-binary ones except at exact ties, where
+    all agree). Every Arrow-side quantization MUST use this so it hashes
+    identically to the F.round/SQL-round oracles."""
+    import numpy as np
+
+    av = np.abs(v)
+    r = np.floor(av + 0.5)
+    r = np.where(r - av > 0.5, r - 1.0, r)
+    return (np.sign(v) * r).astype(np.int64)
+
+
 def _int8_codes_np(x, bits: int = 8):
     """Vectorized int8 quantization with EXACTLY the engines' HALF_UP
     rounding: q = round(x / scale * qmax), scale = max|x| (1 if zero).
-
-    numpy has no half-away-from-zero round, and the naive floor(v + 0.5)
-    overcounts for the double just below 0.5 (v + 0.5 rounds UP to 1.0 in
-    IEEE): the guard subtracts 1 wherever floor(v + 0.5) - v > 0.5, which
-    reproduces round-half-away on the exact binary value — the same result
-    as DuckDB's C round() and Spark's shortest-repr BigDecimal HALF_UP
-    (shortest-repr comparisons against .5 agree with exact-binary ones
-    except at exact ties, where all agree). Verified against the JVM
-    `int8_code_vectors` path in tests.
+    Verified against the JVM `int8_code_vectors` path in tests.
     """
     import numpy as np
 
     scale = np.abs(x).max(axis=1)
     scale[scale == 0.0] = 1.0
     qmax = float(2 ** (bits - 1) - 1)
-    v = (x / scale[:, None]) * qmax
-    av = np.abs(v)
-    r = np.floor(av + 0.5)
-    r = np.where(r - av > 0.5, r - 1.0, r)
-    return (np.sign(v) * r).astype(np.int64)
+    return _round_half_away_np((x / scale[:, None]) * qmax)
 
 
 def cosine_topk_int8(
@@ -2038,7 +2046,7 @@ def gram_matrix(
             if not len(pdf):
                 continue
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            q = np.rint(x * scale).astype(np.int64)
+            q = _round_half_away_np(x * scale)
             g = q.T @ q  # exact int64 matmul
             yield pd.DataFrame(
                 {"i": out_i, "j": out_j, "s": g[iu]}

@@ -9,10 +9,10 @@ files inside existing `cell=` directories, probe-identical to a rebuild.
 
 Exactly-once contract (same write-then-commit shape as the batch manifest,
 sources/manifest.py): foreachBatch replays a failed epoch with the SAME
-batch_id, so the sink keeps a tiny `_ingest_ledger.json` of committed epoch
-ids next to the index (written through the storage backend — works over
-file:// and s3:// alike) and a replayed epoch whose id is already committed
-is skipped. Parquet's v1 committer publishes a job's files only at job
+batch_id, so the sink keeps a tiny `_ingest_ledger.json` holding the max
+committed epoch id next to the index (written through the storage backend —
+works over file:// and s3:// alike; epoch ids are strictly increasing, so
+one integer suffices) and a replayed epoch at or below it is skipped. Parquet's v1 committer publishes a job's files only at job
 commit, so the residual window is append-commit-vs-ledger-write — the same
 window the reference accepts between file upload and offset commit
 (worker/FileCache.kt:185 — accountant.process after the write).
@@ -61,10 +61,19 @@ def make_batch_ingestor(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        committed: list[int] = (
-            json.loads(storage.read(ledger)) if storage.exists(ledger) else []
+        # Structured Streaming epoch ids are strictly increasing within a
+        # checkpoint and only the LAST epoch can replay, so the ledger is
+        # O(1): a single max committed id. (Corollary: the ledger and the
+        # checkpoint share fate — pairing a fresh checkpoint with an
+        # existing index+ledger restarts ids at 0 and would skip real
+        # batches; start a new index or clear the ledger with the
+        # checkpoint.)
+        max_committed: int = (
+            json.loads(storage.read(ledger))["max_committed_batch_id"]
+            if storage.exists(ledger)
+            else -1
         )
-        if batch_id in committed:
+        if batch_id <= max_committed:
             return  # replayed epoch already fully committed
         append_ivf_index(
             batch_df.select(F.col(id_col), F.col(vec_col)),
@@ -74,7 +83,8 @@ def make_batch_ingestor(
             vec_col=vec_col,
         )
         storage.store_atomic(
-            ledger, json.dumps(sorted(committed + [batch_id])).encode()
+            ledger,
+            json.dumps({"max_committed_batch_id": batch_id}).encode(),
         )
         if compact_max_files_per_cell is not None:
             compact_ivf_index(
@@ -106,7 +116,19 @@ def streaming_ivf_ingest(
     same directory ingests only new drops.
     """
     if schema is None:
-        schema = spark.read.parquet(source_dir).schema
+        try:
+            schema = spark.read.parquet(source_dir).schema
+        except Exception:
+            # no drops yet (fresh upkeep job started before the first
+            # arrival): derive the schema from the index itself — appends
+            # must match its layout anyway — under the caller's column names
+            idx_schema = spark.read.parquet(index_path).schema
+            schema = T.StructType(
+                [
+                    T.StructField(id_col, idx_schema["vec_id"].dataType),
+                    T.StructField(vec_col, idx_schema["embedding"].dataType),
+                ]
+            )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -189,3 +189,80 @@ def test_compact_ivf_index_merges_small_files_probe_identical(
         "files_before": 0,
         "files_after": 0,
     }
+
+
+def test_compact_recovers_from_crash_at_any_phase(spark, sf_dir, tmp_path):
+    """Two-phase swap: a crash BEFORE the manifest publish discards the
+    incomplete staging; a crash AFTER publish (even mid-swap, old files
+    already deleted) is completed by the next call with zero data loss."""
+    import json
+
+    from radar_output_restructure_spark.operators.ann_index import (
+        _SWAP_MANIFEST,
+        _STAGING_DIR,
+        append_ivf_index,
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb.filter(F.col("vec_id") < 300), centroids, path)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 300), centroids, path)
+    content = lambda: {  # noqa: E731
+        (r.vec_id, r.cell) for r in spark.read.parquet(path).collect()
+    }
+    expected = content()
+    staging = os.path.join(path, _STAGING_DIR)
+
+    # crash BEFORE publish: staging exists, no manifest -> discarded
+    os.makedirs(os.path.join(staging, "cell=0"))
+    with open(os.path.join(staging, "cell=0", "garbage.parquet"), "w") as fh:
+        fh.write("partial")
+    stats = compact_ivf_index(spark, path)
+    assert not os.path.exists(staging)
+    assert content() == expected
+    assert stats["cells_compacted"] > 0  # the real compaction then ran
+
+    # make cells crowded again, then simulate a crash AFTER publish and
+    # mid-swap: stage compacted copies + manifest by hand, delete ALL old
+    # files of one crowded cell (rows now exist ONLY in staging)
+    append_ivf_index(emb.filter(F.col("vec_id") < 100), centroids, path)
+    expected2 = content()
+    crowded = sorted(
+        d.rsplit("cell=", 1)[1]
+        for d in glob.glob(os.path.join(path, "cell=*"))
+        if len(glob.glob(os.path.join(d, "*.parquet"))) > 1
+    )
+    assert crowded
+    (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin([int(c) for c in crowded]))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    manifest = {
+        "cells": {
+            c: [
+                os.path.basename(f)
+                for f in glob.glob(
+                    os.path.join(staging, f"cell={c}", "*.parquet")
+                )
+            ]
+            for c in crowded
+        }
+    }
+    with open(os.path.join(staging, _SWAP_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    victim = crowded[0]
+    for f in glob.glob(os.path.join(path, f"cell={victim}", "*.parquet")):
+        os.remove(f)  # mid-swap: old files gone, staged not yet moved
+    assert content() != expected2  # the index IS currently missing rows
+
+    compact_ivf_index(spark, path)  # recovery completes the swap first
+    assert content() == expected2
+    assert not os.path.exists(staging)
+    for d in glob.glob(os.path.join(path, "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d

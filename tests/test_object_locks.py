@@ -405,3 +405,16 @@ def test_two_replica_full_pipeline(fixture, _factory, request, spark):
     for seed in (7, 1):
         rerun = make_plan(seed).run()
         assert all(files == [] for files in rerun.values()), rerun
+
+
+def test_skew_margin_override_reaches_public_managers():
+    """skew_margin_s is part of the documented API (module docstring: 'Pass
+    skew_margin_s to override') — both concrete managers must forward it."""
+    s3 = S3RemoteLockManager(
+        "s3://bucket/locks", ttl_s=100, storage=object(), skew_margin_s=5.0
+    )
+    assert s3.skew_margin_s == 5.0
+    az = AzureRemoteLockManager(
+        "https://acct.blob.example/c/locks", storage=object(), skew_margin_s=7.0
+    )
+    assert az.skew_margin_s == 7.0

@@ -181,11 +181,19 @@ def test_gram_matrix_matches_numpy(spark):
 
     rng = np.random.default_rng(7)
     vecs = rng.normal(size=(40, 8)).astype(np.float64)
+    # exact-half milli values: 0.0625*1000 = 62.5 exactly in binary. The
+    # oracle (SQL round) is half-away-from-zero, so these MUST quantize to
+    # +-63, not banker's 62 — regression for the np.rint divergence.
+    vecs[0] = [0.0625, -0.0625, 0.1875, -0.1875, 0.0625, 0.0625, 0.0, 1.0]
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
     )
     out = {(r.i, r.j): r.s for r in gram_matrix(df, dims=8, scale=1000).collect()}
-    q = np.rint(vecs * 1000).astype(np.int64)
+    av = np.abs(vecs * 1000)
+    r = np.floor(av + 0.5)
+    r = np.where(r - av > 0.5, r - 1.0, r)
+    q = (np.sign(vecs) * r).astype(np.int64)  # round-half-away model
+    assert q[0, 0] == 63 and q[0, 1] == -63
     ref = q.T @ q
     assert len(out) == 8 * 9 // 2
     for i in range(8):
