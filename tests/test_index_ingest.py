@@ -107,3 +107,20 @@ def test_batch_ingestor_replay_skip_and_autocompact(spark, sf_dir, tmp_path):
     # auto-compaction ran after each commit: one file per cell
     for d in glob.glob(os.path.join(index, "cell=*")):
         assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
+def test_streaming_ingest_starts_on_empty_drop_dir(spark, sf_dir, tmp_path):
+    """A fresh upkeep job started before the first drop arrives must drain
+    zero files and exit cleanly (schema falls back to the index layout)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    write_ivf_index(emb, centroids, index)
+    before = _content(spark, index)
+    q = streaming_ivf_ingest(
+        spark, src, index, centroids, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert _content(spark, index) == before
