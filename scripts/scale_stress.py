@@ -121,6 +121,46 @@ HOTKEY_QUERIES = [
     "minhash_lsh_pairs_docs",
 ]
 
+#: Hot-USER stress set: user-keyed operators under key skew. Unlike the
+#: posting self-joins, a hot key here cannot go quadratic — per-key windows
+#: and aggregations are linear (or n log n) in the key's row count — but it
+#: concentrates one key's rows into ONE task (window/session state cannot
+#: split a key), so the measurement documents straggler growth, and
+#: salted_agg_events documents the mitigation (salting splits the hot key
+#: before the pre-aggregation, so it stays balanced).
+HOTUSER_FRAC_MOD = 10  # event_id % 10 == 0 -> 10% of ALL events, one user
+HOTUSER_QUERIES = [
+    "scd2_user_state_events",
+    "rolling_1h_user_stats",
+    "top_events_per_user",
+    "salted_agg_events",
+]
+
+
+def build_synth_hot_events(base: str, tiles: int, out_dir: str) -> None:
+    """Events tiling with a planted hot user: 10% of every tile's events
+    collapse onto ONE un-offset user id, so that user's row count scales
+    with the corpus while every other user keeps its base-size stream.
+    tiles=1 degenerates to base-with-hot-user (the comparison point)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ev_out = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(ev_out):
+        return
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE tile AS SELECT unnest(range({tiles})) AS t")
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + t.t * {ID_STRIDE} AS event_id,
+                 e.ts,
+                 CASE WHEN e.event_id % {HOTUSER_FRAC_MOD} = 0 THEN -1
+                      ELSE e.user_id + t.t * {ID_STRIDE} END AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{base}/events.parquet' e CROSS JOIN tile t
+        ) TO '{ev_out}' (FORMAT PARQUET)
+        """
+    )
+
 
 def build_synth(base: str, tiles: int, out_dir: str) -> None:
     """Tile documents/embeddings into `out_dir` (idempotent per (base, N))."""
@@ -337,6 +377,11 @@ def main() -> None:
                     help="hot-key stress: plant a shared boilerplate phrase "
                          "across tiles so per-shingle df grows with N "
                          "(r7 verdict item 5); appends a section to --md")
+    ap.add_argument("--hotuser", action="store_true",
+                    help="hot-user stress: collapse 10%% of all events onto "
+                         "one user so user-keyed operators face a key whose "
+                         "row count scales with the corpus; appends a "
+                         "section to --md")
     args = ap.parse_args()
     names = args.queries or HEAVY
 
@@ -406,6 +451,60 @@ def main() -> None:
                         f"x{r['per_tile']} |\n"
                     )
             print(f"appended hot-key section to {args.md}")
+        return
+
+    if args.hotuser:
+        base = args.base
+        tag = base.rstrip("/").rsplit("/", 1)[-1]
+        hot_base = f"/tmp/spark_graft_hotuser_{tag}_1"
+        hot_tiled = f"/tmp/spark_graft_hotuser_{tag}_{args.tiles}"
+        build_synth_hot_events(base, 1, hot_base)
+        build_synth_hot_events(base, args.tiles, hot_tiled)
+        hot_names = args.queries or HOTUSER_QUERIES
+        hot_rows = []
+        for name in hot_names:
+            fn = registry[name]
+            t_b = timed(lambda: fn(spark, hot_base), args.runs)
+            t_s = timed(lambda: fn(spark, hot_tiled), args.runs)
+            ratio = t_s / t_b
+            hot_rows.append({
+                "query": name,
+                "hot_base_sec": round(t_b, 2),
+                "hot_tiled_sec": round(t_s, 2),
+                "ratio": round(ratio, 2),
+                "per_tile": round(ratio / args.tiles, 2),
+            })
+            print(json.dumps(hot_rows[-1]))
+        if args.md:
+            with open(args.md, "a") as fh:
+                fh.write(
+                    f"\n## Hot-user stress (one user holds 10% of all "
+                    f"events, base {tag}, {args.tiles}x tiles)\n\n"
+                    "User-keyed operators cannot go quadratic under key "
+                    "skew (per-key windows and\naggregations are linear "
+                    "or n log n in the key's rows) but a hot key's rows\n"
+                    "land in ONE task — window/session state cannot be "
+                    "split — so the honest\n100 TB statement is a "
+                    "straggler bound, not a shuffle blow-up: the hot "
+                    "task\ngrows with the key while every other task "
+                    "stays tile-sized. salted_agg_events\nis the "
+                    "mitigation row (the salt splits the hot key before "
+                    "pre-aggregation, so\nits ratio tracks the linear "
+                    "workload; for windowed per-key semantics the skew\n"
+                    "is inherent to the OPERATION, and the deployment "
+                    "lever is per-key state TTLs\nor key-splitting at "
+                    "ingest).\n\n"
+                    f"local[{cpus}], best of {args.runs} runs per point.\n\n"
+                    "| query | hot base s | hot tiled s | ratio | ratio/N |\n"
+                    "|---|---|---|---|---|\n"
+                )
+                for r in hot_rows:
+                    fh.write(
+                        f"| {r['query']} | {r['hot_base_sec']} | "
+                        f"{r['hot_tiled_sec']} | x{r['ratio']} | "
+                        f"x{r['per_tile']} |\n"
+                    )
+            print(f"appended hot-user section to {args.md}")
         return
 
     synth_dir = f"/tmp/spark_graft_synth{args.tiles}"
