@@ -29,91 +29,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.QUERIES["restructure_flagship"](spark, "/root/testdata/sf0.001")
 
 
-#: Round-8 new queries (gate slots 33..45; kept under the <= 18 the
-#: capacity bound in tests/test_registry_coverage.py allows, so the 5
-#: trailing head slots go to explicitly-chosen r6-certified queries and
-#: shrink the round-9 rotation backlog).
-_R8_ADDITIONS: tuple[str, ...] = (
-    "doc_gopher_quality",
-    "doc_type_token_ratio",
-    "tokenizer_fertility_docs",
-    "doc_ngram_novelty",
-    "doc_train_split",
-    "source_balance_weights_docs",
-    "source_dup_rate_docs",
-    "dup_group_size_hist_docs",
-    "minhash_estimate_error_docs",
-    "embedding_gram_matrix",
-    "ann_multiprobe_lsh_topk",
-    "ann_ivf_incremental_topk",
-    "scd2_user_state_events",
-)
-
 #: The driver's gate records only the first ~50 dict entries, so ordering
-#: chooses which queries get a CORRECTNESS row each round. Round-8 rotation
-#: (the r7-verdict "Next round" item 1, machine-checked by
-#: tests/test_registry_coverage.py against CERT_AGE.json): the 31 queries
-#: whose last driver-green row is round 5 go FIRST so they regain fresh
-#: rows before aging out of the 2-round window; containment_pairs_docs
-#: follows because its semantics changed this round (df>50 stop-shingle
-#: cap, r7 "What's wrong" #2 — jaccard_pairs_docs got the same cap and is
-#: already in the stale-31). That fills 32 slots; round-8 additions take
-#: the remaining ~18 (the capacity bound the cert-age test now enforces).
-#: Everything else was driver-certified in r6/r7 and rides the tail;
-#: scripts/check_oracles.py still verifies the full registry locally each
-#: round via the committed ORACLES_LOCAL.json.
+#: chooses which queries get a CORRECTNESS row each round. Round-9 rotation
+#: (the r8-verdict "Next round" item 1, machine-checked by
+#: tests/test_registry_coverage.py against CERT_AGE.json): the registry is
+#: at its 3-round certification capacity (144 queries / ~150 slots), so the
+#: round is pure rotation — the 45 queries whose last driver-green row is
+#: round 6 fill slots 1-45 (certify-or-expire this round), and the 5
+#: trailing slots refresh r7-certified reference-core queries EARLY so the
+#: round-10 backlog shrinks from 49 to 44, recovering ~6 free slots for
+#: round-10 additions. No new gated queries this round (the verdict's
+#: "registry frozen" instruction); scripts/check_oracles.py still verifies
+#: the full registry locally via the committed ORACLES_LOCAL.json.
 _GATE_HEAD = (
-    # -- r5-certified backlog (31; age 2 — certify-or-expire this round) --
-    "asof_next_purchase",
-    "bpe_encode_docs",
-    "bpe_merges_docs",
-    "corpus_vocabulary_docs",
-    "cosine_range_search",
-    "cosine_topk_bruteforce",
-    "dedup_clusters_docs",
-    "dedup_survivors_docs",
-    "doc_fingerprint_overlap",
-    "doc_length_quantiles",
-    "doc_winnow_fingerprints",
-    "embedding_dedup_survivors",
-    "embedding_dup_clusters",
-    "embedding_norms",
-    "embedding_quantize",
-    "hourly_event_counts",
-    "jaccard_pairs_docs",  # re-gated WITH the new df<=50 cap
-    "knn_label_accuracy",
-    "minhash_lsh_pairs_docs",
-    "minhash_signatures_docs",
-    "multimodal_features",
-    "pmi_collocations_docs",
-    "session_windows_events",
-    "simhash_docs",
-    "source_quality_stats_docs",
-    "temperature_mixture_docs",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_lines",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q9_profit_by_nation",
-    # -- semantics changed in r8 (df>50 stop-shingle cap): re-certify --
-    "containment_pairs_docs",
-    # -- round-8 additions (never certified) --
-    *_R8_ADDITIONS,
-    # -- r6 backlog refreshes (slots 46-50): five reference-core queries
-    #    certified early so the round-9 rotation backlog shrinks to 45,
-    #    keeping ~5 free gate slots for round-9 additions --
-    "event_time_cascade",
-    "asof_last_purchase",
-    "dedup_keep_first",
-    "extraction_check",
-    "offset_antijoin",
-    # After the head: the rest of the r6-certified set (CORRECTNESS_r06.json)
-    # rides at age 2 entering round 9 — they are the round-9 rotation backlog
-    # (char_ngram_jaccard_docs, curation_pipeline_docs, dedup_exact_docs,
-    # the doc_* text set, restructure_flagship + reference-core six, the
-    # nine ann_* queries, mp_enrichment, offset_antijoin, dedup_keep_first,
-    # file_accounting, extraction_check — see CERT_AGE.json for the exact
-    # ledger). The r7-certified set ages to 1 and can wait one more round.
+    # -- r6-certified backlog (45; age 2 — certify-or-expire this round) --
+    "ann_int8_recall_at_k",
+    "ann_int8_topk",
+    "ann_ivf_persisted_topk",
+    "bloom_decontaminate_docs",
+    "cleaner_candidates",
+    "cms_heavy_hitters_docs",
+    "doc_quality",
+    "doc_token_stats",
+    "event_attribution_windows",
+    "event_funnel",
+    "event_path_topk",
+    "event_props_json",
+    "event_rollup_daily",
+    "file_accounting",
+    "funnel_conversions_events",
+    "hll_distinct_docs",
+    "mp_enrichment",
+    "paragraph_dedup_docs",
+    "quality_resample_docs",
+    "retention_cohorts",
+    "rolling_1h_user_stats",
+    "semantic_dedup_embeddings",
+    "snapshot_delta_dedup_docs",
+    "source_cap_docs",
+    "source_similarity_minhash",
+    "top_events_per_user",
+    "tpch_q10_returned_items",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing",
+    "tpch_q22_idle_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q4_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "train_split_docs",
+    "winsorize_docs",
+    # -- r7 backlog refreshes (slots 46-50): five reference-core queries
+    #    certified a round early so the round-10 rotation backlog shrinks
+    #    to 44, recovering free gate slots for round-10 additions --
+    "restructure_flagship",
+    "flatten_projection",
+    "exclude_fields",
+    "sanitize_ids",
+    "time_bin_hourly",
+    # After the head: the remaining r7/r8-certified queries ride the tail at
+    # age <= 1 entering round 10 — the 44 other r7-certified queries are the
+    # round-10 rotation backlog (see CERT_AGE.json for the exact ledger).
 )
 
 
