@@ -182,27 +182,82 @@ def _data_files(fs, jvm, dir_path: str) -> list[str]:
     ]
 
 
+def _checked_rename(fs, jvm, src: str, dest: str) -> None:
+    """fs.rename reports most failures (existing destination, missing
+    parent) by returning False, not raising — swallowing that here would
+    let the final staging delete silently drop the un-moved rows, so a
+    False is promoted to an error and the manifest survives for a retry."""
+    ok = fs.rename(
+        jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dest)
+    )
+    if not ok:
+        raise IOError(f"rename failed (returned false): {src} -> {dest}")
+
+
 def _complete_swap(spark: SparkSession, path: str, manifest: dict) -> None:
     """Execute (or re-execute after a crash) the staged-cell swap.
 
-    Per cell: delete destination data files NOT in the staged set, then
-    move staged files in. Both steps are idempotent — re-running after a
-    crash at any point converges to the compacted state with every row
-    present in exactly one of destination or staging throughout.
+    Per cell: delete exactly the OLD destination files the manifest
+    recorded at publish time, then move staged files in. Deleting only the
+    recorded list (never complement-of-staged) means files appended to a
+    cell AFTER the manifest was published — e.g. a streaming-ingest epoch
+    that committed before crash recovery ran — are untouchable by
+    recovery. Both steps are idempotent: re-running after a crash at any
+    point converges to the compacted state with every row present in
+    exactly one of destination or staging throughout.
     """
     fs, jvm = _hadoop_fs(spark, path)
     staging = f"{path}/{_STAGING_DIR}"
+    old_files = manifest.get("old_files")
     for cell, staged_names in manifest["cells"].items():
         dest = f"{path}/cell={cell}"
-        staged_set = set(staged_names)
-        for name in _data_files(fs, jvm, dest):
-            if name not in staged_set:  # an old pre-compaction file
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}"), False)
+        if old_files is not None:
+            stale = old_files.get(cell, [])
+        else:
+            # legacy manifest (pre old_files): complement-of-staged was the
+            # only record available; safe only because that format predates
+            # concurrent-epoch appends
+            staged_set = set(staged_names)
+            stale = [
+                n for n in _data_files(fs, jvm, dest) if n not in staged_set
+            ]
+        for name in stale:
+            p = jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}")
+            if fs.exists(p):
+                fs.delete(p, False)
         for name in staged_names:
             src = jvm.org.apache.hadoop.fs.Path(f"{staging}/cell={cell}/{name}")
             if fs.exists(src):  # not yet moved by a previous attempt
-                fs.rename(src, jvm.org.apache.hadoop.fs.Path(f"{dest}/{name}"))
+                _checked_rename(fs, jvm, f"{staging}/cell={cell}/{name}", f"{dest}/{name}")
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+
+def recover_pending_swap(spark: SparkSession, path: str) -> None:
+    """Complete (or discard) any compaction swap a crash left behind.
+
+    A published manifest means phase 1 finished — finish the swap; staging
+    without a manifest is pre-publish garbage — drop it. Callers that
+    append to the index outside `compact_ivf_index` (the streaming epoch
+    ingestor) MUST run this before appending, so a pending swap can never
+    interleave with files newer than its manifest.
+    """
+    fs, jvm = _hadoop_fs(spark, path)
+    staging = f"{path}/{_STAGING_DIR}"
+    manifest_path = jvm.org.apache.hadoop.fs.Path(f"{staging}/{_SWAP_MANIFEST}")
+    if fs.exists(manifest_path):  # crashed after publish: finish the swap
+        import json
+
+        stream = fs.open(manifest_path)
+        try:
+            manifest = json.loads(
+                bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            )
+        finally:
+            stream.close()
+        _complete_swap(spark, path, manifest)
+    elif fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
+        # crashed before publish: staging is incomplete garbage
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
 def compact_ivf_index(
@@ -242,21 +297,7 @@ def compact_ivf_index(
     """
     fs, jvm = _hadoop_fs(spark, path)
     staging = f"{path}/{_STAGING_DIR}"
-    manifest_path = jvm.org.apache.hadoop.fs.Path(f"{staging}/{_SWAP_MANIFEST}")
-    if fs.exists(manifest_path):  # crashed after publish: finish the swap
-        stream = fs.open(manifest_path)
-        try:
-            import json
-
-            manifest = json.loads(
-                bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-            )
-        finally:
-            stream.close()
-        _complete_swap(spark, path, manifest)
-    elif fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
-        # crashed before publish: staging is incomplete garbage
-        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    recover_pending_swap(spark, path)
 
     census = (
         spark.read.parquet(path)
@@ -282,22 +323,32 @@ def compact_ivf_index(
     )
     # Phase 2: publish the swap manifest (create is atomic-enough: its
     # presence is the signal and its content was fully written before
-    # rename below; partial states are impossible past the rename)
+    # rename below; partial states are impossible past the rename). The
+    # manifest records the EXPLICIT list of pre-compaction files to delete,
+    # snapshotted here at publish time — recovery deletes only these, so
+    # anything appended to a cell after publish (a committed streaming
+    # epoch racing crash recovery) can never be collateral damage.
     import json
 
     manifest = {
         "cells": {
             str(c): _data_files(fs, jvm, f"{staging}/cell={c}")
             for c in crowded
-        }
+        },
+        "old_files": {
+            str(c): _data_files(fs, jvm, f"{path}/cell={c}") for c in crowded
+        },
     }
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{staging}/.{_SWAP_MANIFEST}.tmp")
-    out = fs.create(tmp, True)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{staging}/.{_SWAP_MANIFEST}.tmp"), True
+    )
     try:
         out.write(bytearray(json.dumps(manifest).encode()))
     finally:
         out.close()
-    fs.rename(tmp, manifest_path)
+    _checked_rename(
+        fs, jvm, f"{staging}/.{_SWAP_MANIFEST}.tmp", f"{staging}/{_SWAP_MANIFEST}"
+    )
     # Phase 3+4: delete old files, move staged in, drop staging
     _complete_swap(spark, path, manifest)
     return {

@@ -3,24 +3,46 @@
 Embedding deltas arriving as parquet drops become index appends without a
 rebuild: the Structured Streaming file source tracks which source files each
 micro-batch covered (its checkpoint IS the processed-file ledger, exactly as
-in streaming/stream_restructure.py), and every batch runs
-`append_ivf_index` — home-cell assignment against the FROZEN centroids, new
-files inside existing `cell=` directories, probe-identical to a rebuild.
+in streaming/stream_restructure.py), and every batch appends the delta under
+home-cell assignment against the FROZEN centroids — new files inside
+existing `cell=` directories, probe-identical to a rebuild.
 
-Exactly-once contract (same write-then-commit shape as the batch manifest,
-sources/manifest.py): foreachBatch replays a failed epoch with the SAME
-batch_id, so the sink keeps a tiny `_ingest_ledger.json` holding the max
-committed epoch id next to the index (written through the storage backend —
-works over file:// and s3:// alike; epoch ids are strictly increasing, so
-one integer suffices) and a replayed epoch at or below it is skipped. Parquet's v1 committer publishes a job's files only at job
-commit, so the residual window is append-commit-vs-ledger-write — the same
-window the reference accepts between file upload and offset commit
-(worker/FileCache.kt:185 — accountant.process after the write).
+Exactly-once contract — two cooperating mechanisms:
+
+* **Replay skip**: foreachBatch replays a failed epoch with the SAME
+  batch_id, so the sink keeps a tiny `_ingest_ledger.json` holding the max
+  committed epoch id next to the index (written through the storage
+  backend — file:// and s3:// alike; epoch ids are strictly increasing, so
+  one integer suffices) and a replayed epoch at or below it is skipped.
+* **Idempotent append**: the residual window (append's job commit lands,
+  crash before the ledger write, epoch replays) is closed by staging each
+  epoch under `_epoch_staging/` and publishing an intent manifest — the
+  exact destination file names, tagged `e{batch_id}-…` — BEFORE any file
+  is moved into a `cell=` directory. A replay of an uncommitted epoch
+  first deletes exactly the files its intent named, then re-appends; a
+  replay of a committed epoch only clears leftover staging. Either way
+  every vector lands exactly once, so `probe_ivf_index` stays
+  rebuild-identical across any crash point. (The reference accepts the
+  weaker at-least-once window between file upload and offset commit —
+  worker/FileCache.kt:185, accountant.process after the write; the ledger
+  + intent pair here is the batch manifest's write-then-commit shape,
+  sources/manifest.py, extended with an undo log.)
+
+Single-writer contract — the ledger is keyed by the owning run: epoch ids
+only mean anything within ONE checkpoint lineage, so the ledger records a
+`run_id` (the checkpoint location) and any batch arriving under a different
+run_id fails loudly instead of silently skipping real batches. This covers
+both footguns: a fresh checkpoint pointed at an existing index (batch ids
+restart at 0, every early batch would have been "already committed") and a
+second concurrent ingestor with its own checkpoint (interleaved epoch ids).
+Remediation is deliberate by design: rebuild the index, or point the new
+run at a clean source dir and delete `_ingest_ledger.json`.
 
 Optional auto-compaction bounds small-file growth: after every committed
 append, cells holding more than `compact_max_files_per_cell` files are
-rewritten to one file each (content-preserving, idempotent — safe to run
-after the ledger commit).
+rewritten to one file each (content-preserving, idempotent, and its swap
+manifest records the explicit old-file list — safe to run after the ledger
+commit, and any pending swap is completed before the next epoch appends).
 """
 
 from __future__ import annotations
@@ -33,12 +55,130 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from radar_output_restructure_spark.operators.ann_index import (
-    append_ivf_index,
+    _checked_rename,
+    _data_files,
+    _hadoop_fs,
     compact_ivf_index,
+    recover_pending_swap,
+    write_ivf_index,
 )
 from radar_output_restructure_spark.sinks.storage import storage_for
 
 LEDGER_NAME = "_ingest_ledger.json"
+EPOCH_STAGING_DIR = "_epoch_staging"
+EPOCH_INTENT_NAME = "_EPOCH_INTENT.json"
+
+
+def _read_ledger(storage, ledger_path: str) -> dict:
+    if not storage.exists(ledger_path):
+        return {"max_committed_batch_id": -1, "run_id": None}
+    state = json.loads(storage.read(ledger_path))
+    state.setdefault("run_id", None)
+    return state
+
+
+def _recover_epoch_staging(
+    spark: SparkSession, index_path: str, max_committed: int
+) -> None:
+    """Undo (or just clean up) whatever a crashed epoch append left behind.
+
+    Intent present + its epoch UNcommitted: the crash hit mid-move or
+    before the ledger write — delete exactly the destination files the
+    intent named (never a directory listing: committed epochs' files are
+    untouchable) and drop staging so the replay re-appends from scratch.
+    Intent present + epoch committed: the crash hit after the ledger write,
+    before cleanup — the moves all happened (the ledger is written last),
+    so only staging needs dropping. No intent: staging is pre-publish
+    garbage.
+    """
+    fs, jvm = _hadoop_fs(spark, index_path)
+    staging = f"{index_path}/{EPOCH_STAGING_DIR}"
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    if not fs.exists(jstaging):
+        return
+    jintent = jvm.org.apache.hadoop.fs.Path(f"{staging}/{EPOCH_INTENT_NAME}")
+    if fs.exists(jintent):
+        stream = fs.open(jintent)
+        try:
+            intent = json.loads(
+                bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+            )
+        finally:
+            stream.close()
+        if intent["batch_id"] > max_committed:
+            for cell, dest_names in intent["moves"].items():
+                for name in dest_names:
+                    p = jvm.org.apache.hadoop.fs.Path(
+                        f"{index_path}/cell={cell}/{name}"
+                    )
+                    if fs.exists(p):
+                        fs.delete(p, False)
+    fs.delete(jstaging, True)
+
+
+def _append_epoch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    batch_id: int,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Stage the epoch's cell-assigned files, publish the intent, move in.
+
+    The intent manifest (exact destination names, `e{batch_id}-` tagged so
+    epochs never collide) is published via tmp+rename BEFORE the first
+    move, so _recover_epoch_staging can always undo a partial epoch
+    without listing or touching any other epoch's files.
+    """
+    staging = f"{index_path}/{EPOCH_STAGING_DIR}"
+    write_ivf_index(
+        batch_df, centroids, staging, id_col, vec_col, mode="overwrite"
+    )
+    fs, jvm = _hadoop_fs(spark, index_path)
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    cells = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(jstaging)
+        if st.isDirectory() and st.getPath().getName().startswith("cell=")
+    ]
+    moves = {
+        cell: {
+            name: f"e{batch_id}-{name}"
+            for name in _data_files(fs, jvm, f"{staging}/cell={cell}")
+        }
+        for cell in cells
+    }
+    intent = {
+        "batch_id": batch_id,
+        "moves": {c: sorted(m.values()) for c, m in moves.items()},
+    }
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{staging}/.{EPOCH_INTENT_NAME}.tmp"),
+        True,
+    )
+    try:
+        out.write(bytearray(json.dumps(intent).encode()))
+    finally:
+        out.close()
+    _checked_rename(
+        fs,
+        jvm,
+        f"{staging}/.{EPOCH_INTENT_NAME}.tmp",
+        f"{staging}/{EPOCH_INTENT_NAME}",
+    )
+    for cell, m in moves.items():
+        dest_dir = jvm.org.apache.hadoop.fs.Path(f"{index_path}/cell={cell}")
+        if not fs.exists(dest_dir):
+            fs.mkdirs(dest_dir)
+        for src_name, dest_name in m.items():
+            _checked_rename(
+                fs,
+                jvm,
+                f"{staging}/cell={cell}/{src_name}",
+                f"{index_path}/cell={cell}/{dest_name}",
+            )
 
 
 def make_batch_ingestor(
@@ -48,12 +188,20 @@ def make_batch_ingestor(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_max_files_per_cell: int | None = None,
+    run_id: str | None = None,
 ):
-    """The foreachBatch sink: append-then-commit with epoch-replay skip.
+    """The foreachBatch sink: recover, append idempotently, then commit.
 
-    Exposed separately from `streaming_ivf_ingest` so the replay contract is
-    directly testable: calling the returned function twice with the same
-    batch_id appends exactly once.
+    Exposed separately from `streaming_ivf_ingest` so the replay contract
+    is directly testable: calling the returned function twice with the
+    same batch_id appends exactly once, and a partial first attempt (crash
+    at any point) is undone before the retry re-appends.
+
+    `run_id` is the ownership key for the single-writer contract — the
+    streaming entry point passes its checkpoint location. A ledger owned
+    by a different run raises instead of misinterpreting its epoch ids.
+    Passing None (direct batch harnesses) skips the ownership check but
+    still claims the ledger for no-one (run_id stays null).
     """
     storage = storage_for(index_path, spark)
     ledger = index_path.rstrip("/") + "/" + LEDGER_NAME
@@ -61,30 +209,51 @@ def make_batch_ingestor(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Structured Streaming epoch ids are strictly increasing within a
-        # checkpoint and only the LAST epoch can replay, so the ledger is
-        # O(1): a single max committed id. (Corollary: the ledger and the
-        # checkpoint share fate — pairing a fresh checkpoint with an
-        # existing index+ledger restarts ids at 0 and would skip real
-        # batches; start a new index or clear the ledger with the
-        # checkpoint.)
-        max_committed: int = (
-            json.loads(storage.read(ledger))["max_committed_batch_id"]
-            if storage.exists(ledger)
-            else -1
-        )
+        state = _read_ledger(storage, ledger)
+        if (
+            run_id is not None
+            and state["run_id"] is not None
+            and state["run_id"] != run_id
+        ):
+            raise RuntimeError(
+                f"ingest ledger {ledger} is owned by run "
+                f"{state['run_id']!r} but this ingestor runs as {run_id!r}: "
+                "epoch ids from different checkpoints are not comparable, "
+                "so proceeding would silently skip or duplicate batches. "
+                "Reuse the original checkpoint, or rebuild the index (or "
+                "point the new run at a clean source dir) and delete the "
+                "ledger to transfer ownership."
+            )
+        max_committed: int = state["max_committed_batch_id"]
+        # Undo any partial epoch and finish any published compaction swap
+        # BEFORE appending — recovery must never run with this epoch's
+        # fresh files already in the cell dirs (r8 review: a post-publish
+        # swap recovery that ran after the append deleted committed rows).
+        _recover_epoch_staging(spark, index_path, max_committed)
+        recover_pending_swap(spark, index_path)
         if batch_id <= max_committed:
             return  # replayed epoch already fully committed
-        append_ivf_index(
+        _append_epoch(
+            spark,
             batch_df.select(F.col(id_col), F.col(vec_col)),
             centroids,
             index_path,
-            id_col=id_col,
-            vec_col=vec_col,
+            batch_id,
+            id_col,
+            vec_col,
         )
         storage.store_atomic(
             ledger,
-            json.dumps({"max_committed_batch_id": batch_id}).encode(),
+            json.dumps(
+                {"max_committed_batch_id": batch_id, "run_id": run_id}
+            ).encode(),
+        )
+        # post-commit cleanup of the epoch's staging (crash here is benign:
+        # recovery sees a committed intent and just re-drops staging)
+        fs, jvm = _hadoop_fs(spark, index_path)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{index_path}/{EPOCH_STAGING_DIR}"),
+            True,
         )
         if compact_max_files_per_cell is not None:
             compact_ivf_index(
@@ -113,7 +282,10 @@ def streaming_ivf_ingest(
     `Trigger.AvailableNow` drains what exists and stops (cron-style upkeep);
     `processing_interval` keeps a resident poller. Either way the checkpoint
     carries the processed-file set across restarts, so re-running over the
-    same directory ingests only new drops.
+    same directory ingests only new drops. The checkpoint location doubles
+    as the ledger's ownership key: a second ingestor (fresh checkpoint or a
+    concurrent replica) against the same index fails loudly on its first
+    batch instead of silently skipping epochs.
     """
     if schema is None:
         try:
@@ -143,6 +315,7 @@ def streaming_ivf_ingest(
                 id_col=id_col,
                 vec_col=vec_col,
                 compact_max_files_per_cell=compact_max_files_per_cell,
+                run_id=checkpoint_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

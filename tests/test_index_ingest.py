@@ -124,3 +124,242 @@ def test_streaming_ingest_starts_on_empty_drop_dir(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert _content(spark, index) == before
+
+
+def _ledger_path(index: str) -> str:
+    from radar_output_restructure_spark.streaming.index_ingest import LEDGER_NAME
+
+    return os.path.join(index, LEDGER_NAME)
+
+
+def test_ingest_ledger_rejects_foreign_run(spark, sf_dir, tmp_path):
+    """Single-writer contract: epoch ids only mean anything within one
+    checkpoint lineage, so an ingestor whose run_id differs from the
+    ledger's owner must fail loudly — never silently skip batches."""
+    import json
+
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+
+    owner = make_batch_ingestor(spark, index, centroids, run_id="ckpt-A")
+    owner(emb.filter("vec_id >= 150 and vec_id < 300"), 0)
+    with open(_ledger_path(index)) as fh:
+        assert json.load(fh)["run_id"] == "ckpt-A"
+
+    intruder = make_batch_ingestor(spark, index, centroids, run_id="ckpt-B")
+    before = _content(spark, index)
+    with pytest.raises(RuntimeError, match="owned by run"):
+        # batch id 0 of the fresh lineage would have been silently skipped
+        # by a bare max-committed check
+        intruder(emb.filter("vec_id >= 300"), 0)
+    assert _content(spark, index) == before
+
+
+def test_streaming_second_ingestor_fails_loudly(spark, sf_dir, tmp_path):
+    """Two streaming upkeep jobs (separate checkpoints) against one index:
+    the second dies on its first batch instead of corrupting the ledger."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    src = str(tmp_path / "drops")
+    os.makedirs(src)
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+    _drop(emb.filter("vec_id >= 150 and vec_id < 300"), src, "d1.parquet")
+
+    q1 = streaming_ivf_ingest(
+        spark, src, index, centroids, str(tmp_path / "ckptA"), schema=emb.schema
+    )
+    q1.awaitTermination(120)
+    after_first = _content(spark, index)
+
+    _drop(emb.filter("vec_id >= 300"), src, "d2.parquet")
+    q2 = streaming_ivf_ingest(
+        spark, src, index, centroids, str(tmp_path / "ckptB"), schema=emb.schema
+    )
+    with pytest.raises(StreamingQueryException, match="owned by run"):
+        q2.awaitTermination(120)
+        raise AssertionError("second ingestor did not fail")
+    assert _content(spark, index) == after_first  # nothing skipped or lost
+
+
+def test_replay_of_uncommitted_epoch_appends_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """Crash window between the append's job commit and the ledger write:
+    the replayed epoch must first undo its own partial files (named by the
+    intent manifest), so re-appending cannot duplicate vectors."""
+    from radar_output_restructure_spark.streaming.index_ingest import (
+        EPOCH_STAGING_DIR,
+        _append_epoch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+    delta = emb.filter("vec_id >= 150 and vec_id < 300").select(
+        "vec_id", "embedding"
+    )
+
+    # simulate the crash: epoch 0 fully moved in, ledger never written
+    _append_epoch(spark, delta, centroids, index, 0, "vec_id", "embedding")
+    assert glob.glob(os.path.join(index, "cell=*", "e0-*.parquet"))
+    assert not os.path.exists(_ledger_path(index))
+
+    ingest = make_batch_ingestor(spark, index, centroids, run_id="ckpt")
+    ingest(delta, 0)  # foreachBatch replays the same epoch id
+    assert not os.path.exists(os.path.join(index, EPOCH_STAGING_DIR))
+    got = sorted(
+        r.vec_id for r in spark.read.parquet(index).collect()
+    )
+    assert got == sorted(
+        r.vec_id for r in emb.filter("vec_id < 300").collect()
+    ), "duplicate or missing vectors after uncommitted-epoch replay"
+
+
+def test_replay_mid_move_crash_appends_exactly_once(spark, sf_dir, tmp_path):
+    """Crash while moving staged files: some of the epoch's files reached
+    their cell dirs, the rest are still in staging. Recovery deletes the
+    moved ones and the replay re-appends the whole epoch exactly once."""
+    import shutil as _sh
+
+    from radar_output_restructure_spark.streaming.index_ingest import (
+        EPOCH_STAGING_DIR,
+        _append_epoch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+    delta = emb.filter("vec_id >= 150 and vec_id < 300").select(
+        "vec_id", "embedding"
+    )
+
+    _append_epoch(spark, delta, centroids, index, 3, "vec_id", "embedding")
+    moved = sorted(glob.glob(os.path.join(index, "cell=*", "e3-*.parquet")))
+    assert len(moved) >= 2, "need >=2 epoch files to simulate a partial move"
+    # un-move half the files back into staging = the mid-move crash state
+    for p in moved[: len(moved) // 2]:
+        cell_dir = os.path.basename(os.path.dirname(p))
+        stage_cell = os.path.join(index, EPOCH_STAGING_DIR, cell_dir)
+        os.makedirs(stage_cell, exist_ok=True)
+        name = os.path.basename(p).split("-", 1)[1]  # strip the e3- tag
+        _sh.move(p, os.path.join(stage_cell, name))
+
+    ingest = make_batch_ingestor(spark, index, centroids, run_id="ckpt")
+    ingest(delta, 3)
+    got = sorted(r.vec_id for r in spark.read.parquet(index).collect())
+    assert got == sorted(
+        r.vec_id for r in emb.filter("vec_id < 300").collect()
+    )
+
+
+def test_committed_epoch_leftover_staging_is_preserved(spark, sf_dir, tmp_path):
+    """Crash after the ledger write but before staging cleanup: the next
+    batch's recovery must NOT touch the committed epoch's files — only drop
+    the stale staging dir — then land its own epoch."""
+    import json
+
+    from radar_output_restructure_spark.streaming.index_ingest import (
+        EPOCH_STAGING_DIR,
+        _append_epoch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+
+    d1 = emb.filter("vec_id >= 150 and vec_id < 300").select(
+        "vec_id", "embedding"
+    )
+    _append_epoch(spark, d1, centroids, index, 5, "vec_id", "embedding")
+    with open(_ledger_path(index), "w") as fh:
+        json.dump({"max_committed_batch_id": 5, "run_id": "ckpt"}, fh)
+    # staging + intent intentionally left behind (the simulated crash)
+    assert os.path.exists(os.path.join(index, EPOCH_STAGING_DIR))
+
+    ingest = make_batch_ingestor(spark, index, centroids, run_id="ckpt")
+    ingest(emb.filter("vec_id >= 300").select("vec_id", "embedding"), 6)
+    assert not os.path.exists(os.path.join(index, EPOCH_STAGING_DIR))
+    assert glob.glob(os.path.join(index, "cell=*", "e5-*.parquet"))
+    got = sorted(r.vec_id for r in spark.read.parquet(index).collect())
+    assert got == sorted(r.vec_id for r in emb.collect())
+
+
+def test_pending_compaction_swap_cannot_eat_committed_epoch(
+    spark, sf_dir, tmp_path
+):
+    """The r8 review's data-loss window: compaction crashed after publishing
+    its swap manifest, then an epoch append committed. Recovery (which now
+    runs BEFORE the next append and deletes only the manifest's explicit
+    old-file list) must leave the committed epoch's files alone."""
+    import json
+
+    from radar_output_restructure_spark.operators.ann_index import (
+        _STAGING_DIR,
+        _SWAP_MANIFEST,
+        append_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+    append_ivf_index(
+        emb.filter("vec_id >= 150 and vec_id < 300"), centroids, index
+    )
+
+    # stage compacted copies + publish the manifest BY HAND (the crash
+    # happens right after publish, before the swap executes)
+    staging = os.path.join(index, _STAGING_DIR)
+    crowded = sorted(
+        int(d.rsplit("cell=", 1)[1])
+        for d in glob.glob(os.path.join(index, "cell=*"))
+        if len(glob.glob(os.path.join(d, "*.parquet"))) > 1
+    )
+    assert crowded
+    (
+        spark.read.parquet(index)
+        .filter(F.col("cell").isin(crowded))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staging)
+    )
+    manifest = {
+        "cells": {
+            str(c): [
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(staging, f"cell={c}", "*.parquet"))
+            ]
+            for c in crowded
+        },
+        "old_files": {
+            str(c): [
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(index, f"cell={c}", "*.parquet"))
+            ]
+            for c in crowded
+        },
+    }
+    with open(os.path.join(staging, _SWAP_MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+
+    # an epoch now commits through the ingestor: it completes the pending
+    # swap FIRST, then appends — its files postdate the manifest and must
+    # survive
+    ingest = make_batch_ingestor(spark, index, centroids, run_id="ckpt")
+    ingest(emb.filter("vec_id >= 300").select("vec_id", "embedding"), 0)
+    assert not os.path.exists(staging)
+    got = sorted(r.vec_id for r in spark.read.parquet(index).collect())
+    assert got == sorted(r.vec_id for r in emb.collect())
