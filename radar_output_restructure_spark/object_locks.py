@@ -47,6 +47,18 @@ uses the holder's TTL, not its own), capped at 60 s: ~15 min of NTP drift
 headroom at the 24 h default TTL is far beyond realistic skew, while short
 TTLs keep proportionally small margins. Pass `skew_margin_s` to override.
 The margin only delays breaking; it never admits a second holder.
+
+**Second staleness witness: the store's own Last-Modified.** The payload's
+`expires_at` is hostage to the HOLDER's clock — a holder slow by more than
+the TTL writes a lock that is born expired on every correct clock. So the
+break path consults a witness the holder cannot skew: the object's
+Last-Modified, stamped by the STORE at PUT time. A payload-expired lock is
+only broken once the store-observed age also exceeds the payload's TTL
+(with the margin plus 1 s of HTTP-date granularity slack); tombstones and
+corrupt payloads (`expires_at <= 0`) are exempt — their expiry is a
+deliberate owner signal, not a clock reading. The witness turns the
+two-hop holder-vs-breaker skew assumption into a one-hop breaker-vs-store
+one and, like the margin, only ever delays breaking.
 """
 
 from __future__ import annotations
@@ -87,8 +99,9 @@ class ConditionalPutLockManager(RemoteLockManager):
         """PUT If-None-Match: * — True iff this call created the object."""
 
     @abstractmethod
-    def _read_with_etag(self, url: str) -> tuple[bytes, str] | None:
-        """(payload, etag) or None when absent."""
+    def _read_with_etag(self, url: str) -> tuple[bytes, str, float | None] | None:
+        """(payload, etag, store Last-Modified as epoch seconds — or None
+        where the store doesn't report one) or None when absent."""
 
     @abstractmethod
     def _replace_if_match(self, url: str, body: bytes, etag: str) -> bool:
@@ -133,11 +146,25 @@ class ConditionalPutLockManager(RemoteLockManager):
                 if self._create_if_absent(url, body):
                     return RemoteLock(self, name)
                 continue  # someone created it between read and PUT
-            raw, etag = cur
+            raw, etag, mtime = cur
             parsed = self._parse(raw)
             expires_at = float(parsed.get("expires_at", 0))
-            if expires_at + self._margin_for(parsed) > time.time():
+            margin = self._margin_for(parsed)
+            now = time.time()
+            if expires_at + margin > now:
                 return None  # held and fresh (within the skew margin)
+            # second witness (module docstring): a payload-expired lock
+            # whose store-side age is still under its own TTL was stamped
+            # by a skewed holder clock, not abandoned — leave it alone.
+            # expires_at <= 0 is an owner-signed tombstone (or corruption):
+            # deliberately expired, no clock to second-guess.
+            if expires_at > 0 and mtime is not None:
+                ttl = float(parsed.get("ttl_s", self.ttl_s))
+                # 1 s slack: HTTP-date Last-Modified has whole-second
+                # granularity (TTLs at or under the slack fall back to
+                # payload-only judgement)
+                if now - mtime < ttl - margin - 1.0:
+                    return None
             # expired (or tombstoned): atomic break — single winner
             if self._replace_if_match(url, body, etag):
                 return RemoteLock(self, name)
@@ -149,7 +176,7 @@ class ConditionalPutLockManager(RemoteLockManager):
         cur = self._read_with_etag(url)
         if cur is None:
             return
-        raw, etag = cur
+        raw, etag, _mtime = cur
         if self._parse(raw).get("owner") != self.uuid:
             return  # broken + re-acquired elsewhere: not ours to expire
         # tombstone, never delete (module docstring: no conditional DELETE
@@ -226,7 +253,10 @@ class S3RemoteLockManager(ConditionalPutLockManager):
             if exc.response["Error"]["Code"] in ("404", "NoSuchKey"):
                 return None
             raise
-        return resp["Body"].read(), resp["ETag"]
+        lm = resp.get("LastModified")
+        return resp["Body"].read(), resp["ETag"], (
+            lm.timestamp() if lm is not None else None
+        )
 
     def _replace_if_match(self, url: str, body: bytes, etag: str) -> bool:
         from radar_output_restructure_spark.sinks.s3_storage import (
@@ -302,8 +332,17 @@ class AzureRemoteLockManager(ConditionalPutLockManager):
         )
         if status == 404:
             return None
-        etag = {k.lower(): v for k, v in headers.items()}.get("etag", "")
-        return data, etag
+        low = {k.lower(): v for k, v in headers.items()}
+        etag = low.get("etag", "")
+        mtime: float | None = None
+        if "last-modified" in low:
+            from email.utils import parsedate_to_datetime
+
+            try:
+                mtime = parsedate_to_datetime(low["last-modified"]).timestamp()
+            except (TypeError, ValueError):
+                mtime = None
+        return data, etag, mtime
 
     def _replace_if_match(self, url: str, body: bytes, etag: str) -> bool:
         from radar_output_restructure_spark.sinks.azure_storage import (

@@ -418,3 +418,41 @@ def test_skew_margin_override_reaches_public_managers():
         "https://acct.blob.example/c/locks", storage=object(), skew_margin_s=7.0
     )
     assert az.skew_margin_s == 7.0
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_break_consults_store_last_modified(fixture, factory, request):
+    """Second staleness witness: a payload that claims to be expired but
+    whose object the STORE says was written moments ago (= the holder's
+    clock is skewed behind by more than the TTL) must NOT be breakable;
+    once the store-observed age really exceeds the payload TTL it must be.
+    Tombstones (expires_at <= 0) stay exempt: release is an owner signal,
+    not a clock reading."""
+    endpoint = request.getfixturevalue(fixture)
+    mgr = factory(endpoint, "t7")
+    url = mgr._url("topic")
+
+    # a holder whose clock runs >TTL slow: expires_at already in the past
+    # on every correct clock, but Last-Modified is NOW
+    skewed = json.dumps(
+        {"owner": "skewed-holder", "expires_at": time.time() - 50, "ttl_s": 300}
+    ).encode()
+    assert mgr._create_if_absent(url, skewed)
+    assert mgr.acquire_lock("topic") is None  # store says it is young
+
+    # same payload shape but a ttl the store-observed age already exceeds
+    # (1 s HTTP-date granularity slack included): genuinely abandoned
+    _raw, etag, _m = mgr._read_with_etag(url)
+    stale = json.dumps(
+        {"owner": "skewed-holder", "expires_at": time.time() - 50, "ttl_s": 0.5}
+    ).encode()
+    assert mgr._replace_if_match(url, stale, etag)
+    time.sleep(1.6)  # store age > ttl + slack
+    lock = mgr.acquire_lock("topic")
+    assert lock is not None
+
+    # owner-signed tombstone with a FRESH Last-Modified is still breakable
+    lock.close()
+    lock2 = factory(endpoint, "t7").acquire_lock("topic")
+    assert lock2 is not None
+    lock2.close()
