@@ -15,11 +15,27 @@ worker from both `main` and service mode.
 Late data (ST3): no watermark, by design — the reference appends arbitrarily
 late records into their (old) hourly file whenever they arrive, which the
 exact-name writer's append mode reproduces.
+
+Replication (T5): the checkpoint only dedups within ONE query lineage, so a
+second replica (its own checkpoint) over the same tree would re-extract
+everything. The streaming path therefore speaks the SAME two replica
+primitives as the batch plan: the per-topic lock (`config.lock_dir` —
+tryWithLock-or-skip, held for the query's lifetime, released on
+termination) keeps two live replicas off one topic, and every micro-batch
+anti-joins its files against the SHARED processed-file manifest and
+commits after the write (write-then-commit, T2) — so a replica with a
+fresh checkpoint prunes already-extracted files to nothing instead of
+duplicating them. This mirrors the reference's replicated service mode
+(worker/RadarKafkaRestructure.kt:108-128 over
+accounting/RedisRemoteLockManager.kt:8-45).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -30,6 +46,7 @@ from radar_output_restructure_spark.plans.restructure import (
 )
 from radar_output_restructure_spark.sinks.writers import write_output_tree_direct
 from radar_output_restructure_spark.sources.kafka_tree import with_file_metadata
+from radar_output_restructure_spark.sources.manifest import FileEntry
 
 
 def streaming_restructure(
@@ -40,60 +57,123 @@ def streaming_restructure(
     schema: T.StructType | None = None,
     available_now: bool = True,
     processing_interval: str | None = None,
-) -> StreamingQuery:
+) -> StreamingQuery | None:
     """Start the per-topic streaming restructure query.
 
     One stream per topic (schemas differ per topic; the reference also
     processes per topic). `schema` may be omitted when source files already
     exist — it is inferred from a one-off batch read of the tree.
+
+    Returns None when `config.lock_dir` is set and another replica holds
+    the topic (the reference's tryWithLock-or-skip); otherwise the lock is
+    held until the returned query terminates.
     """
     cfg = config
     plan = RestructurePlan(spark, cfg)
-    pattern = f"{cfg.input_dir}/{topic}/partition=*/"
-    if schema is None:
-        schema = spark.read.format(cfg.source_format).load(pattern).schema
-    stream = (
-        spark.readStream.format(cfg.source_format)
-        .schema(schema)
-        .option("maxFilesPerTrigger", cfg.max_files_per_topic or 1000)
-        .load(pattern)
-    )
-    if "partition" in stream.columns:
-        stream = stream.drop("partition")
-    stream = with_file_metadata(stream.select("*", "_metadata")).drop("_metadata")
-
-    def process_batch(batch_df, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        flat, part_cols = plan.transform(batch_df, topic)
-        value_schema = batch_df.drop(
-            "source_file", "file_modified", "kafka_partition",
-            "offset_from", "offset_to",
-        ).schema
-        kwargs = dict(
-            fmt=cfg.output_format,
-            compression=cfg.compression,
-            topic_col="pf_topic",
-            value_schema=value_schema,
-            order_col=ORDER_COLS,
-            storage=plan.target_storage,
+    lock = None
+    if plan._lock_manager is not None:
+        lock = plan._lock_manager.acquire_lock(topic)
+        if lock is None:
+            return None  # held by another replica: skip, like the batch plan
+    try:
+        pattern = f"{cfg.input_dir}/{topic}/partition=*/"
+        if schema is None:
+            schema = spark.read.format(cfg.source_format).load(pattern).schema
+        stream = (
+            spark.readStream.format(cfg.source_format)
+            .schema(schema)
+            .option("maxFilesPerTrigger", cfg.max_files_per_topic or 1000)
+            .load(pattern)
         )
-        if plan.target_storage.executor_safe:
-            write_output_tree_direct(flat, cfg.output_dir, part_cols, **kwargs)
-        else:
-            from radar_output_restructure_spark.sinks.writers import (
-                write_output_tree,
+        if "partition" in stream.columns:
+            stream = stream.drop("partition")
+        stream = with_file_metadata(stream.select("*", "_metadata")).drop(
+            "_metadata"
+        )
+
+        def process_batch(batch_df, _batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            # Shared-manifest anti-join (P4/J1 at file granularity — the
+            # file list is driver-small even at 100 TB): a fresh-checkpoint
+            # replica re-reads files another replica already committed;
+            # prune them here instead of re-extracting.
+            listed = [
+                FileEntry(r.source_file, r.m)
+                for r in batch_df.select(
+                    "source_file",
+                    (F.col("file_modified").cast("double") * 1000)
+                    .cast("long")
+                    .alias("m"),
+                )
+                .distinct()
+                .collect()
+            ]
+            todo = plan.manifest.prune(listed)
+            if not todo:
+                return
+            if len(todo) < len(listed):
+                batch_df = batch_df.filter(
+                    F.col("source_file").isin(sorted(e.path for e in todo))
+                )
+            flat, part_cols = plan.transform(batch_df, topic)
+            value_schema = batch_df.drop(
+                "source_file", "file_modified", "kafka_partition",
+                "offset_from", "offset_to",
+            ).schema
+            kwargs = dict(
+                fmt=cfg.output_format,
+                compression=cfg.compression,
+                topic_col="pf_topic",
+                value_schema=value_schema,
+                order_col=ORDER_COLS,
+                storage=plan.target_storage,
             )
+            if plan.target_storage.executor_safe:
+                write_output_tree_direct(
+                    flat, cfg.output_dir, part_cols, **kwargs
+                )
+            else:
+                from radar_output_restructure_spark.sinks.writers import (
+                    write_output_tree,
+                )
 
-            write_output_tree(flat, cfg.output_dir, part_cols, **kwargs)
+                write_output_tree(
+                    flat,
+                    cfg.output_dir,
+                    part_cols,
+                    tmp_dir=f"{cfg.output_dir.rstrip('/')}+tmp-{topic}-stream",
+                    **kwargs,
+                )
+            # write-then-commit (T2): crash before this line replays the
+            # epoch, and the manifest prune above makes the replay a no-op
+            # for the files that did commit
+            plan.manifest.commit(todo)
 
-    writer = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif processing_interval:
-        writer = writer.trigger(processingTime=processing_interval)
-    return writer.start()
+        writer = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_interval:
+            writer = writer.trigger(processingTime=processing_interval)
+        query = writer.start()
+    except BaseException:
+        if lock is not None:
+            lock.close()
+        raise
+    if lock is not None:
+        held = lock
+
+        def _release_on_termination() -> None:
+            try:
+                query.awaitTermination()
+            except Exception:
+                pass  # release on failed queries too
+            finally:
+                held.close()
+
+        threading.Thread(target=_release_on_termination, daemon=True).start()
+    return query
