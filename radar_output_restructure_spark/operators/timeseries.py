@@ -27,6 +27,20 @@ def rolling_window_stats(
 
     Cents-sum (not a float sum) keeps the result order-independent and
     engine-exact — the same integer-micro trick the text scores use.
+
+    Key skew: a hot key's rows land in ONE window task (per-key RANGE
+    state cannot be split), so skew costs a straggler, never a shuffle
+    blow-up. Measured under the hot-user stress mode (one user holding
+    10% of ALL events, 10x tiling — scripts/scale_stress.py --hotuser)
+    the bound is x1.75 overall, i.e. under the 2x line, so the
+    decomposable mitigation — count/sum decompose over time slices:
+    salt each key's rows into hour-aligned slices, compute slice
+    partials, then merge each row's frame from O(1) adjacent partials —
+    is deliberately NOT implemented (r8 verdict item 5: "skip if the
+    measured straggler bound at 10x stays <2x — document instead").
+    It is the known lever if a deployment's skew is worse than 10%/key;
+    for decomposable aggregates without the per-row frame requirement,
+    `operators/skew.salted_agg` already ships the salted two-pass.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     axis = F.unix_micros(F.col(ts_col))

@@ -704,7 +704,12 @@ def main() -> None:
                     "workload; for windowed per-key semantics the skew\n"
                     "is inherent to the OPERATION, and the deployment "
                     "lever is per-key state TTLs\nor key-splitting at "
-                    "ingest).\n\n"
+                    "ingest). rolling_1h_user_stats measured under the "
+                    "2x line at 10x\ntiles, so its decomposable salted "
+                    "two-pass variant stays unimplemented by\ndecision "
+                    "— the lever is documented in "
+                    "operators/timeseries.rolling_window_stats\n"
+                    "(r8 verdict item 5's skip clause).\n\n"
                     f"local[{cpus}], best of {args.runs} runs per point.\n\n"
                     "| query | hot base s | hot tiled s | ratio | ratio/N |\n"
                     "|---|---|---|---|---|\n"
