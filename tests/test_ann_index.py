@@ -266,3 +266,72 @@ def test_compact_recovers_from_crash_at_any_phase(spark, sf_dir, tmp_path):
     assert not os.path.exists(staging)
     for d in glob.glob(os.path.join(path, "cell=*")):
         assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
+def test_index_lifecycle_aging_tracks_size_not_append_count(
+    spark, sf_dir, tmp_path
+):
+    """Lifecycle aging (VERDICT r8 item 4, pytest-gated counterpart of
+    `scripts/scale_stress.py --ivflife`): an index aged through MANY append
+    rounds with compaction interleaved after every round must stay
+    rebuild-identical in content, probe results, AND physical plan shape —
+    the probe must keep its PartitionFilters pruning, and the file census
+    must be bounded by the compaction policy (tracking index size), never
+    by the number of append rounds."""
+    from radar_output_restructure_spark.operators.ann_index import (
+        append_ivf_index,
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    fresh_path = str(tmp_path / "fresh")
+    aged_path = str(tmp_path / "aged")
+
+    write_ivf_index(emb, centroids, fresh_path)
+
+    # age: 10 append rounds of 50 vectors, compaction after every round
+    write_ivf_index(emb.filter(F.col("vec_id") < 50), centroids, aged_path)
+    rounds = 0
+    for lo in range(50, 550, 50):
+        append_ivf_index(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)),
+            centroids,
+            aged_path,
+        )
+        compact_ivf_index(spark, aged_path, max_files_per_cell=2)
+        rounds += 1
+
+    content = lambda p: {  # noqa: E731
+        (r.vec_id, r.cell) for r in spark.read.parquet(p).collect()
+    }
+    assert content(aged_path) == content(fresh_path)
+
+    probe = lambda p: probe_ivf_index(  # noqa: E731
+        spark, p, queries, centroids, k=5, nprobe=4
+    )
+    rows = lambda p: {  # noqa: E731
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in probe(p).collect()
+    }
+    assert rows(aged_path) == rows(fresh_path)
+
+    # plan shape is age-invariant and still partition-prunes
+    plan_aged, plan_fresh = _plan(probe(aged_path)), _plan(probe(fresh_path))
+    assert "PartitionFilters" in plan_aged
+    norm = lambda s: [  # noqa: E731
+        line.split("(", 1)[0].strip()
+        for line in s.splitlines()
+        if line.strip().startswith(("*", "+", "-"))
+    ]
+    assert norm(plan_aged) == norm(plan_fresh)
+
+    # file census tracks the compaction policy, not the append count:
+    # every cell holds at most max_files_per_cell files after aging
+    per_cell = {
+        d: len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(aged_path, "cell=*"))
+    }
+    assert rounds == 10
+    assert all(n <= 2 for n in per_cell.values()), per_cell
