@@ -427,11 +427,12 @@ def _ivf_lifecycle(spark, args, cpus: str) -> None:
             (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + ID_STRIDE)
         )
 
+    tag = args.base.rstrip("/").rsplit("/", 1)[-1]
     roots = {
-        "fresh_base": f"/tmp/spark_graft_ivflife_freshbase",
-        "fresh_tiled": f"/tmp/spark_graft_ivflife_fresh{tiles}",
-        "aged": f"/tmp/spark_graft_ivflife_aged{tiles}",
-        "aged_nocompact": f"/tmp/spark_graft_ivflife_agednc{tiles}",
+        "fresh_base": f"/tmp/spark_graft_ivflife_{tag}_freshbase",
+        "fresh_tiled": f"/tmp/spark_graft_ivflife_{tag}_fresh{tiles}",
+        "aged": f"/tmp/spark_graft_ivflife_{tag}_aged{tiles}",
+        "aged_nocompact": f"/tmp/spark_graft_ivflife_{tag}_agednc{tiles}",
     }
 
     def built(path: str) -> bool:
@@ -480,13 +481,20 @@ def _ivf_lifecycle(spark, args, cpus: str) -> None:
     parity = rows_of(roots["aged"]) == rows_of(roots["fresh_tiled"])
     parity_nc = rows_of(roots["aged_nocompact"]) == rows_of(roots["fresh_tiled"])
 
-    # empirical pruning census on the aged index: the probe's pruned scan
-    # (same needed-cell derivation as probe_ivf_index) vs the full index
+    # empirical pruning census on the aged index: a SMALL probe's pruned
+    # scan (same needed-cell derivation as probe_ivf_index) vs the full
+    # index. The registry's 10-query batch touches all 16 cells at
+    # nprobe=4, so the census uses a 2-query probe — the serving-path
+    # shape, where pruning is the point.
     needed = sorted(
         {
             r.cell
             for r in ivf_cells(
-                queries_df, centroids, "vec_id", "embedding", nprobe=NPROBE
+                queries_df.limit(2),
+                centroids,
+                "vec_id",
+                "embedding",
+                nprobe=NPROBE,
             )
             .select("cell")
             .collect()
@@ -555,14 +563,22 @@ def _ivf_lifecycle(spark, args, cpus: str) -> None:
                 f"**{parity}** (rebuild-identical contract held across the "
                 "whole lifetime); uncompacted control parity: "
                 f"{parity_nc}.\n"
-                f"* uncompacted/aged probe ratio x"
-                f"{report['nocompact_over_aged']} with "
-                f"{files['aged_nocompact']} vs {files['aged']} files — the "
-                "small-file open/footer tax compaction exists to bound.\n"
-                f"* partition pruning (empirical): the probe scans "
-                f"{scanned} of {files['aged']} aged-index files "
-                f"({report['probed_cells']}/{N_CENTROIDS} cells probed at "
-                f"nprobe={NPROBE}).\n"
+                f"* file census: uncompacted grows with APPEND COUNT "
+                f"({files['aged_nocompact']} files after {tiles - 1} "
+                "appends, one per touched cell per round) while compaction "
+                f"bounds it by policy ({files['aged']} files, "
+                "<= max_files_per_cell x cells). The probe-time ratio here "
+                f"(x{report['nocompact_over_aged']}) is within local-FS "
+                "noise — page-cached opens are ~free — but on an object "
+                "store every file is a GET + footer read per probe, which "
+                "is the cost the census growth translates to at scale.\n"
+                f"* partition pruning (empirical, 2-query serving-path "
+                f"probe): the pruned scan reads {scanned} of "
+                f"{files['aged']} aged-index files "
+                f"({report['probed_cells']}/{N_CENTROIDS} cells at "
+                f"nprobe={NPROBE}); the registry's 10-query batch touches "
+                "all cells, so its pruning evidence is the plan's "
+                "PartitionFilters (asserted in tests/test_ann_index.py).\n"
             )
         print(f"appended IVF-lifecycle section to {args.md}")
 
