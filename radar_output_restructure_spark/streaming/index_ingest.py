@@ -199,7 +199,12 @@ def make_batch_ingestor(
 
     `run_id` is the ownership key for the single-writer contract — the
     streaming entry point passes its checkpoint location. A ledger owned
-    by a different run raises instead of misinterpreting its epoch ids.
+    by a different run raises instead of misinterpreting its epoch ids,
+    and so does an UNOWNED ledger that already holds committed epochs
+    (written by a run_id=None batch harness, or a pre-ownership format):
+    its epoch ids came from some other lineage, so "adopting" it would
+    hit the same silent-skip hole the ownership key exists to close —
+    a fresh checkpoint restarts batch ids at 0, all `<= max_committed`.
     Passing None (direct batch harnesses) skips the ownership check but
     still claims the ledger for no-one (run_id stays null).
     """
@@ -223,6 +228,20 @@ def make_batch_ingestor(
                 "Reuse the original checkpoint, or rebuild the index (or "
                 "point the new run at a clean source dir) and delete the "
                 "ledger to transfer ownership."
+            )
+        if (
+            run_id is not None
+            and state["run_id"] is None
+            and state["max_committed_batch_id"] >= 0
+        ):
+            raise RuntimeError(
+                f"ingest ledger {ledger} holds committed epochs but no "
+                f"owning run; this ingestor runs as {run_id!r}. Those epoch "
+                "ids came from a different lineage (a run_id=None batch "
+                "harness or a pre-ownership ledger), so adopting the ledger "
+                "would silently skip this run's early batches. Rebuild the "
+                "index (or point this run at a clean source dir) and delete "
+                "the ledger to transfer ownership."
             )
         max_committed: int = state["max_committed_batch_id"]
         # Undo any partial epoch and finish any published compaction swap

@@ -159,6 +159,46 @@ def test_ingest_ledger_rejects_foreign_run(spark, sf_dir, tmp_path):
     assert _content(spark, index) == before
 
 
+def test_ingest_ledger_rejects_unowned_with_committed_epochs(
+    spark, sf_dir, tmp_path
+):
+    """A ledger written by a run_id=None batch harness (or a pre-ownership
+    format) that already holds committed epochs must not be adopted by a
+    named run: its epoch ids came from another lineage, and a fresh
+    checkpoint restarting at batch 0 would silently skip every early batch
+    under a bare max-committed check."""
+    import json
+
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+
+    harness = make_batch_ingestor(spark, index, centroids, run_id=None)
+    harness(emb.filter("vec_id >= 150 and vec_id < 300"), 7)
+    with open(_ledger_path(index)) as fh:
+        state = json.load(fh)
+    assert state == {"max_committed_batch_id": 7, "run_id": None}
+
+    adopter = make_batch_ingestor(spark, index, centroids, run_id="ckpt-new")
+    before = _content(spark, index)
+    with pytest.raises(RuntimeError, match="no owning run"):
+        # batch 0 of the new lineage is REAL data; adoption would skip it
+        adopter(emb.filter("vec_id >= 300"), 0)
+    assert _content(spark, index) == before
+
+    # a fresh index (ledger absent / max_committed == -1) is adoptable:
+    # there is nothing to skip, and first commit claims ownership
+    index2 = str(tmp_path / "index2")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index2)
+    claimer = make_batch_ingestor(spark, index2, centroids, run_id="ckpt-new")
+    claimer(emb.filter("vec_id >= 150 and vec_id < 300"), 0)
+    with open(_ledger_path(index2)) as fh:
+        assert json.load(fh)["run_id"] == "ckpt-new"
+
+
 def test_streaming_second_ingestor_fails_loudly(spark, sf_dir, tmp_path):
     """Two streaming upkeep jobs (separate checkpoints) against one index:
     the second dies on its first batch instead of corrupting the ledger."""
