@@ -60,6 +60,15 @@ class RemoteLock:
         self._manager = manager
         self.name = name
 
+    def renew(self) -> bool:
+        """Re-stamp expires_at to now + the manager's TTL (for holders that
+        outlive the TTL — e.g. a resident streaming query; the reference
+        re-SETs its Redis key per work cycle, RedisRemoteLockManager.kt).
+        False = the lock is no longer this holder's (expired and broken, or
+        already released): mutual exclusion is LOST and the caller must
+        stop relying on it — renew never re-acquires."""
+        return self._manager._renew(self.name)
+
     def close(self) -> None:
         self._manager._release(self.name)
 
@@ -78,6 +87,10 @@ class RemoteLockManager(ABC):
 
     @abstractmethod
     def _release(self, name: str) -> None: ...
+
+    @abstractmethod
+    def _renew(self, name: str) -> bool:
+        """Owner-checked expiry extension; False = no longer held here."""
 
     @contextmanager
     def try_with_lock(self, name: str):
@@ -172,6 +185,28 @@ class FileRemoteLockManager(RemoteLockManager):
                 os.unlink(tmp)
             except FileNotFoundError:
                 pass
+
+    def _renew(self, name: str) -> bool:
+        path = self._path(name)
+        # Serialized with breakers: a renew can't interleave with a break
+        # (the ownership re-check happens INSIDE the mutex, like release).
+        with self._mutation_mutex(path, blocking=True):
+            try:
+                with open(path) as fh:
+                    if json.load(fh).get("owner") != self.uuid:
+                        return False  # broken + re-acquired: lost
+            except (OSError, ValueError):
+                return False  # absent (released) or corrupt: lost
+            tmp = f"{path}.w.{self.uuid}.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"owner": self.uuid, "expires_at": time.time() + self.ttl_s},
+                    fh,
+                )
+            # atomic fresh->fresh swap under the mutex; readers outside it
+            # (the unsynchronized pre-check) see old or new, never torn
+            os.replace(tmp, path)
+            return True
 
     def _release(self, name: str) -> None:
         path = self._path(name)

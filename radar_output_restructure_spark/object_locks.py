@@ -160,16 +160,40 @@ class ConditionalPutLockManager(RemoteLockManager):
             # deliberately expired, no clock to second-guess.
             if expires_at > 0 and mtime is not None:
                 ttl = float(parsed.get("ttl_s", self.ttl_s))
-                # 1 s slack: HTTP-date Last-Modified has whole-second
-                # granularity (TTLs at or under the slack fall back to
-                # payload-only judgement)
-                if now - mtime < ttl - margin - 1.0:
+                # Breakable only once store-observed age exceeds the
+                # payload's OWN ttl plus the breaker-vs-store margin plus
+                # 1 s of HTTP-date granularity slack: a correct holder
+                # considers itself owner until store-age ~ttl, so any
+                # smaller threshold admits a second holder when the
+                # holder's clock is merely slow (not crashed). TTLs at or
+                # under the slack are below Last-Modified's whole-second
+                # resolution and fall back to payload-only judgement.
+                if ttl > 1.0 and now - mtime < ttl + margin + 1.0:
                     return None
             # expired (or tombstoned): atomic break — single winner
             if self._replace_if_match(url, body, etag):
                 return RemoteLock(self, name)
             return None  # another breaker/acquirer won
         return None
+
+    def _renew(self, name: str) -> bool:
+        url = self._url(name)
+        cur = self._read_with_etag(url)
+        if cur is None:
+            return False  # deleted externally: lost
+        raw, etag, _mtime = cur
+        parsed = self._parse(raw)
+        if parsed.get("owner") != self.uuid:
+            return False  # broken + re-acquired elsewhere: lost
+        if float(parsed.get("expires_at", 0)) <= 0:
+            return False  # our own tombstone: already released, never revive
+        # conditional replace: if a breaker won between read and PUT, the
+        # etag moved and this loses — exactly the answer renew must give.
+        # (The PUT also refreshes the store's Last-Modified, so the second
+        # staleness witness ages from the RENEWAL, as it should.)
+        return self._replace_if_match(
+            url, self._payload(time.time() + self.ttl_s), etag
+        )
 
     def _release(self, name: str) -> None:
         url = self._url(name)
@@ -241,7 +265,9 @@ class S3RemoteLockManager(ConditionalPutLockManager):
                 return False
             raise
 
-    def _read_with_etag(self, url: str) -> tuple[bytes, str] | None:
+    def _read_with_etag(
+        self, url: str
+    ) -> tuple[bytes, str, float | None] | None:
         from radar_output_restructure_spark.sinks.s3_storage import (
             parse_s3_url,
         )
@@ -321,7 +347,9 @@ class AzureRemoteLockManager(ConditionalPutLockManager):
         )
         return status == 201
 
-    def _read_with_etag(self, url: str) -> tuple[bytes, str] | None:
+    def _read_with_etag(
+        self, url: str
+    ) -> tuple[bytes, str, float | None] | None:
         from radar_output_restructure_spark.sinks.azure_storage import (
             parse_azure_url,
         )

@@ -182,6 +182,36 @@ def _data_files(fs, jvm, dir_path: str) -> list[str]:
     ]
 
 
+def _read_json(fs, jvm, path: str) -> dict:
+    """Read a small JSON manifest through the Hadoop FS (storage-agnostic:
+    file://, s3a://, abfs:// alike)."""
+    import json
+
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return json.loads(
+            bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        )
+    finally:
+        stream.close()
+
+
+def _publish_json(fs, jvm, path: str, obj: dict) -> None:
+    """Atomically publish a small JSON manifest: write to a dot-tmp
+    sibling, then checked-rename into place — readers (and crash
+    recovery) see the manifest fully written or not at all."""
+    import json
+    import os.path
+
+    tmp = f"{os.path.dirname(path)}/.{os.path.basename(path)}.tmp"
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode()))
+    finally:
+        out.close()
+    _checked_rename(fs, jvm, tmp, path)
+
+
 def _checked_rename(fs, jvm, src: str, dest: str) -> None:
     """fs.rename reports most failures (existing destination, missing
     parent) by returning False, not raising — swallowing that here would
@@ -245,15 +275,7 @@ def recover_pending_swap(spark: SparkSession, path: str) -> None:
     staging = f"{path}/{_STAGING_DIR}"
     manifest_path = jvm.org.apache.hadoop.fs.Path(f"{staging}/{_SWAP_MANIFEST}")
     if fs.exists(manifest_path):  # crashed after publish: finish the swap
-        import json
-
-        stream = fs.open(manifest_path)
-        try:
-            manifest = json.loads(
-                bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-            )
-        finally:
-            stream.close()
+        manifest = _read_json(fs, jvm, f"{staging}/{_SWAP_MANIFEST}")
         _complete_swap(spark, path, manifest)
     elif fs.exists(jvm.org.apache.hadoop.fs.Path(staging)):
         # crashed before publish: staging is incomplete garbage
@@ -339,16 +361,7 @@ def compact_ivf_index(
             str(c): _data_files(fs, jvm, f"{path}/cell={c}") for c in crowded
         },
     }
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{staging}/.{_SWAP_MANIFEST}.tmp"), True
-    )
-    try:
-        out.write(bytearray(json.dumps(manifest).encode()))
-    finally:
-        out.close()
-    _checked_rename(
-        fs, jvm, f"{staging}/.{_SWAP_MANIFEST}.tmp", f"{staging}/{_SWAP_MANIFEST}"
-    )
+    _publish_json(fs, jvm, f"{staging}/{_SWAP_MANIFEST}", manifest)
     # Phase 3+4: delete old files, move staged in, drop staging
     _complete_swap(spark, path, manifest)
     return {

@@ -32,11 +32,16 @@ Single-writer contract — the ledger is keyed by the owning run: epoch ids
 only mean anything within ONE checkpoint lineage, so the ledger records a
 `run_id` (the checkpoint location) and any batch arriving under a different
 run_id fails loudly instead of silently skipping real batches. This covers
-both footguns: a fresh checkpoint pointed at an existing index (batch ids
-restart at 0, every early batch would have been "already committed") and a
-second concurrent ingestor with its own checkpoint (interleaved epoch ids).
-Remediation is deliberate by design: rebuild the index, or point the new
-run at a clean source dir and delete `_ingest_ledger.json`.
+the footguns: a fresh checkpoint pointed at an existing index (batch ids
+restart at 0, every early batch would have been "already committed"), a
+second concurrent ingestor with its own checkpoint (interleaved epoch ids),
+a run_id=None batch harness over a stream-owned ledger (its commit would
+bump max_committed under the owner and erase the owner stamp), and an
+UNOWNED ledger with committed epochs probed at or below max_committed (the
+silent-skip case; a continuing lineage arriving ABOVE the ledger proceeds
+and stamps ownership — the legacy-format upgrade path). Remediation is
+deliberate by design: rebuild the index, or point the new run at a clean
+source dir and delete `_ingest_ledger.json`.
 
 Optional auto-compaction bounds small-file growth: after every committed
 append, cells holding more than `compact_max_files_per_cell` files are
@@ -58,6 +63,8 @@ from radar_output_restructure_spark.operators.ann_index import (
     _checked_rename,
     _data_files,
     _hadoop_fs,
+    _publish_json,
+    _read_json,
     compact_ivf_index,
     recover_pending_swap,
     write_ivf_index,
@@ -98,13 +105,7 @@ def _recover_epoch_staging(
         return
     jintent = jvm.org.apache.hadoop.fs.Path(f"{staging}/{EPOCH_INTENT_NAME}")
     if fs.exists(jintent):
-        stream = fs.open(jintent)
-        try:
-            intent = json.loads(
-                bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-            )
-        finally:
-            stream.close()
+        intent = _read_json(fs, jvm, f"{staging}/{EPOCH_INTENT_NAME}")
         if intent["batch_id"] > max_committed:
             for cell, dest_names in intent["moves"].items():
                 for name in dest_names:
@@ -154,20 +155,7 @@ def _append_epoch(
         "batch_id": batch_id,
         "moves": {c: sorted(m.values()) for c, m in moves.items()},
     }
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{staging}/.{EPOCH_INTENT_NAME}.tmp"),
-        True,
-    )
-    try:
-        out.write(bytearray(json.dumps(intent).encode()))
-    finally:
-        out.close()
-    _checked_rename(
-        fs,
-        jvm,
-        f"{staging}/.{EPOCH_INTENT_NAME}.tmp",
-        f"{staging}/{EPOCH_INTENT_NAME}",
-    )
+    _publish_json(fs, jvm, f"{staging}/{EPOCH_INTENT_NAME}", intent)
     for cell, m in moves.items():
         dest_dir = jvm.org.apache.hadoop.fs.Path(f"{index_path}/cell={cell}")
         if not fs.exists(dest_dir):
@@ -199,14 +187,16 @@ def make_batch_ingestor(
 
     `run_id` is the ownership key for the single-writer contract — the
     streaming entry point passes its checkpoint location. A ledger owned
-    by a different run raises instead of misinterpreting its epoch ids,
-    and so does an UNOWNED ledger that already holds committed epochs
-    (written by a run_id=None batch harness, or a pre-ownership format):
-    its epoch ids came from some other lineage, so "adopting" it would
-    hit the same silent-skip hole the ownership key exists to close —
-    a fresh checkpoint restarts batch ids at 0, all `<= max_committed`.
-    Passing None (direct batch harnesses) skips the ownership check but
-    still claims the ledger for no-one (run_id stays null).
+    by ANYONE else raises instead of misinterpreting its epoch ids: a
+    different named run, and equally a run_id=None batch harness over an
+    owned ledger (its commit would bump max_committed under the owner and
+    erase the owner stamp — silent epoch skips for the owning stream). An
+    UNOWNED ledger that already holds committed epochs (a None harness's,
+    or the pre-ownership format) raises exactly when the replay-skip rule
+    would bite — `batch_id <= max_committed`, i.e. a fresh checkpoint
+    restarting at 0 — while a continuing lineage (`batch_id` beyond the
+    ledger, e.g. the same stream resuming over its own pre-ownership
+    ledger) proceeds and stamps ownership at its first commit.
     """
     storage = storage_for(index_path, spark)
     ledger = index_path.rstrip("/") + "/" + LEDGER_NAME
@@ -215,35 +205,39 @@ def make_batch_ingestor(
         if batch_df.isEmpty():
             return
         state = _read_ledger(storage, ledger)
-        if (
-            run_id is not None
-            and state["run_id"] is not None
-            and state["run_id"] != run_id
-        ):
-            raise RuntimeError(
-                f"ingest ledger {ledger} is owned by run "
-                f"{state['run_id']!r} but this ingestor runs as {run_id!r}: "
-                "epoch ids from different checkpoints are not comparable, "
-                "so proceeding would silently skip or duplicate batches. "
-                "Reuse the original checkpoint, or rebuild the index (or "
-                "point the new run at a clean source dir) and delete the "
-                "ledger to transfer ownership."
-            )
-        if (
-            run_id is not None
-            and state["run_id"] is None
-            and state["max_committed_batch_id"] >= 0
-        ):
-            raise RuntimeError(
-                f"ingest ledger {ledger} holds committed epochs but no "
-                f"owning run; this ingestor runs as {run_id!r}. Those epoch "
-                "ids came from a different lineage (a run_id=None batch "
-                "harness or a pre-ownership ledger), so adopting the ledger "
-                "would silently skip this run's early batches. Rebuild the "
-                "index (or point this run at a clean source dir) and delete "
-                "the ledger to transfer ownership."
-            )
+        owner = state["run_id"]
         max_committed: int = state["max_committed_batch_id"]
+        if owner is not None and run_id != owner:
+            # Covers both a DIFFERENT named run and a run_id=None harness:
+            # a None-harness commit over an owned ledger would bump
+            # max_committed and erase the owner, making the owning stream
+            # silently skip its next epochs (or fail its ownership check).
+            raise RuntimeError(
+                f"ingest ledger {ledger} is owned by run {owner!r} but "
+                f"this ingestor runs as {run_id!r}: epoch ids from "
+                "different checkpoints are not comparable, so proceeding "
+                "would silently skip or duplicate batches. Reuse the "
+                "original checkpoint, or rebuild the index (or point the "
+                "new run at a clean source dir) and delete the ledger to "
+                "transfer ownership."
+            )
+        if run_id is not None and owner is None and batch_id <= max_committed:
+            # An UNOWNED ledger with committed epochs (run_id=None harness
+            # or pre-ownership format): its epoch ids came from some other
+            # lineage, so the replay-skip rule below must not be trusted
+            # with them. Raise exactly when it would bite — a batch id at
+            # or under max_committed (a fresh checkpoint restarting at 0).
+            # A CONTINUING lineage (batch_id > max_committed, e.g. the
+            # same stream resuming over its own pre-ownership ledger)
+            # proceeds and stamps ownership at commit.
+            raise RuntimeError(
+                f"ingest ledger {ledger} holds committed epochs up to "
+                f"{max_committed} but no owning run, and this ingestor "
+                f"({run_id!r}) arrived with batch {batch_id}: adopting the "
+                "ledger would silently skip this run's early batches. "
+                "Rebuild the index (or point this run at a clean source "
+                "dir) and delete the ledger to transfer ownership."
+            )
         # Undo any partial epoch and finish any published compaction swap
         # BEFORE appending — recovery must never run with this epoch's
         # fresh files already in the cell dirs (r8 review: a post-publish
@@ -264,7 +258,12 @@ def make_batch_ingestor(
         storage.store_atomic(
             ledger,
             json.dumps(
-                {"max_committed_batch_id": batch_id, "run_id": run_id}
+                {
+                    "max_committed_batch_id": batch_id,
+                    # never erase an owner (a None harness can only get
+                    # here over an unowned ledger, but keep it structural)
+                    "run_id": run_id if run_id is not None else owner,
+                }
             ).encode(),
         )
         # post-commit cleanup of the epoch's staging (crash here is benign:

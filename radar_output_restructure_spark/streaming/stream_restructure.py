@@ -20,12 +20,14 @@ Replication (T5): the checkpoint only dedups within ONE query lineage, so a
 second replica (its own checkpoint) over the same tree would re-extract
 everything. The streaming path therefore speaks the SAME two replica
 primitives as the batch plan: the per-topic lock (`config.lock_dir` —
-tryWithLock-or-skip, held for the query's lifetime, released on
-termination) keeps two live replicas off one topic, and every micro-batch
-anti-joins its files against the SHARED processed-file manifest and
-commits after the write (write-then-commit, T2) — so a replica with a
-fresh checkpoint prunes already-extracted files to nothing instead of
-duplicating them. This mirrors the reference's replicated service mode
+tryWithLock-or-skip, held for the query's lifetime, RENEWED every TTL/3
+so a resident query outliving the TTL keeps mutual exclusion — a failed
+renewal means the lock was broken elsewhere and STOPS the query rather
+than write alongside the new holder — and released on termination) keeps
+two live replicas off one topic, and every micro-batch anti-joins its
+files against the SHARED processed-file manifest and commits after the
+write (write-then-commit, T2) — so a replica with a fresh checkpoint
+prunes already-extracted files to nothing instead of duplicating them. This mirrors the reference's replicated service mode
 (worker/RadarKafkaRestructure.kt:108-128 over
 accounting/RedisRemoteLockManager.kt:8-45).
 """
@@ -91,6 +93,19 @@ def streaming_restructure(
             "_metadata"
         )
 
+        # Manifest state is loaded ONCE and maintained in the closure: a
+        # resident stream commits one segment per batch, so re-reading
+        # every segment per batch (prune() = full load()) would be
+        # O(batches^2) driver-side storage reads — 10k GETs per micro-batch
+        # after 10k batches on an object store. Under the topic lock only
+        # THIS process commits this topic's files, so the snapshot plus our
+        # own commits is exact; cross-replica pruning only matters at
+        # lineage start (files a previous holder committed), which the
+        # startup snapshot covers. Without a lock the per-batch reload
+        # would not have prevented interleaved double-writes anyway (both
+        # replicas prune before either commits).
+        seen = plan.manifest.load()
+
         def process_batch(batch_df, _batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
@@ -109,7 +124,11 @@ def streaming_restructure(
                 .distinct()
                 .collect()
             ]
-            todo = plan.manifest.prune(listed)
+            todo = [
+                f
+                for f in listed
+                if f.path not in seen or f.modified_ms > seen[f.path]
+            ]
             if not todo:
                 return
             if len(todo) < len(listed):
@@ -149,6 +168,7 @@ def streaming_restructure(
             # epoch, and the manifest prune above makes the replay a no-op
             # for the files that did commit
             plan.manifest.commit(todo)
+            seen.update((f.path, f.modified_ms) for f in todo)
 
         writer = (
             stream.writeStream.foreachBatch(process_batch)
@@ -166,14 +186,32 @@ def streaming_restructure(
         raise
     if lock is not None:
         held = lock
+        ttl = getattr(plan._lock_manager, "ttl_s", 24 * 3600.0)
+        # Renew at a third of the TTL: a resident query (processing_interval
+        # mode) outlives the TTL, and an unrenewed lock would be broken by a
+        # second replica while this one still writes — two live holders.
+        renew_every = max(ttl / 3.0, 0.5)
 
-        def _release_on_termination() -> None:
+        def _keep_and_release() -> None:
             try:
-                query.awaitTermination()
-            except Exception:
-                pass  # release on failed queries too
+                while True:
+                    try:
+                        if query.awaitTermination(renew_every):
+                            return  # terminated: release in finally
+                    except Exception:
+                        return  # failed query: release in finally
+                    if not held.renew():
+                        # Mutual exclusion LOST (holder paused past the
+                        # TTL, lock broken elsewhere). Stop the query:
+                        # writing on alongside the new holder would
+                        # duplicate rows in the exact-name output files.
+                        try:
+                            query.stop()
+                        except Exception:
+                            pass
+                        return
             finally:
                 held.close()
 
-        threading.Thread(target=_release_on_termination, daemon=True).start()
+        threading.Thread(target=_keep_and_release, daemon=True).start()
     return query

@@ -189,6 +189,17 @@ def test_ingest_ledger_rejects_unowned_with_committed_epochs(
         adopter(emb.filter("vec_id >= 300"), 0)
     assert _content(spark, index) == before
 
+    # a CONTINUING lineage over its own pre-ownership ledger is safe — the
+    # replay-skip rule never bites above max_committed — and its first
+    # commit stamps ownership (the upgrade path from the legacy format)
+    resumer = make_batch_ingestor(spark, index, centroids, run_id="ckpt-new")
+    resumer(emb.filter("vec_id >= 300"), 8)
+    with open(_ledger_path(index)) as fh:
+        assert json.load(fh) == {
+            "max_committed_batch_id": 8,
+            "run_id": "ckpt-new",
+        }
+
     # a fresh index (ledger absent / max_committed == -1) is adoptable:
     # there is nothing to skip, and first commit claims ownership
     index2 = str(tmp_path / "index2")
@@ -197,6 +208,34 @@ def test_ingest_ledger_rejects_unowned_with_committed_epochs(
     claimer(emb.filter("vec_id >= 150 and vec_id < 300"), 0)
     with open(_ledger_path(index2)) as fh:
         assert json.load(fh)["run_id"] == "ckpt-new"
+
+
+def test_none_harness_refuses_owned_ledger(spark, sf_dir, tmp_path):
+    """A run_id=None batch harness over a stream-owned ledger must refuse:
+    its commit would bump max_committed under the owner (silent epoch
+    skips for the owning stream) and erase the owner stamp."""
+    import json
+
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+
+    owner = make_batch_ingestor(spark, index, centroids, run_id="ckpt-A")
+    owner(emb.filter("vec_id >= 150 and vec_id < 300"), 57)
+
+    backfill = make_batch_ingestor(spark, index, centroids, run_id=None)
+    before = _content(spark, index)
+    with pytest.raises(RuntimeError, match="owned by run"):
+        backfill(emb.filter("vec_id >= 300"), 58)
+    assert _content(spark, index) == before
+    with open(_ledger_path(index)) as fh:
+        assert json.load(fh) == {
+            "max_committed_batch_id": 57,
+            "run_id": "ckpt-A",  # owner stamp survives
+        }
 
 
 def test_streaming_second_ingestor_fails_loudly(spark, sf_dir, tmp_path):

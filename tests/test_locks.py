@@ -37,6 +37,35 @@ def test_stale_lock_is_broken_and_reacquired(tmp_path):
     assert not os.path.exists(tmp_path / "t.lock")
 
 
+def test_renew_extends_expiry_and_reports_loss(tmp_path):
+    """A holder outliving the TTL (resident streaming query) renews; a
+    broken-and-reacquired lock answers renew() with False so the old
+    holder knows mutual exclusion is gone — renew never re-acquires."""
+    a = FileRemoteLockManager(str(tmp_path), ttl_s=0.4)
+    lock_a = a.acquire_lock("t")
+    assert lock_a is not None
+    e0 = json.load(open(tmp_path / "t.lock"))["expires_at"]
+    time.sleep(0.05)
+    assert lock_a.renew() is True
+    e1 = json.load(open(tmp_path / "t.lock"))["expires_at"]
+    assert e1 > e0  # expiry actually advanced
+    assert json.load(open(tmp_path / "t.lock"))["owner"] == a.uuid
+
+    # expired + broken by another instance: renew reports the loss and
+    # must not clobber the new holder's lock
+    time.sleep(0.5)
+    b = FileRemoteLockManager(str(tmp_path), ttl_s=10.0)
+    lock_b = b.acquire_lock("t")
+    assert lock_b is not None
+    assert lock_a.renew() is False
+    assert json.load(open(tmp_path / "t.lock"))["owner"] == b.uuid
+
+    # renew after one's own release: also a loss, and no resurrection
+    lock_b.close()
+    assert lock_b.renew() is False
+    assert not os.path.exists(tmp_path / "t.lock")
+
+
 def test_try_with_lock_context(tmp_path):
     a = FileRemoteLockManager(str(tmp_path))
     b = FileRemoteLockManager(str(tmp_path))

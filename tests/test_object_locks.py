@@ -456,3 +456,71 @@ def test_break_consults_store_last_modified(fixture, factory, request):
     lock2 = factory(endpoint, "t7").acquire_lock("topic")
     assert lock2 is not None
     lock2.close()
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_renew_extends_and_reports_loss(fixture, factory, request):
+    """Conditional-PUT renew: owner-checked etag replace extends expiry
+    (and refreshes the store's Last-Modified, re-arming the witness); a
+    broken-and-reacquired lock, or one's own tombstone, answers False."""
+    endpoint = request.getfixturevalue(fixture)
+    a = factory(endpoint, "t9", ttl_s=0.5)
+    url = a._url("topic")
+    lock_a = a.acquire_lock("topic")
+    assert lock_a is not None
+    raw0, _e, _m = a._read_with_etag(url)
+    e0 = json.loads(raw0)["expires_at"]
+    time.sleep(0.05)
+    assert lock_a.renew() is True
+    raw1, _e, _m = a._read_with_etag(url)
+    assert json.loads(raw1)["expires_at"] > e0
+    assert json.loads(raw1)["owner"] == a.uuid
+
+    # expired (ttl 0.5 <= 1 s slack: payload-only judgement) and broken by
+    # another manager: renew reports the loss, new holder's lock survives
+    time.sleep(0.7)
+    b = factory(endpoint, "t9", ttl_s=30.0)
+    lock_b = b.acquire_lock("topic")
+    assert lock_b is not None
+    assert lock_a.renew() is False
+    raw2, _e, _m = a._read_with_etag(url)
+    assert json.loads(raw2)["owner"] == b.uuid
+
+    # one's own tombstone is never revived by renew
+    lock_b.close()
+    assert lock_b.renew() is False
+    raw3, _e, _m = b._read_with_etag(url)
+    assert json.loads(raw3)["expires_at"] == 0.0
+
+
+@pytest.mark.parametrize("fixture,factory", _factories())
+def test_witness_threshold_exceeds_ttl_plus_margin(fixture, factory, request):
+    """The witness must DELAY breaking until store-observed age exceeds
+    ttl + margin + slack — not ttl - margin - slack. A correct holder owns
+    the lock until store-age ~ttl, so a threshold below ttl admits a second
+    holder whenever the holder's clock is merely slow (the exact scenario
+    the witness exists for). Regression: the two sides of the sign differ
+    only inside the (ttl - margin - 1, ttl + margin + 1) age window, which
+    the other witness tests never enter."""
+    endpoint = request.getfixturevalue(fixture)
+    mgr = factory(endpoint, "t8")
+    mgr.skew_margin_s = 0.0  # pin the window to (ttl - 1, ttl + 1)
+    url = mgr._url("topic")
+
+    t0 = time.time()
+    skewed = json.dumps(
+        {"owner": "slow-clock-holder", "expires_at": t0 - 50, "ttl_s": 2.0}
+    ).encode()
+    assert mgr._create_if_absent(url, skewed)
+
+    # payload-expired AND past the inverted threshold (age > ttl - 1), but
+    # a correct holder would still be inside its own TTL: must refuse
+    time.sleep(1.4)
+    assert mgr.acquire_lock("topic") is None
+
+    # past ttl + margin + slack: genuinely abandoned, must break
+    while time.time() - t0 < 3.3:
+        time.sleep(0.2)
+    lock = mgr.acquire_lock("topic")
+    assert lock is not None
+    lock.close()

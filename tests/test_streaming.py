@@ -478,6 +478,52 @@ def test_streaming_restructure_skips_locked_topic(spark, tmp_path):
     assert len(open(target).read().splitlines()) == 1 + 3
 
 
+def test_streaming_resident_lock_renewal(spark, tmp_path):
+    """A resident query (processing_interval mode) outliving the lock TTL
+    must KEEP mutual exclusion: the keeper thread renews at TTL/3, so a
+    second replica's acquire fails throughout — without renewal the lock
+    would be breakable after one TTL while the query still writes."""
+    import time as _time
+
+    from radar_output_restructure_spark.locks import FileRemoteLockManager
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    lock_dir = str(tmp_path / "locks")
+    _write_fixture(spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        lock_dir=lock_dir,
+        lock_ttl_s=1.5,
+    )
+    q = streaming_restructure(
+        spark,
+        cfg,
+        "t",
+        str(tmp_path / "ckpt"),
+        available_now=False,
+        processing_interval="500 milliseconds",
+    )
+    assert q is not None
+    try:
+        other = FileRemoteLockManager(lock_dir, ttl_s=1.5)
+        deadline = _time.time() + 4.0  # ~3x the TTL
+        while _time.time() < deadline:
+            # an unrenewed 1.5 s-TTL lock would be stale (and broken) here
+            assert other.acquire_lock("t") is None
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+    # released on termination (daemon thread): poll briefly
+    for _ in range(100):
+        lock = other.acquire_lock("t")
+        if lock is not None:
+            break
+        _time.sleep(0.1)
+    assert lock is not None
+    lock.close()
+
+
 def test_streaming_two_replica_exactly_once(spark, tmp_path):
     """r8 verdict item 6: TWO streaming restructure replicas (own
     checkpoints, AvailableNow) against one shared target with locks + the
