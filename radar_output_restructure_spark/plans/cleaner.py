@@ -99,74 +99,131 @@ class SourceDataCleaner:
 
     # -- C2: extraction verification ------------------------------------------
 
-    def _source_expectations(self, topic: str, files: list[FileEntry]) -> DataFrame:
-        """(source_file, target_path, time_str) per source record — the same
-        routing + rendering plan the writer ran, grouped per attempt."""
+    def _output_root(self) -> str:
+        """The output root exactly as `_metadata.file_path` will render it:
+        URI targets (s3a://, abfs://, hdfs://) pass through; local paths are
+        made ABSOLUTE, because the target read-back reports absolute
+        `file:` URIs and a relative `output_dir` would make every
+        expectation path unmatched -> every file revoked -> unbounded
+        duplicate re-extraction."""
+        root = self.config.output_dir.rstrip(os.sep)
+        if "://" in root or root.startswith("file:"):
+            return root
+        return os.path.abspath(root)
+
+    def _source_expectations(
+        self, topic: str, files: list[FileEntry]
+    ) -> tuple[DataFrame, set[str]]:
+        """((source_file, target_path, time_str) per source record, covered
+        source paths) — the same routing + rendering plan the writer ran.
+
+        Mirrors `run_topic` EXACTLY: per attempt, subset-schema groups are
+        conformed to the attempt's superset and unioned BEFORE one
+        transform, so dedup survivors match the writer's (a per-group
+        transform could keep a different duplicate than the union-scoped
+        writer did when distinct_fields dedup spans two groups). Files
+        whose schema cannot be read right now are NOT covered — the caller
+        must treat them as unverified, never as extracted."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        from radar_output_restructure_spark.functions.schema_compat import (
+            conform_to,
+        )
+        from radar_output_restructure_spark.sinks.writers import (
+            _COMP_EXT,
+            _FMT_EXT,
+        )
+
         cfg = self.config
         parts: list[DataFrame] = []
-        ext0 = {"csv": ".csv", "json": ".json", "parquet": ".parquet"}[
-            cfg.output_format
-        ] + (
+        covered: set[str] = set()
+        ext0 = _FMT_EXT[cfg.output_format] + (
             ""
             if cfg.output_format == "parquet"
-            else {"gzip": ".gz", "zip": ".zip", None: ""}.get(
-                cfg.compression, ""
-            )
+            else _COMP_EXT[cfg.compression]
         )
-        for attempt, _schema_json, fp_groups in self.plan._fingerprint_groups(
+        meta_cols = [
+            "source_file", "file_modified", "kafka_partition",
+            "offset_from", "offset_to",
+        ]
+        out_root = self._output_root()
+        for attempt, schema_json, fp_groups in self.plan._fingerprint_groups(
             topic, files
         ):
-            # one scan per fingerprint group — schemas are uniform within a
-            # group, and mixing them in one parquet scan would silently drop
-            # the non-first schema's columns
+            sup = (
+                T.StructType.fromJson(_json.loads(schema_json))
+                if schema_json
+                else None
+            )
+            dfs = []
             for group in fp_groups:
-                df = read_topic_tree(
+                covered.update(f.path for f in group)
+                d = read_topic_tree(
                     self.spark, cfg.input_dir, topic=topic,
                     file_format=cfg.source_format,
                     paths=[f.path for f in group],
                 )
-                flat, part_cols = self.plan.transform(
-                    df, topic, keep_cols=("source_file",)
+                if sup is not None:
+                    d = conform_to(d, sup, keep=[*meta_cols, "topic"])
+                dfs.append(d)
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionByName(other)
+            flat, part_cols = self.plan.transform(
+                df, topic, keep_cols=("source_file",)
+            )
+            ext = (f"_{attempt}" if attempt else "") + ext0
+            target = F.concat_ws(
+                os.sep, F.lit(out_root),
+                *[F.col(c) for c in part_cols],
+            )
+            target = F.concat(target, F.lit(ext))
+            if cfg.output_format == "json":
+                time_str = F.get_json_object(F.col("line"), "$.value.time")
+            else:
+                time_str = (
+                    F.col("`value.time`")
+                    if "value.time" in flat.columns
+                    else F.lit(None)
                 )
-                ext = (f"_{attempt}" if attempt else "") + ext0
-                target = F.concat_ws(
-                    os.sep, F.lit(cfg.output_dir.rstrip(os.sep)),
-                    *[F.col(c) for c in part_cols],
+            parts.append(
+                flat.select(
+                    "source_file",
+                    target.alias("target_path"),
+                    time_str.cast("string").alias("time_str"),
                 )
-                target = F.concat(target, F.lit(ext))
-                if cfg.output_format == "json":
-                    time_str = F.get_json_object(F.col("line"), "$.value.time")
-                else:
-                    time_str = (
-                        F.col("`value.time`")
-                        if "value.time" in flat.columns
-                        else F.lit(None)
-                    )
-                parts.append(
-                    flat.select(
-                        "source_file",
-                        target.alias("target_path"),
-                        time_str.cast("string").alias("time_str"),
-                    )
-                )
+            )
+        if not parts:
+            empty = self.spark.createDataFrame(
+                [], "source_file string, target_path string, time_str string"
+            )
+            return empty, covered
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out, covered
 
-    def _zip_target_rows(self, existing: list[str]) -> DataFrame:
-        """(target_path, time_str) from single-entry zip targets.
+    def _whole_file_target_rows(
+        self, existing: list[str], codec: str | None
+    ) -> DataFrame:
+        """(target_path, time_str) by parsing each target file WHOLE.
 
-        Spark's text/csv readers don't decode zip, so the archives load as
-        whole binary files (they are group-bounded — one user-hour of rows)
-        and an Arrow-batched mapInPandas unwraps the single entry, mirroring
-        the writer's codec (sinks/writers.py ZIP_LEVEL) and the reference's
-        read-back-through-the-compression-factory verification
+        Targets load as binary files (they are group-bounded — one
+        user-hour of rows) and an Arrow-batched mapInPandas decodes the
+        codec (zip single entry / gzip / none) and parses rows PER FILE,
+        mirroring the writer's codec (sinks/writers.py ZIP_LEVEL) and the
+        reference's read-back-through-the-compression-factory verification
         (cleaner/TimestampFileCache.kt:39-51, compression/ZipCompression.kt:
-        10-26). CSV rows parse in the UDF (python csv matches the writer's
-        RFC4180 quoting; the `value.time` index comes from each file's own
-        header); JSON rows come back as raw lines so the SAME
-        get_json_object expression as the uncompressed path extracts the
+        10-26). This is the only correct CSV read-back: a single
+        spark.read.csv over many files binds every file to the FIRST
+        file's header positionally (wrong column under schema-evolution
+        attempts) and splits RFC4180-quoted embedded newlines into garbage
+        rows without multiLine. Python csv parses each file against its
+        OWN header (the `value.time` index per file) and handles quoted
+        newlines natively. JSON rows come back as raw lines so the SAME
+        get_json_object expression as the line-reader path extracts the
         time token — json round-trips through a float would re-render it.
         """
         import pandas as pd
@@ -174,8 +231,9 @@ class SourceDataCleaner:
         fmt = self.config.output_format
         bin_df = self.spark.read.format("binaryFile").load(existing)
 
-        def unzip(batches):
+        def decode_rows(batches):
             import csv as csvmod
+            import gzip as gzipmod
             import io as iomod
             import re as remod
             import zipfile
@@ -184,13 +242,16 @@ class SourceDataCleaner:
                 paths: list[str] = []
                 vals: list[str | None] = []
                 for path, content in zip(pdf["path"], pdf["content"]):
-                    with zipfile.ZipFile(iomod.BytesIO(bytes(content))) as zf:
-                        raw = zf.read(zf.namelist()[0])
-                    text = raw.decode("utf-8")
+                    data = bytes(content)
+                    if codec == "zip":
+                        with zipfile.ZipFile(iomod.BytesIO(data)) as zf:
+                            data = zf.read(zf.namelist()[0])
+                    elif codec == "gzip":
+                        data = gzipmod.decompress(data)
+                    text = data.decode("utf-8")
                     p = remod.sub("^file:/+", "/", str(path))
-                    lines = text.splitlines()
                     if fmt == "json":
-                        for line in lines:
+                        for line in text.splitlines():
                             if line:
                                 paths.append(p)
                                 vals.append(line)
@@ -211,7 +272,7 @@ class SourceDataCleaner:
                 yield pd.DataFrame({"target_path": paths, "payload": vals})
 
         rows = bin_df.select("path", "content").mapInPandas(
-            unzip, "target_path string, payload string"
+            decode_rows, "target_path string, payload string"
         )
         if fmt == "json":
             time_str = F.get_json_object(F.col("payload"), "$.value.time")
@@ -230,35 +291,70 @@ class SourceDataCleaner:
             return self.spark.createDataFrame(
                 [], "target_path string, time_str string"
             )
-        if cfg.compression == "zip":
-            return self._zip_target_rows(existing)
+        if cfg.output_format == "csv" or cfg.compression == "zip":
+            # whole-file parse: per-file headers + RFC4180 quoted newlines
+            # (see _whole_file_target_rows) — one spark.read.csv over mixed
+            # -attempt files would bind columns positionally to the first
+            # file's header
+            return self._whole_file_target_rows(existing, cfg.compression)
         if cfg.output_format == "json":
             df = self.spark.read.text(existing)
             time_str = F.get_json_object(F.col("value"), "$.value.time")
-        elif cfg.output_format == "parquet":
-            # typed target: the double -> string cast below is the same
-            # Java rendering the expectations side applies to its typed
-            # value.time column, so the anti-join keys align
-            df = self.spark.read.parquet(*existing)
-            time_str = (
-                F.col("`value.time`") if "value.time" in df.columns else F.lit(None)
+            path = F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
             )
-        else:
-            df = self.spark.read.option("header", True).csv(existing)
-            time_str = (
-                F.col("`value.time`") if "value.time" in df.columns else F.lit(None)
+            return df.select("*", "_metadata").select(
+                path.alias("target_path"),
+                time_str.cast("string").alias("time_str"),
             )
-        path = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-        return df.select("*", "_metadata").select(
-            path.alias("target_path"), time_str.cast("string").alias("time_str")
-        )
+        # parquet: typed target. Attempts exist BECAUSE schemas differ (a
+        # value.time TYPE change would make one scan over both attempts'
+        # files throw or null-fill), so read each attempt group separately
+        # and union the projected strings; the double -> string cast is the
+        # same Java rendering the expectations side applies.
+        import re as _re
+
+        by_attempt: dict[str, list[str]] = {}
+        for p in existing:
+            m = _re.search(r"_(\d+)\.parquet$", p)
+            by_attempt.setdefault(m.group(1) if m else "0", []).append(p)
+        parts: list[DataFrame] = []
+        for group in by_attempt.values():
+            df = self.spark.read.parquet(*group)
+            time_str = (
+                F.col("`value.time`")
+                if "value.time" in df.columns
+                else F.lit(None)
+            )
+            path = F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            )
+            parts.append(
+                df.select("*", "_metadata").select(
+                    path.alias("target_path"),
+                    time_str.cast("string").alias("time_str"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     @Timer.time("cleaner.verify")
     def verify_topic(self, topic: str, files: list[FileEntry]) -> dict[str, bool]:
-        """source_file -> fully extracted? One anti-join for the whole topic."""
+        """source_file -> fully extracted? One anti-join for the whole topic.
+
+        A file the expectation scan could NOT cover (its schema read failed
+        right now — transient storage error or post-commit corruption) is
+        never `extracted`: it produced zero expectations, so a membership
+        test on the unmatched set alone would silently promote it to
+        deletable with no verification at all (the reference treats
+        extraction-check errors as not-extracted,
+        TimestampExtractionCheck.kt errors => failed)."""
         if not files:
             return {}
-        src = self._source_expectations(topic, files).cache()
+        src, covered = self._source_expectations(topic, files)
+        src = src.cache()
         try:
             targets = [
                 r.target_path for r in src.select("target_path").distinct().collect()
@@ -275,7 +371,9 @@ class SourceDataCleaner:
             bad = {r.source_file for r in missing.collect()}
         finally:
             src.unpersist()
-        return {f.path: f.path not in bad for f in files}
+        return {
+            f.path: f.path in covered and f.path not in bad for f in files
+        }
 
     # -- C3: delete or revoke --------------------------------------------------
 

@@ -137,6 +137,19 @@ class RestructureConfig:
     index_rescan_s: float = 3600.0
     index_rescan_empty_s: float = 900.0
 
+    def __post_init__(self) -> None:
+        # Relative LOCAL paths are ambiguous across the processes that
+        # touch them: Spark executors resolve them against the executor
+        # JVM's cwd, the driver against its own, and the cleaner's
+        # expectation paths must match the absolute URIs
+        # `_metadata.file_path` reports. Pin them to the DRIVER's cwd at
+        # config creation, once, for every component alike. URI-schemed
+        # targets (s3a://, file:, ...) pass through untouched.
+        for attr in ("input_dir", "output_dir"):
+            val = getattr(self, attr)
+            if val and "://" not in val and not val.startswith("file:"):
+                setattr(self, attr, os.path.abspath(val))
+
 
 class RestructurePlan:
     def __init__(
@@ -524,12 +537,13 @@ class RestructurePlan:
         files = self.list_candidate_files(topic)
         if not files:
             return []
-        ext0 = {"csv": ".csv", "json": ".json", "parquet": ".parquet"}[
-            cfg.output_format
-        ] + (
-            ""
-            if cfg.output_format == "parquet"
-            else {None: "", "gzip": ".gz", "zip": ".zip"}[cfg.compression]
+        from radar_output_restructure_spark.sinks.writers import (
+            _COMP_EXT,
+            _FMT_EXT,
+        )
+
+        ext0 = _FMT_EXT[cfg.output_format] + (
+            "" if cfg.output_format == "parquet" else _COMP_EXT[cfg.compression]
         )
         finals: list[str] = []
         meta_cols = [
@@ -624,6 +638,11 @@ class RestructurePlan:
             # S9: one incremental index refresh per cycle — O(new files)
             # LIST requests on the steady state, full re-sync on its timer
             self.storage_index.update()
+        # bound the ledger's segment count: every commit appends one, every
+        # load replays them all — a long-lived service would otherwise pay
+        # O(runs) small-object reads per topic per cycle (concurrent-append
+        # safe: manifest.compact's name-anchored segment)
+        self.manifest.maybe_compact()
         topics = self.topics()
         n = max(1, int(self.config.num_threads or 1))
         if n == 1 or len(topics) <= 1:

@@ -235,3 +235,107 @@ def test_cleaner_parquet_revokes_on_missing_target(spark, tmp_path):
     assert result["deleted"] == []
     assert result["revoked"] == [f0]
     assert os.path.exists(f0)
+
+
+def test_cleaner_csv_embedded_newline_roundtrip(spark, tmp_path):
+    """RFC4180-quoted embedded newlines in CSV targets must survive the
+    cleaner's read-back: a line-splitting reader would break the quoted
+    record into garbage rows, miss the expectation match, and revoke the
+    source -> duplicate re-extraction forever."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t",
+        _rows(3600.0, 3, status="CONN\nECTED"), 0, 0, 2, SERVER_STATUS_SCHEMA,
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    RestructurePlan(spark, cfg).run()
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
+
+
+def test_cleaner_never_deletes_schema_unreadable_file(spark, tmp_path):
+    """A candidate whose schema cannot be read RIGHT NOW (lost fingerprint
+    cache + transient storage error, or post-commit corruption) produces
+    zero expectations; it must be revoked for a retry, never deleted as
+    'extracted with nothing unmatched' (reference: extraction-check errors
+    mean NOT extracted, TimestampExtractionCheck.kt)."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    RestructurePlan(spark, cfg).run()
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    # simulate: fingerprint cache lost AND the schema read failing now
+    cleaner.plan.schema_cache.get_many = lambda files, fn: {}
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == []
+    assert result["revoked"] == [f0]
+    assert os.path.exists(f0)  # the data is still there for the retry
+
+
+def test_cleaner_relative_output_dir(spark, tmp_path, monkeypatch):
+    """Expectation paths must match the ABSOLUTE URIs _metadata.file_path
+    reports even when output_dir is relative; a verbatim relative root
+    would leave every record unmatched -> revoke -> duplicate re-append."""
+    monkeypatch.chdir(tmp_path)
+    input_dir = str(tmp_path / "in")
+    f0 = _write_fixture(
+        spark, input_dir, "t", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA
+    )
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 2), 0, 3, 4, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir="out_rel")
+    RestructurePlan(spark, cfg).run()
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert result["deleted"] == [f0] and result["revoked"] == []
+
+
+def test_cleaner_mixed_attempt_csv_verification(spark, tmp_path):
+    """Schema-evolution attempts write targets with DIFFERENT headers
+    (`bin.csv` vs `bin_1.csv` with an extra column). The cleaner's CSV
+    read-back must parse each file against its OWN header — a single
+    spark.read.csv over both binds the second file's columns positionally
+    to the first header and reads the wrong field as value.time, flagging
+    perfectly-extracted sources."""
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    f0 = _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(time=3600.0, status="A"))],
+        0, 0, 0,
+    )
+    # evolved schema: battery precedes time so positional binding against
+    # the attempt-0 header reads battery as value.time
+    evolved = (
+        "key struct<projectId: string, userId: string, sourceId: string>, "
+        "value struct<battery: double, time: double, status: string>"
+    )
+    f1 = _write_fixture(
+        spark, input_dir, "t",
+        [Row(key=Row(projectId="p", userId="u", sourceId="s"),
+             value=Row(battery=0.5, time=3601.0, status="B"))],
+        0, 1, 1, evolved,
+    )
+    # max-offset holder so both earlier files are candidates
+    _write_fixture(
+        spark, input_dir, "t", _rows(7200.0, 1), 0, 2, 2, SERVER_STATUS_SCHEMA
+    )
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    assert any(f.endswith("_1.csv") for f in finals)  # attempt happened
+
+    cleaner = SourceDataCleaner(spark, cfg, CleanerConfig(age_days=0.0))
+    result = cleaner.run_topic("t")
+    assert sorted(result["deleted"]) == sorted([f0, f1])
+    assert result["revoked"] == []
