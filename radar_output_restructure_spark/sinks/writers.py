@@ -27,6 +27,7 @@ import gzip
 import json
 import os
 import threading
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -575,7 +576,14 @@ def write_output_tree(
         by_dir.setdefault(rel_dir, []).append(f)
     jobs: list[tuple[str, list[str], str, list[str]]] = []
     for rel_dir, parts in by_dir.items():
-        segs = [kv.split("=", 1)[1] for kv in rel_dir.split("/")]
+        # partitionBy Hive-escapes special chars in directory names
+        # (':' -> '%3A', '%' -> '%25', ...); the output tree's names must
+        # carry the RAW partition values, exactly as the direct writer
+        # derives them from the column values — a literal '%' is itself
+        # escaped by Hive, so percent-decoding is a faithful inverse
+        segs = [
+            unquote(kv.split("=", 1)[1]) for kv in rel_dir.split("/")
+        ]
         *dir_segs, bin_seg = segs
         final_dir = os.path.join(out_dir, *dir_segs)
         final = os.path.join(final_dir, bin_seg + extension)

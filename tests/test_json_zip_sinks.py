@@ -140,6 +140,27 @@ def test_legacy_partitionby_writer_paths(spark, tmp_path):
     assert open(finals[0]).read().splitlines() == ["v", "a", "b", "A", "B"]
 
 
+def test_finalize_unescapes_hive_partition_values(spark, tmp_path):
+    """partitionBy Hive-escapes special chars in directory names (':' ->
+    '%3A', '%' -> '%25'); finalize must undo that so output names carry
+    the RAW partition values, exactly like the direct writer (and like the
+    cleaner's expectation paths, which are built from the column values)."""
+    from radar_output_restructure_spark.sinks.writers import write_output_tree
+
+    df = spark.createDataFrame(
+        [("p", "u 1", "t", "12:30_50%", 1, "a")],
+        "pf_p string, pf_u string, pf_topic string, pf_bin string, __pos long, v string",
+    )
+    out = str(tmp_path / "out")
+    finals = write_output_tree(
+        df, out, ["pf_p", "pf_u", "pf_topic", "pf_bin"], fmt="csv", order_col="__pos"
+    )
+    assert [os.path.relpath(f, out) for f in finals] == [
+        "p/u 1/t/12:30_50%.csv"
+    ]
+    assert open(finals[0]).read().splitlines() == ["v", "a"]
+
+
 def test_hadoop_target_storage_roundtrip(spark, tmp_path):
     """HadoopTargetStorage against the local FileSystem (file:// scheme) —
     the same code path serves s3a:// / abfs:// through Hadoop config."""
