@@ -18,9 +18,15 @@ with two safety valves:
 Same trade-offs as the reference: a file that arrives with a name SORTING
 BEFORE the cursor (out-of-order upload) and a brand-new subdirectory under a
 file-bearing directory are both picked up by the next full sync, not the
-incremental pass — the Kafka sink's `<topic>+<partition>+<offset>` naming is
-monotonic per directory, so in practice only the full sync's deletion sweep
-matters.
+incremental pass. The Kafka sink's `<topic>+<partition>+<offset>` naming is
+only lexicographically monotonic when offsets are ZERO-PADDED (the Confluent
+sinks' default, width 10): unpadded offsets roll over at every digit-length
+boundary (`t+0+1000` sorts BEFORE `t+0+999`), which would make the cursor
+skip every new file for the whole next decade of offsets. So the cursor is
+used per directory only when its observed names prove padding (uniform field
+widths with a leading-zero witness, or a constant field); otherwise the
+directory is fully re-listed each update — still one LIST round per
+directory, just without the O(new) head start.
 
 Driver-side only: the index is file METADATA (path, mtime, size), ~100 bytes
 per file; 10M files is ~1 GB on the driver, the same envelope as the
@@ -32,8 +38,40 @@ flow into the normal read path.
 from __future__ import annotations
 
 import os
+import re
 import time
 from collections.abc import Callable
+
+_NUM_FIELDS = re.compile(r"\+(\d+)")
+
+
+def _cursor_safe(names) -> bool:
+    """True when every FUTURE file name in this directory is guaranteed to
+    sort lexicographically after the current maximum, so a `startAfter`
+    cursor cannot skip arrivals. Offset-style names (`topic+part+from+to`)
+    qualify per numeric field when the field is constant across files or
+    zero-padded to a uniform width (leading-zero witness); anything else —
+    including unpadded offsets, which roll over at digit-length boundaries —
+    gets a full per-directory listing instead."""
+    fields_per_name = [_NUM_FIELDS.findall(n) for n in names]
+    nfields = {len(f) for f in fields_per_name}
+    if len(nfields) != 1 or nfields == {0}:
+        return False
+    for pos in range(nfields.pop()):
+        vals = {f[pos] for f in fields_per_name}
+        if pos == 0 and len(vals) == 1:
+            # the first numeric field is the Kafka partition, constant per
+            # `partition=N` directory BY CONSTRUCTION — the only field a
+            # constant-so-far observation actually proves anything about
+            continue
+        if len({len(v) for v in vals}) != 1:
+            return False  # mixed widths: already rolled over once
+        if not any(len(v) > 1 and v[0] == "0" for v in vals):
+            return False  # no MULTI-digit leading-zero witness (a bare
+            # '0' proves nothing — 0..9 then 10 rolls over; a lone
+            # unpadded '990' rolls over at 1000): the next digit-length
+            # rollover would sort before the cursor
+    return True
 
 
 class StorageIndexManager:
@@ -114,8 +152,15 @@ class StorageIndexManager:
                     ops += self._update_level(os.path.join(d, name), rescan_empty)
             return ops
         if known_files:
-            cursor = max(known_files)
-            dirs, entries = self.storage.list_entries(d, start_after=cursor)
+            if _cursor_safe(known_files):
+                cursor = max(known_files)
+                dirs, entries = self.storage.list_entries(
+                    d, start_after=cursor
+                )
+            else:
+                # names don't prove lexicographic monotonicity (unpadded
+                # offsets roll over): full per-directory list, no cursor
+                dirs, entries = self.storage.list_entries(d)
             ops = 1
             for name, m, s in entries:
                 known_files[name] = (m, s)
