@@ -59,8 +59,11 @@ class ProcessedFileManifest:
 
     def load(self) -> dict[str, int]:
         """path -> last committed mtime (latest entry wins, tombstones drop)."""
+        return self._replay(self._segments())
+
+    def _replay(self, segments: list[str]) -> dict[str, int]:
         state: dict[str, int] = {}
-        for seg in self._segments():
+        for seg in segments:
             for line in self.storage.read(seg).decode().splitlines():
                 if not line.strip():
                     continue
@@ -111,12 +114,46 @@ class ProcessedFileManifest:
         self._append("revoke", files)
 
     def compact(self) -> None:
-        """Rewrite all segments into one (the reference's full-sync analog)."""
-        state = self.load()
+        """Rewrite the current segments into one (the reference's full-sync
+        analog) — every commit appends a segment and load() replays them
+        all, so an uncompacted ledger costs O(runs) small-object reads per
+        load and grows without bound.
+
+        Safe against concurrent appenders (a second replica committing or
+        revoking while this one compacts): the compacted segment's name is
+        anchored to SORT IMMEDIATELY AFTER the last segment it subsumes,
+        not at the current timestamp — any segment stored after this
+        compaction's listing carries a newer timestamp name, sorts after
+        the compacted state, and replays later, so a concurrent revoke (or
+        mtime re-commit) is never shadowed by the older state this
+        compaction captured. (Holds under the same bounded-clock-skew
+        assumption every timestamped segment name already makes.) Crash
+        windows are idempotent: compacted-written-but-originals-undeleted
+        replays to the identical state; a later compact retries the
+        deletes."""
         segments = self._segments()
-        self._append("commit", [FileEntry(p, m) for p, m in sorted(state.items())])
-        for seg in segments:
-            self.storage.delete(seg)
+        if len(segments) <= 1:
+            return
+        state = self._replay(segments)
+        # "<last>.jsonl" < "<last>.jsonl~compact-….jsonl" < any newer
+        # "<ts>-….jsonl": prefix-extension sorts right after its prefix
+        seg = f"{segments[-1]}~compact-{uuid.uuid4().hex[:8]}.jsonl"
+        body = "".join(
+            json.dumps({"op": "commit", "path": p, "modified_ms": m}) + "\n"
+            for p, m in sorted(state.items())
+        )
+        self.storage.store_atomic(seg, body.encode())
+        for old in segments:
+            self.storage.delete(old)
+
+    def maybe_compact(self, max_segments: int = 64) -> bool:
+        """Compact when the segment count exceeds `max_segments`; the
+        steady-state hook for long-lived services (one commit segment per
+        fingerprint group per run adds up). Returns True when it ran."""
+        if len(self._segments()) <= max_segments:
+            return False
+        self.compact()
+        return True
 
 
 class AttemptRegistry:

@@ -104,6 +104,7 @@ def streaming_restructure(
         # startup snapshot covers. Without a lock the per-batch reload
         # would not have prevented interleaved double-writes anyway (both
         # replicas prune before either commits).
+        plan.manifest.maybe_compact()  # bound segment growth (see plan.run)
         seen = plan.manifest.load()
 
         def process_batch(batch_df, _batch_id: int) -> None:

@@ -334,3 +334,74 @@ def test_wide_simhash_banding_model(base, flip_bits, far):
     lo_f, hi_f = far
     h_far = bin(lo_a ^ lo_f).count("1") + bin(hi_a ^ hi_f).count("1")
     assert 0 <= h_far <= 64
+
+
+def test_manifest_compact_is_concurrent_append_safe(tmp_path_factory):
+    """Ledger compaction under a concurrent appender: the compacted segment
+    is name-anchored to sort immediately after the LAST segment it
+    subsumes, so a revoke (or newer re-commit) stored after the compaction
+    read its segments replays AFTER the compacted state instead of being
+    shadowed by it — the resurrection race a now()-named segment has."""
+    import os as _os
+
+    from radar_output_restructure_spark.sources.manifest import (
+        FileEntry,
+        ProcessedFileManifest,
+    )
+
+    d = str(tmp_path_factory.mktemp("manifest"))
+    m = ProcessedFileManifest(d)
+    for i in range(5):
+        m.commit([FileEntry(f"/f{i}", 100 + i)])
+    subsumed = m._segments()
+
+    # simulate the race: another replica's revoke and mtime re-commit land
+    # AFTER compact listed its segments but BEFORE it publishes. compact()
+    # reads its own listing, so run it with the listing pinned first.
+    state_at_listing = m._replay(subsumed)
+    racer = ProcessedFileManifest(d)
+    racer.revoke([FileEntry("/f1", 0)])
+    racer.commit([FileEntry("/f2", 999)])  # reprocessed-with-newer-mtime
+
+    # perform the compaction exactly as compact() does, from the pinned
+    # listing (the three-line body is re-run here because compact() would
+    # re-list and see the racer's segments, hiding the race)
+    seg = subsumed[-1] + "~compact-test.jsonl"
+    import json as _json
+
+    body = "".join(
+        _json.dumps({"op": "commit", "path": p, "modified_ms": mm}) + "\n"
+        for p, mm in sorted(state_at_listing.items())
+    )
+    m.storage.store_atomic(seg, body.encode())
+    for old in subsumed:
+        m.storage.delete(old)
+
+    final = ProcessedFileManifest(d).load()
+    assert "/f1" not in final  # the revoke survived the compaction
+    assert final["/f2"] == 999  # the newer mtime survived too
+    assert final["/f0"] == 100 and final["/f4"] == 104
+
+    # and the real compact() on the settled ledger preserves state exactly
+    m2 = ProcessedFileManifest(d)
+    m2.compact()
+    assert len(m2._segments()) == 1
+    assert m2.load() == final
+
+
+def test_manifest_maybe_compact_bounds_segments(tmp_path_factory):
+    from radar_output_restructure_spark.sources.manifest import (
+        FileEntry,
+        ProcessedFileManifest,
+    )
+
+    d = str(tmp_path_factory.mktemp("manifest"))
+    m = ProcessedFileManifest(d)
+    for i in range(70):
+        m.commit([FileEntry(f"/f{i}", i)])
+    state = m.load()
+    assert len(m._segments()) == 70
+    assert m.maybe_compact() is True
+    assert len(m._segments()) == 1
+    assert m.load() == state
+    assert m.maybe_compact() is False  # under the threshold: no-op
