@@ -80,6 +80,16 @@ class PathFormat:
 
     def __post_init__(self) -> None:
         self._params = _PARAM_RE.findall(self.fmt)
+        for parts in self._parsed_segments()[:-1]:
+            if any(
+                kind == "param"
+                and value in ("filename", "attempt", "extension")
+                for kind, value in parts
+            ):
+                raise ValueError(
+                    "${filename}/${attempt}/${extension} must live in the "
+                    "LAST path segment — they name the output FILE"
+                )
         if not self.require_distinction:
             return
         if "topic" not in self._params:
@@ -88,6 +98,29 @@ class PathFormat:
             "attempt" in self._params and "extension" in self._params
         ):
             raise ValueError("path format must contain ${filename} or ${attempt}+${extension}")
+
+    def _parsed_segments(
+        self,
+    ) -> list[list[tuple[str, str]]]:
+        """The format split into `/`-separated PATH SEGMENTS, each a list of
+        ('lit', text) | ('param', name) pieces. Literal text inside a
+        segment survives verbatim (the reference's PathFormatter.format
+        semantics — `${userId}-${sourceId}` keeps the dash, a constant
+        `staging` segment stays a directory); dropping literals and joining
+        bare params with '/' would silently rename every output path."""
+        segments: list[list[tuple[str, str]]] = []
+        for seg in self.fmt.split("/"):
+            parts: list[tuple[str, str]] = []
+            pos = 0
+            for m in _PARAM_RE.finditer(seg):
+                if m.start() > pos:
+                    parts.append(("lit", seg[pos : m.start()]))
+                parts.append(("param", m.group(1)))
+                pos = m.end()
+            if pos < len(seg) or not parts:
+                parts.append(("lit", seg[pos:]))
+            segments.append(parts)
+        return segments
 
     def needs_mp_join(self) -> bool:
         return any(p.startswith("mp:") for p in self._params)
@@ -141,7 +174,15 @@ class PathFormat:
         """Attach segment columns `_seg0.._segN` and the joined `out_col`."""
         attempt = attempt if attempt is not None else F.lit(0)
         df = self._with_mp_join(df)
-        segs = [self._segment(df, p, event_ts, attempt) for p in self._params]
+        segs = [
+            F.concat(
+                *[
+                    F.lit(v) if k == "lit" else self._segment(df, v, event_ts, attempt)
+                    for k, v in parts
+                ]
+            )
+            for parts in self._parsed_segments()
+        ]
         return df.withColumn(out_col, F.concat_ws("/", *segs)).drop(
             *self._mp_cols()
         )
@@ -203,18 +244,68 @@ class PathFormat:
     def partition_columns(
         self, df: DataFrame, event_ts: Column, prefix: str = "pf_"
     ) -> tuple[DataFrame, list[str]]:
-        """Attach one named column per non-filename segment plus the time bin —
-        the groupBy/partitionBy key set for the partitioned writer."""
+        """Attach one named column per non-file PATH SEGMENT plus the time
+        bin — the groupBy/partitionBy key set for the partitioned writer.
+        Literal text inside a segment is preserved (see _parsed_segments);
+        a single-param segment keeps its param-derived name (pf_topic et
+        al., which the writers reference), a mixed or literal segment gets
+        a positional pf_seg<i> name."""
         names: list[str] = []
         attempt = F.lit(0)
         df = self._with_mp_join(df)
-        for p in self._params:
-            if p in ("filename", "attempt", "extension"):
+        segments = self._parsed_segments()
+        for i, parts in enumerate(segments):
+            params = [v for k, v in parts if k == "param"]
+            if any(
+                p in ("filename", "attempt", "extension") for p in params
+            ):
+                # the FILE segment: the writer owns bin + attempt +
+                # extension; any literal prefix/suffix folds into pf_bin
                 continue
-            name = prefix + re.sub(r"[^A-Za-z0-9_]", "_", p)
-            df = df.withColumn(name, self._segment(df, p, event_ts, attempt))
+            if len(parts) == 1 and parts[0][0] == "param":
+                name = prefix + re.sub(r"[^A-Za-z0-9_]", "_", parts[0][1])
+                col = self._segment(df, parts[0][1], event_ts, attempt)
+            else:
+                name = f"{prefix}seg{i}"
+                col = F.concat(
+                    *[
+                        F.lit(v)
+                        if k == "lit"
+                        else self._segment(df, v, event_ts, attempt)
+                        for k, v in parts
+                    ]
+                )
+            df = df.withColumn(name, col)
             names.append(name)
-        df = df.withColumn(prefix + "bin", time_bin(event_ts, self.time_bin_format))
+        # the bin column renders the file segment with ${filename} -> the
+        # time bin and writer-owned ${attempt}/${extension} -> nothing,
+        # literals (e.g. a "logs-" prefix) verbatim
+        file_parts = segments[-1]
+        is_file_segment = any(
+            k == "param" and v in ("filename", "attempt", "extension")
+            for k, v in file_parts
+        )
+        bin_pieces = []
+        if is_file_segment:
+            for k, v in file_parts:
+                if k == "lit":
+                    bin_pieces.append(F.lit(v))
+                elif v == "filename":
+                    bin_pieces.append(
+                        time_bin(event_ts, self.time_bin_format)
+                    )
+                elif v in ("attempt", "extension"):
+                    continue
+                else:
+                    bin_pieces.append(self._segment(df, v, event_ts, attempt))
+        if not bin_pieces:
+            # no file segment (require_distinction=False callers): the time
+            # bin alone names the file, exactly as before
+            bin_pieces = [time_bin(event_ts, self.time_bin_format)]
+        df = df.withColumn(
+            prefix + "bin",
+            bin_pieces[0] if len(bin_pieces) == 1 else F.concat(*bin_pieces),
+        )
         names.append(prefix + "bin")
         return df.drop(*self._mp_cols()), names
 

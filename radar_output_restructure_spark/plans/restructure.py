@@ -191,7 +191,7 @@ class RestructurePlan:
         self.schema_cache = SchemaFingerprintCache(
             offsets_dir, self.target_storage
         )
-        self._mp_dim_cache: DataFrame | None = None
+        self._mp_plugin = None  # lazy MPPathPlugin; its HTTP caches are TTL'd
         self._lock_manager = None
         if config.lock_dir:
             # Scheme-aware (T5): s3://-/azure://-prefixed lock dirs
@@ -223,23 +223,24 @@ class RestructurePlan:
 
     def _resolve_mp_dim(self) -> DataFrame | None:
         """`${mp:...}` dimension frame: explicit `mp_dim` wins; otherwise
-        `mp_properties` builds the REST client once per plan (TTL caches
-        inside the client keep repeat topics cheap) and the frame is cached
-        so every topic's path compile joins the same snapshot."""
+        `mp_properties` builds the REST client once per plan and the frame
+        is RE-materialized per call through the client's TTL'd HTTP caches
+        (default 10 min, the reference's refresh cadence) — a plan-lifetime
+        frame cache would freeze the subject snapshot for as long as the
+        service loop reuses the plan, routing every later enrollee to the
+        sanitize default forever."""
         cfg = self.config
         if cfg.mp_dim is not None:
             return cfg.mp_dim
         if cfg.mp_properties is None:
             return None
-        if self._mp_dim_cache is None:
+        if self._mp_plugin is None:
             from radar_output_restructure_spark.sources.mp_client import (
                 MPPathPlugin,
             )
 
-            self._mp_dim_cache = MPPathPlugin(cfg.mp_properties).mp_dim(
-                self.spark
-            )
-        return self._mp_dim_cache
+            self._mp_plugin = MPPathPlugin(cfg.mp_properties)
+        return self._mp_plugin.mp_dim(self.spark)
 
     # -- driver-side listing / pruning (file granularity, SURVEY §2.8) ------
 
@@ -360,7 +361,28 @@ class RestructurePlan:
             # bucket leads the grouping key: it is the output ROOT (object
             # store bucket / first local segment), computed per record like
             # every other path segment — same shuffle, no extra pass.
-            df = df.withColumn("pf_bucket", cfg.bucket.column(df, ts))
+            # Inject the plan's param context (custom `${name}` resolvers,
+            # the mp dimension, the configured bin format) unless the
+            # BucketFormat instance carries its own: a YAML-loaded bucket
+            # using `${mp:organization}` or a pathParams plugin must see
+            # the same resolvers the path format one line below gets.
+            from dataclasses import replace as _dc_replace
+
+            bucket = _dc_replace(
+                cfg.bucket,
+                time_bin_format=cfg.time_bin_format,
+                custom_params=cfg.bucket.custom_params or cfg.path_params,
+                mp_dim=(
+                    cfg.bucket.mp_dim
+                    if cfg.bucket.mp_dim is not None
+                    else (
+                        self._resolve_mp_dim()
+                        if "${mp:" in cfg.bucket.fmt
+                        else None
+                    )
+                ),
+            )
+            df = df.withColumn("pf_bucket", bucket.column(df, ts))
             part_cols = ["pf_bucket", *part_cols]
         meta_cols = [
             "source_file",

@@ -211,3 +211,67 @@ def test_bucket_routes_pipeline_output(spark, tmp_path):
         "bkt-alpha/alpha/u/t/19700101_0100.csv",
         "fallback/beta/u/t/19700101_0100.csv",
     ]
+
+
+def test_literals_inside_segments_survive(spark):
+    """The reference's PathFormatter renders literal text verbatim —
+    `${userId}-${sourceId}` keeps the dash, a constant `staging` segment
+    stays a directory. Dropping literals and joining bare params with '/'
+    would silently rename every output path of a literal-bearing format."""
+    df = _df(spark)
+    fmt = PathFormat(
+        fmt="staging/${projectId}/${userId}-${sourceId}/${topic}/${filename}",
+        extension=".csv",
+    )
+    out = fmt.apply(df, event_time(df)).first()
+    assert out.output_path == "staging/P1/u1-s1/t/20200128_1300.csv"
+
+    with_cols, names = fmt.partition_columns(df, event_time(df))
+    row = with_cols.select(*names).first()
+    assert list(row) == ["staging", "P1", "u1-s1", "t", "20200128_1300"]
+    # single-param segments keep their param-derived names (writers
+    # reference pf_topic); mixed/literal segments get positional names
+    assert "pf_topic" in names and "pf_projectId" in names
+
+
+def test_literal_prefix_on_filename_segment(spark):
+    df = _df(spark)
+    fmt = PathFormat(
+        fmt="${projectId}/${topic}/log-${filename}", extension=".csv"
+    )
+    _with, names = fmt.partition_columns(df, event_time(df))
+    row = _with.select(names[-1]).first()
+    assert row[0] == "log-20200128_1300"
+
+
+def test_filename_must_be_last_segment():
+    with pytest.raises(ValueError, match="LAST path segment"):
+        PathFormat(fmt="${filename}/${topic}/${projectId}")
+
+
+def test_bucket_format_receives_plan_params(spark, tmp_path):
+    """A YAML-loaded bucket format using a registered ${param} (or
+    ${mp:...}) must see the SAME resolvers the path format gets — config
+    constructs BucketFormat bare, so the plan injects its param context."""
+    from radar_output_restructure_spark.plans.path_format import BucketFormat
+    from radar_output_restructure_spark.plans.restructure import (
+        RestructureConfig,
+        RestructurePlan,
+    )
+    from tests.test_restructure_e2e import SERVER_STATUS_SCHEMA, _write_fixture
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    rows = [
+        Row(key=Row(projectId="p1", userId="u", sourceId="s"),
+            value=Row(time=3600.0, serverStatus="A", ipAddress=None))
+    ]
+    _write_fixture(spark, input_dir, "t", rows, 0, 0, 0, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        bucket=BucketFormat(fmt="zone-${site}"),  # bare, like load_config
+        path_params={"site": lambda df, ts: F.lit("eu-1")},
+    )
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    rel = [os.path.relpath(f, output_dir) for f in finals]
+    assert rel == ["zone-eu-1/p1/u/t/19700101_0100.csv"]
