@@ -76,24 +76,31 @@ def main(argv: list[str] | None = None) -> int:
         Timer.enabled = True
     spark = get_spark(master=args.master)
     try:
+        if cfg.service.enable:
+            # ONE service loop covering every input per cycle — a
+            # loop-per-input would run the first input forever and the
+            # rest never (the reference service covers all inputs each
+            # cycle); worker.enable=false gives the cleaner-only service
+            run_service(
+                spark,
+                [cfg.for_input(d) for d in cfg.inputs],
+                interval_s=cfg.service.interval_s,
+                cleaner_interval_s=cfg.service.cleaner_interval_s,
+                cleaner=cfg.cleaner if cfg.service.cleaner_enable else None,
+                max_iterations=args.max_iterations,
+                worker_enable=cfg.service.worker_enable,
+                on_cycle=lambda i, r: print(
+                    f"[cycle {i}] "
+                    + ", ".join(
+                        f"{t}: {len(files)} files" for t, files in r["restructure"].items()
+                    )
+                ),
+            )
+            if args.timings:
+                print(Timer.report())
+            return 0
         for input_dir in cfg.inputs:
             rcfg = cfg.for_input(input_dir)
-            if cfg.service.enable:
-                run_service(
-                    spark,
-                    rcfg,
-                    interval_s=cfg.service.interval_s,
-                    cleaner_interval_s=cfg.service.cleaner_interval_s,
-                    cleaner=cfg.cleaner if cfg.service.cleaner_enable else None,
-                    max_iterations=args.max_iterations,
-                    on_cycle=lambda i, r: print(
-                        f"[cycle {i}] "
-                        + ", ".join(
-                            f"{t}: {len(files)} files" for t, files in r["restructure"].items()
-                        )
-                    ),
-                )
-                continue
             if cfg.service.worker_enable:
                 result = RestructurePlan(spark, rcfg).run()
                 for topic, files in result.items():

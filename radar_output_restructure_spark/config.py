@@ -127,7 +127,11 @@ def load_config(path: str) -> AppConfig:
 
     fmt = raw.get("format") or {}
     comp = (raw.get("compression") or {}).get("type", "none")
-    comp = None if comp in (None, "none") else str(comp).lower()
+    # lowercase BEFORE the none-check: YAML `type: NONE` must mean no
+    # compression, not the literal codec string "none" (a KeyError at
+    # write time)
+    comp = str(comp).lower() if comp is not None else None
+    comp = None if comp in (None, "none") else comp
     worker = raw.get("worker") or {}
     paths = raw.get("paths") or {}
     source = raw.get("source") or {}
@@ -163,13 +167,26 @@ def load_config(path: str) -> AppConfig:
             default_name=str(bucket_raw.get("defaultName", "radar-output-storage")),
         )
 
+    from radar_output_restructure_spark.operators.timebin import (
+        DEFAULT_BIN_FORMAT,
+    )
+    from radar_output_restructure_spark.plans.path_format import (
+        DEFAULT_FORMAT,
+    )
+
+    # the reference MP plugin's documented property channel
+    # (path/MPPathFormatterPlugin.kt:26-28): presence of the URL in
+    # paths.properties activates `${mp:...}` resolution via REST
+    mp_properties = (
+        dict(path_props) if path_props.get("managementPortalUrl") else None
+    )
+
     restructure = RestructureConfig(
         output_dir=str(paths.get("output", "output")),
         bucket=bucket,
-        path_format=path_props.get(
-            "format", "${projectId}/${userId}/${topic}/${filename}"
-        ),
-        time_bin_format=path_props.get("timeBinFormat", "yyyyMMdd_HH'00'"),
+        path_format=path_props.get("format", DEFAULT_FORMAT),
+        time_bin_format=path_props.get("timeBinFormat", DEFAULT_BIN_FORMAT),
+        mp_properties=mp_properties,
         output_format=str(fmt.get("type", "csv")).lower(),
         compression=comp,
         exclude_fields=set(fmt.get("excludeFields") or ()),

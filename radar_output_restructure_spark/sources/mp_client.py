@@ -132,16 +132,46 @@ class MPClient:
                 },
                 body,
             )
-            return json.loads(raw)["access_token"]
+            payload = json.loads(raw)
+            # remember the token's OWN lifetime: a 5-min token cached for
+            # the 10-min default window would be served dead for minutes
+            expires_in = payload.get("expires_in")
+            self._token_lifetime_cap = (
+                self._clock() + float(expires_in) * 0.9
+                if expires_in is not None
+                else None
+            )
+            return payload["access_token"]
 
-        return self._cached(self._token_cache, fetch)
+        token = self._cached(self._token_cache, fetch)
+        # _cached stamps fresh_until = now + refresh_s AFTER fetch returns;
+        # cap it to the token's own lifetime when that is shorter
+        cap = getattr(self, "_token_lifetime_cap", None)
+        if cap is not None and self._token_cache.fresh_until > cap:
+            self._token_cache.fresh_until = cap
+        return token
 
     def _get_json(self, path: str) -> Any:
-        raw = self._transport(
-            f"{self.url}{path}",
-            {"Authorization": f"Bearer {self._token()}"},
-            None,
-        )
+        try:
+            raw = self._transport(
+                f"{self.url}{path}",
+                {"Authorization": f"Bearer {self._token()}"},
+                None,
+            )
+        except Exception as exc:
+            # an expired/revoked token must not keep poisoning every call
+            # until the cache window lapses: drop it and retry ONCE with a
+            # freshly fetched one
+            if "401" not in str(exc):
+                raise
+            self._token_cache.have_value = False
+            self._token_cache.fresh_until = 0.0
+            self._token_cache.retry_after = 0.0
+            raw = self._transport(
+                f"{self.url}{path}",
+                {"Authorization": f"Bearer {self._token()}"},
+                None,
+            )
         return json.loads(raw)
 
     def projects(self) -> list[dict]:

@@ -28,28 +28,54 @@ from radar_output_restructure_spark.plans.restructure import (
 
 def run_service(
     spark: SparkSession,
-    config: RestructureConfig,
+    config: RestructureConfig | list[RestructureConfig],
     interval_s: float = 300.0,
     cleaner_interval_s: float = 1260.0,
     cleaner: CleanerConfig | None = None,
     max_iterations: int | None = None,
     on_cycle: Callable[[int, dict], None] | None = None,
     sleep: Callable[[float], None] = time.sleep,
+    worker_enable: bool = True,
 ) -> int:
     """Run restructure every `interval_s` and the cleaner every
     `cleaner_interval_s` (reference defaults 300 s / 1260 s), serialized
     within the loop like the reference's serviceMutex. Returns iterations
     run. `max_iterations`/`on_cycle`/`sleep` exist for tests and embedding.
+
+    `config` may be a LIST (one per paths.inputs entry): every cycle covers
+    every input, like the reference service — a loop-per-input would run
+    the first input forever and never reach the rest. `worker_enable=False`
+    gives the cleaner-only deployment (worker.enable: false): the cleaner
+    still honours its own interval, restructure never runs. The cleaner
+    runs on the FIRST cycle and then per interval (a `0.0` start against
+    time.monotonic() would make the first run depend on host uptime).
     """
-    plan = RestructurePlan(spark, config)
-    cleaner_job = SourceDataCleaner(spark, config, cleaner) if cleaner else None
-    last_clean = 0.0
+    configs = config if isinstance(config, list) else [config]
+    plans = (
+        [RestructurePlan(spark, c) for c in configs] if worker_enable else []
+    )
+    cleaner_jobs = (
+        [SourceDataCleaner(spark, c, cleaner) for c in configs]
+        if cleaner
+        else []
+    )
+    last_clean: float | None = None
     i = 0
     while max_iterations is None or i < max_iterations:
         started = time.monotonic()
-        result: dict = {"restructure": plan.run()}
-        if cleaner_job and time.monotonic() - last_clean >= cleaner_interval_s:
-            result["cleaner"] = cleaner_job.run()
+        restructured: dict[str, list[str]] = {}
+        for plan in plans:
+            for topic, files in plan.run().items():
+                restructured.setdefault(topic, []).extend(files)
+        result: dict = {"restructure": restructured}
+        if cleaner_jobs and (
+            last_clean is None
+            or time.monotonic() - last_clean >= cleaner_interval_s
+        ):
+            cleaned: dict[str, dict] = {}
+            for job in cleaner_jobs:
+                cleaned.update(job.run())
+            result["cleaner"] = cleaned
             last_clean = time.monotonic()
         i += 1
         if on_cycle:

@@ -227,3 +227,43 @@ paths:
     )
     out = pf.apply(df, event_ts=F.lit(0).cast("timestamp")).collect()[0]
     assert out.output_path.startswith("p/lab-7/u9/t/")
+
+
+def test_compression_none_case_insensitive(tmp_path):
+    """YAML `type: NONE` must mean no compression, not the literal codec
+    string "none" (a KeyError at write time)."""
+    p = tmp_path / "c.yml"
+    p.write_text(
+        "paths:\n  inputs: [/in]\n  output: /out\n"
+        "compression:\n  type: NONE\n"
+    )
+    assert load_config(str(p)).restructure.compression is None
+    p.write_text(
+        "paths:\n  inputs: [/in]\n  output: /out\n"
+        "compression:\n  type: GZIP\n"
+    )
+    assert load_config(str(p)).restructure.compression == "gzip"
+
+
+def test_mp_properties_wired_from_paths_properties(tmp_path):
+    """The reference MP plugin's documented channel: managementPortalUrl
+    (+ client id/secret) inside paths.properties must reach
+    RestructureConfig.mp_properties, or every ${mp:...} format crashes at
+    transform time with 'no mp_dim DataFrame supplied'."""
+    p = tmp_path / "c.yml"
+    p.write_text(
+        "paths:\n"
+        "  inputs: [/in]\n"
+        "  output: /out\n"
+        "  properties:\n"
+        "    format: ${projectId}/${mp:organization}/${topic}/${filename}\n"
+        "    managementPortalUrl: http://mp.example\n"
+        "    managementPortalClientId: cid\n"
+        "    managementPortalClientSecret: sec\n"
+    )
+    cfg = load_config(str(p)).restructure
+    assert cfg.mp_properties is not None
+    assert cfg.mp_properties["managementPortalUrl"] == "http://mp.example"
+    # and absence keeps it None
+    p.write_text("paths:\n  inputs: [/in]\n  output: /out\n")
+    assert load_config(str(p)).restructure.mp_properties is None

@@ -233,3 +233,59 @@ def test_restructure_pipeline_with_mp_properties(spark, tmp_path, mp_server):
     header = open(finals[0]).readline().strip()
     assert "mp_" not in header
     assert header.startswith("key.projectId,key.userId")
+
+
+def test_token_lifetime_caps_cache_window():
+    """A token whose expires_in is SHORTER than the 10-min cache window
+    must be refreshed at its own lifetime — serving a dead token for the
+    remainder of the window 401s every call."""
+    clock = [0.0]
+    calls = []
+
+    def transport(url, headers, data=None):
+        calls.append(url)
+        if url.endswith("/oauth/token"):
+            return json.dumps(
+                {"access_token": f"tok-{len(calls)}", "expires_in": 300}
+            ).encode()
+        return json.dumps([]).encode()
+
+    c = MPClient(
+        "http://mp.example",
+        client_id="cid",
+        client_secret="sec",
+        transport=transport,
+        clock=lambda: clock[0],
+    )
+    t1 = c._token()
+    assert c._token() == t1  # cached while alive
+    clock[0] = 280.0  # past 0.9 * 300 = 270 s, well under the 600 s window
+    t2 = c._token()
+    assert t2 != t1  # refreshed at the token's own lifetime
+
+
+def test_401_invalidates_token_and_retries_once():
+    """An expired/revoked token must not poison every call until the cache
+    window lapses: a 401 drops the cached token and retries once fresh."""
+    state = {"valid": "tok-1", "minted": 0}
+
+    def transport(url, headers, data=None):
+        if url.endswith("/oauth/token"):
+            state["minted"] += 1
+            state["valid"] = f"tok-{state['minted']}"
+            return json.dumps({"access_token": state["valid"]}).encode()
+        if headers["Authorization"] != f"Bearer {state['valid']}":
+            raise IOError("HTTP 401 Unauthorized")
+        return json.dumps([{"projectName": "p", "attributes": {}}]).encode()
+
+    c = MPClient(
+        "http://mp.example",
+        client_id="cid",
+        client_secret="sec",
+        transport=transport,
+    )
+    assert len(c.projects()) == 1
+    state["valid"] = "revoked-out-of-band"  # server-side revocation
+    c._projects.fresh_until = 0.0  # force a refetch with the stale token
+    assert len(c.projects()) == 1  # 401 -> token dropped -> retried fresh
+    assert state["minted"] == 2

@@ -632,3 +632,51 @@ def test_streaming_two_replica_exactly_once(spark, tmp_path):
     # against the shared manifest to nothing — a global no-op
     run_both("b")
     assert read_statuses() == statuses
+
+
+def test_service_covers_all_inputs_and_cleaner_first_cycle(spark, tmp_path):
+    """One service cycle must cover EVERY paths.inputs entry (a
+    loop-per-input would run the first input forever and never reach the
+    rest), and the cleaner runs on the FIRST cycle deterministically
+    instead of depending on host uptime via time.monotonic() - 0.0."""
+    in_a, in_b = str(tmp_path / "inA"), str(tmp_path / "inB")
+    out = str(tmp_path / "out")
+    _write_fixture(spark, in_a, "ta", _rows(3600.0, 2), 0, 0, 1, SERVER_STATUS_SCHEMA)
+    _write_fixture(spark, in_b, "tb", _rows(3600.0, 3), 0, 0, 2, SERVER_STATUS_SCHEMA)
+    cfgs = [
+        RestructureConfig(input_dir=in_a, output_dir=out),
+        RestructureConfig(input_dir=in_b, output_dir=out),
+    ]
+    from radar_output_restructure_spark.plans.cleaner import CleanerConfig
+
+    seen = []
+    n = run_service(
+        spark, cfgs, interval_s=0.0, max_iterations=1,
+        cleaner=CleanerConfig(age_days=0.0),
+        on_cycle=lambda i, r: seen.append(r),
+        sleep=lambda s: None,
+    )
+    assert n == 1
+    assert set(seen[0]["restructure"]) == {"ta", "tb"}  # both inputs ran
+    assert "cleaner" in seen[0]  # first cycle, not uptime-dependent
+    assert set(seen[0]["cleaner"]) == {"ta", "tb"}
+
+
+def test_service_cleaner_only(spark, tmp_path):
+    """worker.enable=false: the cleaner-only deployment the reference
+    supports — restructure must NOT run."""
+    input_dir, out = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_fixture(spark, input_dir, "t", _rows(3600.0, 2), 0, 0, 1, SERVER_STATUS_SCHEMA)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=out)
+    from radar_output_restructure_spark.plans.cleaner import CleanerConfig
+
+    seen = []
+    run_service(
+        spark, cfg, interval_s=0.0, max_iterations=1,
+        cleaner=CleanerConfig(age_days=0.0), worker_enable=False,
+        on_cycle=lambda i, r: seen.append(r),
+        sleep=lambda s: None,
+    )
+    assert seen[0]["restructure"] == {}  # worker disabled
+    assert "cleaner" in seen[0]
+    assert not os.path.exists(os.path.join(out, "p"))  # nothing written
