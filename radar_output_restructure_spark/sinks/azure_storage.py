@@ -43,6 +43,7 @@ import hashlib
 import hmac
 import http.client
 import io
+import threading
 import urllib.parse
 import xml.etree.ElementTree as ET
 from contextlib import contextmanager
@@ -50,6 +51,7 @@ from contextlib import contextmanager
 from radar_output_restructure_spark.sinks.storage import (
     CHUNK_SIZE,
     TargetStorage,
+    as_prefix,
 )
 
 API_VERSION = "2021-08-06"
@@ -60,10 +62,6 @@ def parse_azure_url(path: str) -> tuple[str, str]:
     rest = path.split("://", 1)[1]
     container, _, key = rest.partition("/")
     return container, key
-
-
-def _as_prefix(key: str) -> str:
-    return key.rstrip("/") + "/" if key else ""
 
 
 def _sign_shared_key(
@@ -140,6 +138,17 @@ class AzureTargetStorage(TargetStorage):
         self._key = account_key
         self._sas = (sas_token or "").lstrip("?") or None
         self._timeout = timeout
+        self._local = threading.local()  # one keep-alive socket per thread
+
+    # sockets (and threading.local) don't pickle; executors re-open lazily
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_local", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._local = threading.local()
 
     # -- low-level request --------------------------------------------------
 
@@ -176,24 +185,38 @@ class AzureTargetStorage(TargetStorage):
             )
         qs = urllib.parse.urlencode(query)
         url = path + ("?" + qs if qs else "")
-        cls = (
-            http.client.HTTPSConnection
-            if self._scheme == "https"
-            else http.client.HTTPConnection
-        )
-        conn = cls(self._host, self._port, timeout=self._timeout)
-        try:
-            conn.request(method, url, body=body, headers=headers)
-            resp = conn.getresponse()
-            data = resp.read()
+        # Persistent per-thread connection (http.client is not thread-safe
+        # and the plan runs topic threads): the module exists because the
+        # cleaner/ledger issue thousands of tiny metadata calls, and paying
+        # a fresh TCP+TLS handshake per call would hand that advantage
+        # back. One retry on a stale keep-alive (server closed between
+        # requests) with a fresh connection.
+        for attempt in (0, 1):
+            conn = getattr(self._local, "conn", None)
+            if conn is None:
+                cls = (
+                    http.client.HTTPSConnection
+                    if self._scheme == "https"
+                    else http.client.HTTPConnection
+                )
+                conn = cls(self._host, self._port, timeout=self._timeout)
+                self._local.conn = conn
+            try:
+                conn.request(method, url, body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+            except (http.client.HTTPException, OSError):
+                conn.close()
+                self._local.conn = None
+                if attempt:
+                    raise
+                continue  # stale keep-alive: retry once on a fresh socket
             if resp.status not in ok:
                 raise IOError(
                     f"Azure {method} {container}/{key} -> {resp.status}: "
                     f"{data[:200]!r}"
                 )
             return resp.status, dict(resp.getheaders()), data
-        finally:
-            conn.close()
 
     # -- TargetStorage contract ---------------------------------------------
 
@@ -276,7 +299,7 @@ class AzureTargetStorage(TargetStorage):
         container, key = parse_azure_url(root)
         return [
             (f"azure://{container}/{name}", m, s)
-            for kind, name, m, s in self._list(container, _as_prefix(key))
+            for kind, name, m, s in self._list(container, as_prefix(key))
             if kind == "blob"
         ]
 
@@ -287,7 +310,7 @@ class AzureTargetStorage(TargetStorage):
             {
                 name.rstrip("/").rsplit("/", 1)[-1]
                 for kind, name, _m, _s in self._list(
-                    container, _as_prefix(key), delimiter="/"
+                    container, as_prefix(key), delimiter="/"
                 )
                 if kind == "prefix"
             }
@@ -297,7 +320,7 @@ class AzureTargetStorage(TargetStorage):
         self, root: str, start_after: str | None = None
     ) -> tuple[list[str], list[tuple[str, int, int]]]:
         container, key = parse_azure_url(root)
-        prefix = _as_prefix(key)
+        prefix = as_prefix(key)
         dirs: set[str] = set()
         files: list[tuple[str, int, int]] = []
         cutoff = prefix + start_after if start_after else None

@@ -36,6 +36,7 @@ from contextlib import contextmanager
 from radar_output_restructure_spark.sinks.storage import (
     CHUNK_SIZE,
     TargetStorage,
+    as_prefix,
 )
 
 #: spool appends/uploads in memory up to this, then overflow to disk — the
@@ -223,7 +224,7 @@ class S3TargetStorage(TargetStorage):
             return
         # prefix ("directory") delete, batched at the API's 1000-key limit
         batch: list[dict] = []
-        for obj_key, _m, _s in self._list(bucket, _as_prefix(key)):
+        for obj_key, _m, _s in self._list(bucket, as_prefix(key)):
             batch.append({"Key": obj_key})
             if len(batch) == 1000:
                 self.client.delete_objects(
@@ -251,7 +252,7 @@ class S3TargetStorage(TargetStorage):
         scheme = root.split("://", 1)[0]
         return [
             (f"{scheme}://{bucket}/{k}", m, s)
-            for k, m, s in self._list(bucket, _as_prefix(key))
+            for k, m, s in self._list(bucket, as_prefix(key))
         ]
 
     def list_dirs(self, root: str) -> list[str]:
@@ -259,7 +260,7 @@ class S3TargetStorage(TargetStorage):
         paginator = self.client.get_paginator("list_objects_v2")
         names: list[str] = []
         for page in paginator.paginate(
-            Bucket=bucket, Prefix=_as_prefix(key), Delimiter="/"
+            Bucket=bucket, Prefix=as_prefix(key), Delimiter="/"
         ):
             for cp in page.get("CommonPrefixes", []):
                 names.append(cp["Prefix"].rstrip("/").rsplit("/", 1)[-1])
@@ -272,7 +273,7 @@ class S3TargetStorage(TargetStorage):
         the request the incremental index issues per poll costs O(new keys),
         which is the whole point of SURVEY S9 at millions of objects."""
         bucket, key = parse_s3_url(root)
-        prefix = _as_prefix(key)
+        prefix = as_prefix(key)
         kwargs = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
         if start_after is not None:
             kwargs["StartAfter"] = prefix + start_after
@@ -304,10 +305,6 @@ class S3TargetStorage(TargetStorage):
         bucket, key = parse_s3_url(path)
         head = self.client.head_object(Bucket=bucket, Key=key)
         return _RangedS3File(self.client, bucket, key, int(head["ContentLength"]))
-
-
-def _as_prefix(key: str) -> str:
-    return key.rstrip("/") + "/" if key else ""
 
 
 class _RangedS3File(io.RawIOBase):

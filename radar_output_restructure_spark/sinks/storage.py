@@ -37,6 +37,13 @@ from contextlib import contextmanager
 CHUNK_SIZE = 1 << 20
 
 
+def as_prefix(key: str) -> str:
+    """Object key -> directory-style listing prefix (shared by the S3 and
+    Azure backends so the normalization can't drift between them)."""
+    return key.rstrip("/") + "/" if key else ""
+
+
+
 def storage_for(path: str, spark=None) -> "TargetStorage":
     """Pick the backend by URI scheme. `s3://`/`s3a://` prefer the native
     executor-safe boto3 backend (direct writer works), constructed from the
@@ -169,7 +176,16 @@ class TargetStorage:
         (name, mtime_ms, size)), files restricted to names sorting AFTER
         `start_after` when given — the S3 ListObjectsV2 `StartAfter`
         contract the incremental storage index builds on (SURVEY S9,
-        reference source/StorageIndexManager.kt:55-64)."""
+        reference source/StorageIndexManager.kt:55-64).
+
+        Contract caveat on SUBDIRS under `start_after`: S3's server-side
+        StartAfter also filters CommonPrefixes, so a subdirectory whose
+        keys all sort before the cursor is omitted by the S3 backend,
+        while Local/Azure (client-side filters) still return every dir.
+        Callers must treat the dir list as possibly incomplete under a
+        cursor — the storage index does (new subdirs of file-bearing dirs
+        are a full-sync discovery by documented design, and Kafka trees
+        never mix files and subdirs in one directory)."""
         raise NotImplementedError
 
     def mtime_ms(self, path: str) -> int:
@@ -430,8 +446,11 @@ class HadoopTargetStorage(TargetStorage):
         # publishes, and any failure leaves it untouched. ADLS Gen2 rename
         # is an atomic metadata op; flat-namespace stores copy+delete, which
         # still isolates failures to the temp key. rename() onto an existing
-        # file fails on HDFS, so the old target is deleted first — after the
-        # staged file is complete.
+        # file fails on HDFS, so an existing target is moved ASIDE first —
+        # never deleted while it is the only complete copy: a crash (or a
+        # false rename return) between a delete and the final rename would
+        # otherwise destroy both the target and, via the error path, the
+        # staged tmp that held the only old+new content.
         tmp = self._jvm.org.apache.hadoop.fs.Path(
             f"{path}.tmp-{uuid.uuid4().hex}"
         )
@@ -444,11 +463,25 @@ class HadoopTargetStorage(TargetStorage):
             fs.delete(tmp, False)
             raise
         out.close()
+        backup = None
         if fs.exists(jpath):
-            fs.delete(jpath, False)
+            backup = self._jvm.org.apache.hadoop.fs.Path(
+                f"{path}.old-{uuid.uuid4().hex}"
+            )
+            if not fs.rename(jpath, backup):
+                fs.delete(tmp, False)  # old target intact: tmp disposable
+                raise IOError(f"rename {path} -> {backup} failed")
         if not fs.rename(tmp, jpath):
-            fs.delete(tmp, False)
-            raise IOError(f"rename {tmp} -> {path} failed")
+            if backup is not None and fs.rename(backup, jpath):
+                fs.delete(tmp, False)  # old restored: tmp disposable
+                raise IOError(f"rename {tmp} -> {path} failed (restored old)")
+            # restore failed too (or no backup): tmp is the ONLY complete
+            # copy — leave it for manual recovery, never delete it
+            raise IOError(
+                f"rename {tmp} -> {path} failed; staged copy left at {tmp}"
+            )
+        if backup is not None:
+            fs.delete(backup, False)
 
     def makedirs(self, path: str) -> None:
         fs, jpath = self._fs_path(path)

@@ -120,9 +120,13 @@ def decode_value(r: _Reader, schema):
             import datetime as _dt
 
             div = 1_000 if lt == "timestamp-millis" else 1_000_000
-            return _dt.datetime(1970, 1, 1) + _dt.timedelta(
-                microseconds=v * (1_000_000 // div)
-            )
+            # tz-AWARE UTC: Arrow treats a naive datetime as session-LOCAL
+            # time, so on a non-UTC session a naive value would shift by
+            # the zone offset vs the native spark-avro reader (which reads
+            # the instant). Aware UTC pins the instant either way.
+            return _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(microseconds=v * (1_000_000 // div))
         if lt == "date":
             import datetime as _dt
 
@@ -189,7 +193,9 @@ def encode_value(out: bytearray, schema, value) -> None:
             import datetime as _dt
 
             mult = 1_000 if lt == "timestamp-millis" else 1_000_000
-            delta = value - _dt.datetime(1970, 1, 1)
+            if value.tzinfo is None:  # naive means UTC here, by contract
+                value = value.replace(tzinfo=_dt.timezone.utc)
+            delta = value - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
             value = round(delta.total_seconds() * mult)
         elif lt == "date":
             import datetime as _dt

@@ -28,6 +28,7 @@ semantics — they live in the path parsing, not the codec.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,15 +83,20 @@ def with_file_metadata(df: DataFrame) -> DataFrame:
     return _attach_path_metadata(df, "__src_path", "__src_mtime")
 
 
-_NATIVE_AVRO: dict[int, bool] = {}
+#: keyed on the live SparkSession object, not id(jsession) — ids are reused
+#: after garbage collection, so a stopped no-jar session could poison a new
+#: jar-bearing one (and vice versa) under an id key
+_NATIVE_AVRO: "weakref.WeakKeyDictionary[SparkSession, bool]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def has_native_avro(spark: SparkSession) -> bool:
     """True when the spark-avro DataSource jar is on the classpath (a real
     cluster); False in jar-less environments, where the pure-Python container
     reader (sources/avro_io.py) takes over."""
-    key = id(spark._jsparkSession)
-    if key not in _NATIVE_AVRO:
+    cached = _NATIVE_AVRO.get(spark)
+    if cached is None:
         try:
             # resolving the DataSource is the authoritative probe; the path
             # is never read (schema supplied, load is lazy for file listing
@@ -98,27 +104,53 @@ def has_native_avro(spark: SparkSession) -> bool:
             spark.read.format("avro").schema("__probe int").load(
                 "/__avro_capability_probe__"
             )
-            _NATIVE_AVRO[key] = True
+            cached = True
         except Exception as exc:
-            _NATIVE_AVRO[key] = "Failed to find data source" not in str(exc)
-    return _NATIVE_AVRO[key]
+            # jar missing raises the dedicated missing-data-source error;
+            # any OTHER failure (path-not-found) means the source RESOLVED
+            cached = "Failed to find data source" not in str(exc)
+        _NATIVE_AVRO[spark] = cached
+    return cached
 
 
-def _read_avro_tree_python(spark: SparkSession, load) -> DataFrame:
+def _read_avro_tree_python(
+    spark: SparkSession, load, exclude_topics: set[str] | None = None
+) -> DataFrame:
     """Jar-less Avro scan: binaryFile ships each container file whole to an
     executor; an Arrow-batched mapInPandas decodes it with the pure-Python
     codec. Kafka-sink files are flush-sized (MBs), so one-file-per-row is the
     natural split granularity — the same unit the reference processes
-    (util/GenericRecordReader.kt:11-43)."""
+    (util/GenericRecordReader.kt:11-43).
+
+    `exclude_topics` prunes BEFORE the decode (path predicate pushed to the
+    binaryFile scan): an excluded topic must never be schema-probed or
+    decoded — its containers may carry a different schema, and a post-scan
+    row filter would already have crashed on the mixed-schema check."""
     import pandas as pd
 
     from radar_output_restructure_spark.sources import avro_io
 
     bin_df = spark.read.format("binaryFile").load(load)
-    probe = bin_df.select("content").limit(1).first()
+    if exclude_topics:
+        # tree layout <in>/<topic>/partition=*/<file>: the topic is the
+        # third-from-last path segment
+        topic_seg = F.element_at(F.split(F.col("path"), "/"), -3)
+        bin_df = bin_df.filter(~topic_seg.isin(*sorted(exclude_topics)))
+    # header-only probe: read_header needs O(KB), not the whole container
+    probe = (
+        bin_df.select(F.substring("content", 1, 64 * 1024).alias("head"))
+        .limit(1)
+        .first()
+    )
     if probe is None:
         raise FileNotFoundError(f"no avro files under {load!r}")
-    writer_schema, _, _, _ = avro_io.read_header(bytes(probe.content))
+    try:
+        writer_schema, _, _, _ = avro_io.read_header(bytes(probe.head))
+    except (EOFError, IndexError, KeyError):
+        # pathological schema larger than the prefix (same fallback as
+        # plans/restructure._schema_canon): fetch the whole probe file
+        whole = bin_df.select("content").limit(1).first()
+        writer_schema, _, _, _ = avro_io.read_header(bytes(whole.content))
     record_type, _ = avro_io.avro_to_spark_type(writer_schema)
     if not isinstance(record_type, T.StructType):
         raise ValueError("top-level avro schema must be a record")
@@ -192,7 +224,7 @@ def read_topic_tree(
     """
     load = paths if paths is not None else f"{input_dir}/{topic or '*'}/partition=*/"
     if file_format == "avro" and not has_native_avro(spark):
-        decoded = _read_avro_tree_python(spark, load)
+        decoded = _read_avro_tree_python(spark, load, exclude_topics)
         df = _attach_path_metadata(decoded, "__src_path", "__src_mtime")
     else:
         df = spark.read.format(file_format).load(load)

@@ -137,9 +137,7 @@ def session_windows(
     )
     new_session = (gap.isNull() | (gap > int(gap_s * 1_000_000))).cast("int")
     sess_id = F.sum(new_session).over(
-        Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+        w.rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
         df.withColumn("__sess", sess_id)
@@ -537,8 +535,12 @@ _FUNNEL_STATE_SCHEMA = "step int, last_us bigint, lags array<bigint>"
 
 
 def _funnel_out_schema(n_steps: int) -> str:
-    lags = ", ".join(f"lag{i}_us bigint" for i in range(1, n_steps))
-    return f"user_id bigint, converted_at timestamp, {lags}"
+    cols = ["user_id bigint", "converted_at timestamp"] + [
+        f"lag{i}_us bigint" for i in range(1, n_steps)
+    ]
+    # joined as a list so a single-step funnel (no lag columns) yields
+    # valid DDL instead of a trailing comma that ParseException rejects
+    return ", ".join(cols)
 
 
 def streaming_funnel_conversions(

@@ -76,11 +76,13 @@ def test_container_round_trip_edge_values(tmp_path):
         {"l": -(2**62), "i": -1, "d": float("inf"), "f": 0.5, "b": True,
          "s": "héllo ☃", "by": bytes(range(256)),
          "arr": [0, -1, 2**40], "m": {"k1": "v1", "k2": ""}, "e": "B",
-         "ts": datetime.datetime(2024, 6, 1, 12, 0, 0, 123456),
+         "ts": datetime.datetime(
+             2024, 6, 1, 12, 0, 0, 123456, tzinfo=datetime.timezone.utc
+         ),
          "day": datetime.date(2024, 6, 1)},
         {"l": 2**62, "i": 2**31 - 1, "d": -0.0, "f": -2.5, "b": False,
          "s": None, "by": b"", "arr": [], "m": {}, "e": "A",
-         "ts": datetime.datetime(1970, 1, 1),
+         "ts": datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc),
          "day": datetime.date(1969, 12, 25)},
     ] * 7
     for codec in ("null", "deflate"):
@@ -135,6 +137,32 @@ def test_mixed_schema_topic_fails_loudly(spark, tmp_path):
     df = read_topic_tree(spark, input_dir, topic="status", file_format="avro")
     with pytest.raises(PythonException, match="differs from the probe"):
         df.collect()
+
+
+def test_excluded_topic_never_decoded(spark, tmp_path):
+    """exclude_topics must prune BEFORE the jar-less decode: an excluded
+    topic may carry a different schema, and a post-scan row filter would
+    already have crashed on the mixed-schema check (or worse, the probe
+    file could come from the excluded topic)."""
+    input_dir = str(tmp_path / "in")
+    _write_avro_fixture(
+        input_dir, "status",
+        [_status_rec("p1", "u1", 1.0, "CONNECTED")], 0, 0, 0,
+    )
+    drifted = {
+        "type": "record", "name": "r2",
+        "fields": [{"name": "extra", "type": "long"}],
+    }
+    # 'aaa_drifted' sorts FIRST, so it would also be the probe file
+    _write_avro_fixture(
+        input_dir, "aaa_drifted", [{"extra": 7}], 0, 0, 0, schema=drifted,
+    )
+    df = read_topic_tree(
+        spark, input_dir, file_format="avro", exclude_topics={"aaa_drifted"}
+    )
+    rows = df.collect()  # would raise 'differs from the probe' without prune
+    assert [r.topic for r in rows] == ["status"]
+    assert rows[0].key.projectId == "p1"
 
 
 def test_restructure_pipeline_from_avro(spark, tmp_path):

@@ -83,3 +83,33 @@ def test_batch_mode_strict_order_and_lags(spark):
     assert rows[1].lag2_us == 180_000_000  # click 00:02 -> purchase 00:05
     assert rows[2].lag1_us == 30_000_000
     assert rows[2].lag2_us == 30_000_000
+
+
+def test_streaming_funnel_single_step(spark, tmp_path):
+    """A one-step funnel has NO lag columns; the state-output DDL must not
+    end in a trailing comma (streams crashed on ParseException while the
+    batch branch worked — a mode-parity break)."""
+    ev = spark.createDataFrame(_EVENTS, _SCHEMA)
+    batch = sorted(
+        (r.user_id, r.converted_at)
+        for r in streaming_funnel_conversions(ev, steps=("purchase",)).collect()
+    )
+    assert [u for u, _ in batch] == [1, 2, 4]  # first purchase each
+
+    src = str(tmp_path / "ev1_stream")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(_SCHEMA).parquet(src + "/*.parquet")
+    q = (
+        streaming_funnel_conversions(stream, steps=("purchase",))
+        .writeStream.format("memory")
+        .queryName("funnel1_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.converted_at)
+        for r in spark.sql("select * from funnel1_out").collect()
+    )
+    assert got == batch
