@@ -30,75 +30,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver's gate records only the first ~50 dict entries, so ordering
-#: chooses which queries get a CORRECTNESS row each round. Round-9 rotation
-#: (the r8-verdict "Next round" item 1, machine-checked by
-#: tests/test_registry_coverage.py against CERT_AGE.json): the registry is
-#: at its 3-round certification capacity (144 queries / ~150 slots), so the
-#: round is pure rotation — the 45 queries whose last driver-green row is
-#: round 6 fill slots 1-45 (certify-or-expire this round), and the 5
-#: trailing slots refresh r7-certified reference-core queries EARLY so the
-#: round-10 backlog shrinks from 49 to 44, recovering ~6 free slots for
-#: round-10 additions. No new gated queries this round (the verdict's
-#: "registry frozen" instruction); scripts/check_oracles.py still verifies
-#: the full registry locally via the committed ORACLES_LOCAL.json.
+#: chooses which queries get a CORRECTNESS row each round. Round-10 rotation
+#: (the r9-verdict "Next round" item 1, machine-checked by
+#: tests/test_registry_coverage.py against CERT_AGE.json): slots 1-44 are
+#: the full r7-certified backlog (age 2 entering round 10 -- certify-or-
+#: expire), and slots 45-50 refresh six r8-certified reference-core queries
+#: EARLY so the round-11 backlog shrinks from 50 to 44, matching the
+#: 3-round certification capacity (144 queries / ~150 slots). No new gated
+#: queries this round; scripts/check_oracles.py still verifies the full
+#: registry locally via the committed ORACLES_LOCAL.json.
 _GATE_HEAD = (
-    # -- r6-certified backlog (45; age 2 — certify-or-expire this round) --
-    "ann_int8_recall_at_k",
-    "ann_int8_topk",
-    "ann_ivf_persisted_topk",
-    "bloom_decontaminate_docs",
-    "cleaner_candidates",
-    "cms_heavy_hitters_docs",
-    "doc_quality",
-    "doc_token_stats",
-    "event_attribution_windows",
-    "event_funnel",
-    "event_path_topk",
-    "event_props_json",
-    "event_rollup_daily",
-    "file_accounting",
-    "funnel_conversions_events",
-    "hll_distinct_docs",
-    "mp_enrichment",
-    "paragraph_dedup_docs",
-    "quality_resample_docs",
-    "retention_cohorts",
-    "rolling_1h_user_stats",
-    "semantic_dedup_embeddings",
-    "snapshot_delta_dedup_docs",
-    "source_cap_docs",
-    "source_similarity_minhash",
-    "top_events_per_user",
-    "tpch_q10_returned_items",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    "tpch_q1_pricing",
-    "tpch_q22_idle_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping",
-    "tpch_q4_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "train_split_docs",
-    "winsorize_docs",
-    # -- r7 backlog refreshes (slots 46-50): five reference-core queries
-    #    certified a round early so the round-10 rotation backlog shrinks
-    #    to 44, recovering free gate slots for round-10 additions --
-    "restructure_flagship",
-    "flatten_projection",
-    "exclude_fields",
-    "sanitize_ids",
-    "time_bin_hourly",
-    # After the head: the remaining r7/r8-certified queries ride the tail at
-    # age <= 1 entering round 10 — the 44 other r7-certified queries are the
-    # round-10 rotation backlog (see CERT_AGE.json for the exact ledger).
+    # -- r7-certified backlog (44; age 2 -- certify-or-expire this round) --
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivfpq_recall_at_k",
+    "ann_ivfpq_rerank_recall_at_k",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_recall_at_k",
+    "bucketed_join_sales",
+    "char_ngram_jaccard_docs",
+    "compaction_bins_docs",
+    "constraint_checks_docs",
+    "curation_pipeline_docs",
+    "dedup_exact_docs",
+    "dedup_keep_last",
+    "doc_bigram_logprob",
+    "doc_char_entropy",
+    "doc_contamination",
+    "doc_lang_id",
+    "doc_pack_chunks",
+    "doc_redact_pii",
+    "doc_repetition",
+    "doc_sliding_chunks",
+    "doc_tfidf_top_terms",
+    "doc_trigram_backoff",
+    "doc_unigram_logprob",
+    "embedding_near_dup_pairs",
+    "embedding_outlier_scores",
+    "embedding_random_projection",
+    "global_rank_docs",
+    "hard_negative_mining",
+    "label_centroid_similarity",
+    "profile_docs",
+    "salted_agg_events",
+    "semantic_decontaminate_embeddings",
+    "simhash_near_dup_docs",
+    "snapshot_neardup_delta_docs",
+    "source_kl_divergence_docs",
+    "source_length_quantile_sketch",
+    "sparse_cosine_pairs_docs",
+    "stratified_sample_docs",
+    "token_freq_spectrum_docs",
+    "zorder_events",
+    # -- r8 backlog refreshes (slots 45-50): six reference-core queries
+    #    certified a round early so the round-11 rotation backlog shrinks
+    #    to 44, keeping the rotation at steady state --
+    "dedup_keep_first",
+    "extraction_check",
+    "offset_antijoin",
+    "hourly_event_counts",
+    "session_windows_events",
+    "tpch_q9_profit_by_nation",
+    # After the head: the remaining r8/r9-certified queries ride the tail at
+    # age <= 1 entering round 11 -- the 44 other r8-certified queries are the
+    # round-11 rotation backlog (see CERT_AGE.json for the exact ledger).
 )
 
 
