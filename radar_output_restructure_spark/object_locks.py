@@ -135,6 +135,21 @@ class ConditionalPutLockManager(RemoteLockManager):
         except (ValueError, UnicodeDecodeError):
             return {"expires_at": 0.0}
 
+    def _owns(self, url: str) -> bool:
+        """Re-read and check ownership — resolves a conditional PUT whose
+        RESPONSE was lost (connection dropped after the request was sent):
+        the store may have applied it, so neither success nor failure can
+        be assumed. Ownership is in the payload, so one extra GET answers
+        definitively."""
+        cur = self._read_with_etag(url)
+        if cur is None:
+            return False
+        parsed = self._parse(cur[0])
+        return (
+            parsed.get("owner") == self.uuid
+            and float(parsed.get("expires_at", 0)) > 0
+        )
+
     def acquire_lock(self, name: str) -> RemoteLock | None:
         url = self._url(name)
         body = self._payload(time.time() + self.ttl_s)
@@ -143,7 +158,14 @@ class ConditionalPutLockManager(RemoteLockManager):
         for _ in range(2):
             cur = self._read_with_etag(url)
             if cur is None:
-                if self._create_if_absent(url, body):
+                try:
+                    created = self._create_if_absent(url, body)
+                except Exception:
+                    # lost response: the create may have applied under our
+                    # uuid — re-read rather than report "held elsewhere"
+                    # and strand our own lock for the full TTL
+                    created = self._owns(url)
+                if created:
                     return RemoteLock(self, name)
                 continue  # someone created it between read and PUT
             raw, etag, mtime = cur
@@ -171,7 +193,11 @@ class ConditionalPutLockManager(RemoteLockManager):
                 if ttl > 1.0 and now - mtime < ttl + margin + 1.0:
                     return None
             # expired (or tombstoned): atomic break — single winner
-            if self._replace_if_match(url, body, etag):
+            try:
+                won = self._replace_if_match(url, body, etag)
+            except Exception:
+                won = self._owns(url)  # lost response: re-read (see _owns)
+            if won:
                 return RemoteLock(self, name)
             return None  # another breaker/acquirer won
         return None
@@ -191,21 +217,44 @@ class ConditionalPutLockManager(RemoteLockManager):
         # etag moved and this loses — exactly the answer renew must give.
         # (The PUT also refreshes the store's Last-Modified, so the second
         # staleness witness ages from the RENEWAL, as it should.)
-        return self._replace_if_match(
-            url, self._payload(time.time() + self.ttl_s), etag
-        )
+        try:
+            return self._replace_if_match(
+                url, self._payload(time.time() + self.ttl_s), etag
+            )
+        except Exception:
+            # lost response: the replace may have applied. Re-read and
+            # judge by ownership — if we still own the lock the renewal
+            # either applied (fresh expiry) or the old lease is still live
+            # (renewals run at TTL/3); either way mutual exclusion holds
+            # and the next renewal settles expiry. Owned-by-someone-else is
+            # a definitive loss (False). If the re-read ALSO fails, the
+            # original error propagates: the caller (e.g. the streaming
+            # keeper thread) retries sooner on a raised renew.
+            return self._owns(url)
 
     def _release(self, name: str) -> None:
         url = self._url(name)
-        cur = self._read_with_etag(url)
-        if cur is None:
-            return
-        raw, etag, _mtime = cur
-        if self._parse(raw).get("owner") != self.uuid:
-            return  # broken + re-acquired elsewhere: not ours to expire
-        # tombstone, never delete (module docstring: no conditional DELETE
-        # on S3 general-purpose buckets; unconditional delete is racy)
-        self._replace_if_match(url, self._payload(0.0), etag)
+        # retried: a lost-response tombstone PUT that did NOT apply would
+        # otherwise strand the topic locked until the TTL
+        for _ in range(3):
+            cur = self._read_with_etag(url)
+            if cur is None:
+                return
+            raw, etag, _mtime = cur
+            parsed = self._parse(raw)
+            if parsed.get("owner") != self.uuid:
+                return  # broken + re-acquired elsewhere: not ours to expire
+            if float(parsed.get("expires_at", 0)) <= 0:
+                return  # our tombstone already applied
+            # tombstone, never delete (module docstring: no conditional
+            # DELETE on S3 general-purpose buckets; unconditional delete
+            # is racy)
+            try:
+                self._replace_if_match(url, self._payload(0.0), etag)
+                return
+            except Exception:
+                continue  # lost response: re-read decides (applied -> done)
+        raise IOError(f"could not release lock {url}")
 
 
 class S3RemoteLockManager(ConditionalPutLockManager):

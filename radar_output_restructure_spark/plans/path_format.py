@@ -94,6 +94,19 @@ class PathFormat:
             return
         if "topic" not in self._params:
             raise ValueError("path format must contain ${topic}")  # PathFormatter.kt:52-60
+        for parts in self._parsed_segments():
+            params = [v for k, v in parts if k == "param"]
+            if "topic" in params and len(params) > 1:
+                # partition_columns names a multi-param segment pf_seg<i>,
+                # but the writers address the topic column as pf_topic —
+                # fail HERE with a clear message instead of at write time
+                # with an unresolved-column error. (Literal text alongside
+                # a lone ${topic} is fine: the segment keeps the pf_topic
+                # name.)
+                raise ValueError(
+                    "${topic} must not share a path segment with another "
+                    "${param} — the writers need a dedicated topic column"
+                )
         if "filename" not in self._params and not (
             "attempt" in self._params and "extension" in self._params
         ):
@@ -266,7 +279,15 @@ class PathFormat:
                 name = prefix + re.sub(r"[^A-Za-z0-9_]", "_", parts[0][1])
                 col = self._segment(df, parts[0][1], event_ts, attempt)
             else:
-                name = f"{prefix}seg{i}"
+                if len(params) == 1:
+                    # a mixed literal+param segment (e.g. "logs-${topic}")
+                    # keeps the param-derived NAME: the writers hard-code
+                    # topic_col="pf_topic", so a positional pf_seg<i> here
+                    # would fail the write with an unresolved-column error
+                    # even though require_distinction accepted the format
+                    name = prefix + re.sub(r"[^A-Za-z0-9_]", "_", params[0])
+                else:
+                    name = f"{prefix}seg{i}"
                 col = F.concat(
                     *[
                         F.lit(v)

@@ -190,7 +190,20 @@ class AzureTargetStorage(TargetStorage):
         # cleaner/ledger issue thousands of tiny metadata calls, and paying
         # a fresh TCP+TLS handshake per call would hand that advantage
         # back. One retry on a stale keep-alive (server closed between
-        # requests) with a fresh connection.
+        # requests) with a fresh connection — but ONLY for idempotent
+        # requests. A conditional PUT (If-None-Match/If-Match — the lock
+        # manager's create/renew) may have been APPLIED server-side with
+        # the response lost on the dropped connection; blindly re-sending
+        # it returns 412/409 and the caller concludes someone ELSE holds
+        # the lock it just created — a lock owned by our own uuid, never
+        # released, blocking the topic for the full TTL. Unconditional
+        # PUT/DELETE retries are safe (same-body overwrite / delete
+        # tolerates 404); conditional failures propagate so the caller can
+        # re-read the blob and check ownership.
+        conditional = any(
+            h.lower() in ("if-none-match", "if-match") for h in headers
+        )
+        retriable = not conditional
         for attempt in (0, 1):
             conn = getattr(self._local, "conn", None)
             if conn is None:
@@ -208,7 +221,7 @@ class AzureTargetStorage(TargetStorage):
             except (http.client.HTTPException, OSError):
                 conn.close()
                 self._local.conn = None
-                if attempt:
+                if attempt or not retriable:
                     raise
                 continue  # stale keep-alive: retry once on a fresh socket
             if resp.status not in ok:

@@ -21,6 +21,19 @@ shape as Structured Streaming's file-source commit log. Operations:
 All operations are driver-side: even at 100 TB the *file list* is millions of
 rows, not billions — a pandas frame, not a distributed dataset. The data
 itself never flows through here.
+
+At-least-once window (reference parity): both the batch plan and the
+streaming restructure WRITE output files first and commit() the ledger
+second. A crash between the two replays the whole batch on restart and
+appends its rows a second time into the exact-name output files — the same
+window the reference has (worker/FileCache.kt:181-186 commits offsets to
+Redis only after the file store succeeds). The mitigation is the same as
+the reference's: run the dedup pass (`DedupConfig`) on affected topics, or
+re-extract after deleting the affected hour files. Commit-then-write would
+trade duplicates for silent LOSS on the same crash, which is strictly
+worse. (The streaming IVF ingest closes its window with intent manifests —
+streaming/index_ingest.py — because index segments, unlike append-mode CSV
+rows, cannot be deduplicated after the fact.)
 """
 
 from __future__ import annotations
@@ -37,6 +50,12 @@ from dataclasses import dataclass
 class FileEntry:
     path: str
     modified_ms: int  # storage mtime when processed
+
+
+class _SegmentVanished(Exception):
+    """A listed manifest segment disappeared mid-replay: a concurrent
+    replica's compact() deleted it after publishing the compacted segment
+    that subsumes it. The caller must re-list and replay again."""
 
 
 class ProcessedFileManifest:
@@ -58,13 +77,37 @@ class ProcessedFileManifest:
         )
 
     def load(self) -> dict[str, int]:
-        """path -> last committed mtime (latest entry wins, tombstones drop)."""
-        return self._replay(self._segments())
+        """path -> last committed mtime (latest entry wins, tombstones drop).
+
+        Tolerates a concurrent compactor: between our listing and our reads
+        another replica's compact() may delete a listed segment. Its state is
+        not lost — the compacted segment that subsumes it is published BEFORE
+        any original is deleted, so a fresh listing always sees the full
+        state — so a vanished segment means "re-list and replay again", never
+        "skip". Bounded retries: each retry requires a whole additional
+        compaction to have raced us in the window.
+        """
+        last_exc: Exception | None = None
+        for _ in range(8):
+            try:
+                return self._replay(self._segments())
+            except _SegmentVanished as exc:
+                last_exc = exc
+                continue
+        raise RuntimeError(
+            "manifest replay kept losing segments to concurrent compaction"
+        ) from last_exc
 
     def _replay(self, segments: list[str]) -> dict[str, int]:
         state: dict[str, int] = {}
         for seg in segments:
-            for line in self.storage.read(seg).decode().splitlines():
+            try:
+                data = self.storage.read(seg)
+            except Exception as exc:
+                if self.storage.exists(seg):
+                    raise  # real read failure, not a compactor race
+                raise _SegmentVanished(seg) from exc
+            for line in data.decode().splitlines():
                 if not line.strip():
                     continue
                 rec = json.loads(line)
@@ -134,7 +177,13 @@ class ProcessedFileManifest:
         segments = self._segments()
         if len(segments) <= 1:
             return
-        state = self._replay(segments)
+        try:
+            state = self._replay(segments)
+        except _SegmentVanished:
+            # Another replica compacted under us; its compacted segment
+            # already subsumes the vanished ones. Restart from a fresh
+            # listing (depth-bounded: each recursion needs another racer).
+            return self.compact()
         # "<last>.jsonl" < "<last>.jsonl~compact-….jsonl" < any newer
         # "<ts>-….jsonl": prefix-extension sorts right after its prefix
         seg = f"{segments[-1]}~compact-{uuid.uuid4().hex[:8]}.jsonl"

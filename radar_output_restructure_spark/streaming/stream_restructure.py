@@ -30,11 +30,21 @@ write (write-then-commit, T2) — so a replica with a fresh checkpoint
 prunes already-extracted files to nothing instead of duplicating them. This mirrors the reference's replicated service mode
 (worker/RadarKafkaRestructure.kt:108-128 over
 accounting/RedisRemoteLockManager.kt:8-45).
+
+At-least-once window (T2, reference parity): each micro-batch writes the
+output files first and commits the shared manifest second. A crash between
+the two replays the batch on restart — the manifest prune skips the files
+that did commit, but the files written-not-committed get appended a second
+time into their exact-name outputs. The reference has the identical window
+(worker/FileCache.kt:181-186); the mitigation is the same — dedup-on-append
+(`DedupConfig`) on the affected topics. See sources/manifest.py for the
+full argument.
 """
 
 from __future__ import annotations
 
 import threading
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -93,23 +103,36 @@ def streaming_restructure(
             "_metadata"
         )
 
-        # Manifest state is loaded ONCE and maintained in the closure: a
-        # resident stream commits one segment per batch, so re-reading
-        # every segment per batch (prune() = full load()) would be
-        # O(batches^2) driver-side storage reads — 10k GETs per micro-batch
-        # after 10k batches on an object store. Under the topic lock only
-        # THIS process commits this topic's files, so the snapshot plus our
-        # own commits is exact; cross-replica pruning only matters at
-        # lineage start (files a previous holder committed), which the
-        # startup snapshot covers. Without a lock the per-batch reload
-        # would not have prevented interleaved double-writes anyway (both
-        # replicas prune before either commits).
+        # LOCKED mode: manifest state is loaded ONCE and maintained in the
+        # closure — a resident stream commits one segment per batch, so
+        # re-reading every segment per batch (prune() = full load()) would
+        # be O(batches^2) driver-side storage reads — 10k GETs per
+        # micro-batch after 10k batches on an object store. Under the topic
+        # lock only THIS process commits this topic's files, so the
+        # snapshot plus our own commits is exact; cross-replica pruning
+        # only matters at lineage start (files a previous holder
+        # committed), which the startup snapshot covers.
+        #
+        # LOCKLESS mode (lock is None): the snapshot goes stale — a batch
+        # plan.run or another unlocked replica may commit files after our
+        # startup, and a never-refreshed snapshot would re-extract
+        # (duplicate) them. Keep the per-batch reload here: it cannot
+        # eliminate interleaved double-writes (both replicas can prune
+        # before either commits — that is what the lock is FOR), but it
+        # bounds the duplication to the in-flight batch instead of the
+        # whole stream lifetime. maybe_compact() bounds the per-batch
+        # reload cost to O(compacted segments).
+        locked = lock is not None
         plan.manifest.maybe_compact()  # bound segment growth (see plan.run)
         seen = plan.manifest.load()
 
         def process_batch(batch_df, _batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
+            if not locked:
+                plan.manifest.maybe_compact()
+                seen.clear()
+                seen.update(plan.manifest.load())
             # Shared-manifest anti-join (P4/J1 at file granularity — the
             # file list is driver-small even at 100 TB): a fresh-checkpoint
             # replica re-reads files another replica already committed;
@@ -186,33 +209,57 @@ def streaming_restructure(
             lock.close()
         raise
     if lock is not None:
-        held = lock
         ttl = getattr(plan._lock_manager, "ttl_s", 24 * 3600.0)
-        # Renew at a third of the TTL: a resident query (processing_interval
-        # mode) outlives the TTL, and an unrenewed lock would be broken by a
-        # second replica while this one still writes — two live holders.
-        renew_every = max(ttl / 3.0, 0.5)
-
-        def _keep_and_release() -> None:
-            try:
-                while True:
-                    try:
-                        if query.awaitTermination(renew_every):
-                            return  # terminated: release in finally
-                    except Exception:
-                        return  # failed query: release in finally
-                    if not held.renew():
-                        # Mutual exclusion LOST (holder paused past the
-                        # TTL, lock broken elsewhere). Stop the query:
-                        # writing on alongside the new holder would
-                        # duplicate rows in the exact-name output files.
-                        try:
-                            query.stop()
-                        except Exception:
-                            pass
-                        return
-            finally:
-                held.close()
-
-        threading.Thread(target=_keep_and_release, daemon=True).start()
+        threading.Thread(
+            target=_keep_and_release, args=(query, lock, ttl), daemon=True
+        ).start()
     return query
+
+
+def _keep_and_release(query, held, ttl: float) -> None:
+    """Lock-keeper loop: renew the topic lock at TTL/3 for the query's
+    lifetime; release it only AFTER the query terminates (or after stopping
+    the query on a definitively lost lock). Module-level so the
+    renew-failure semantics are unit-testable with fakes."""
+    # Renew at a third of the TTL: a resident query (processing_interval
+    # mode) outlives the TTL, and an unrenewed lock would be broken by a
+    # second replica while this one still writes — two live holders.
+    renew_every = max(ttl / 3.0, 0.5)
+    try:
+        last_renewed = time.monotonic()
+        wait = renew_every
+        while True:
+            try:
+                if query.awaitTermination(wait):
+                    return  # terminated: release in finally
+            except Exception:
+                return  # failed query: release in finally
+            try:
+                ok = held.renew()
+            except Exception:
+                # TRANSIENT storage error (503, socket timeout): renew()
+                # raising must NOT release the lock while the query still
+                # writes — the last successful renewal left ~2/3 of the TTL
+                # of slack, so retry sooner instead. Only when errors
+                # persist past the full TTL (the lease may genuinely have
+                # lapsed and been taken elsewhere) do we treat it as lost.
+                if time.monotonic() - last_renewed < ttl:
+                    wait = max(renew_every / 8.0, 0.1)
+                    continue
+                ok = False
+            if ok:
+                last_renewed = time.monotonic()
+                wait = renew_every
+                continue
+            # Mutual exclusion LOST (holder paused past the TTL, lock
+            # broken elsewhere, or renewal errors outlived the TTL). Stop
+            # the query BEFORE the finally releases the lock: writing on
+            # alongside the new holder would duplicate rows in the
+            # exact-name output files.
+            try:
+                query.stop()
+            except Exception:
+                pass
+            return
+    finally:
+        held.close()
