@@ -372,6 +372,22 @@ def main() -> None:
         "value": total,
     }
     print(json.dumps(result))
+    # The driver parses only the LAST ~2000 chars of stdout and the full
+    # 145-query JSON overflows that (VERDICT r9 item 6: BENCH_r09's parsed
+    # was null) — so the final stdout line is a compact (<200 char) summary
+    # that always fits the tail. Per-query detail lives in the line above
+    # and in the BENCH_LOCAL.json artifact below.
+    print(
+        json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": "sec",
+                "sf": result["sf"],
+                "n_queries": len(timings),
+            }
+        )
+    )
     # Self-contained artifact (VERDICT r3 item 8: the driver captures a tail
     # buffer of stdout and r3's shipped BENCH json arrived truncated): the
     # same JSON always lands in a file next to the repo so every round's
