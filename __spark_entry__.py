@@ -85,15 +85,22 @@ _GATE_HEAD = (
     "stratified_sample_docs",
     "token_freq_spectrum_docs",
     "zorder_events",
-    # -- r8 backlog refreshes (slots 45-50): six reference-core queries
-    #    certified a round early so the round-11 rotation backlog shrinks
-    #    to 44, keeping the rotation at steady state --
+    # -- slots 45-48: queries whose VALUES changed this round (the r10
+    #    code-review stopword-count fix — adjacent repeats were
+    #    undercounted — shifts quality/stopword numbers on 63 of 500
+    #    sf0.01 docs). Changed values void the old certification, so they
+    #    re-certify in THIS gate per the r9-verdict rule. The other two
+    #    affected queries (doc_lang_id, curation_pipeline_docs,
+    #    sparse_cosine_pairs_docs) are r7 rows already in the head above --
+    "doc_quality",
+    "quality_resample_docs",
+    "source_quality_stats_docs",
+    "source_cap_docs",
+    # -- slots 49-50: r8 backlog refreshes certified a round early so the
+    #    round-11 rotation backlog shrinks, keeping rotation near steady
+    #    state --
     "dedup_keep_first",
     "extraction_check",
-    "offset_antijoin",
-    "hourly_event_counts",
-    "session_windows_events",
-    "tpch_q9_profit_by_nation",
     # After the head: the remaining r8/r9-certified queries ride the tail at
     # age <= 1 entering round 11 -- the 44 other r8-certified queries are the
     # round-11 rotation backlog (see CERT_AGE.json for the exact ledger).

@@ -87,10 +87,17 @@ def temperature_mixture_sample(
     u = F.expr(md5_horner_sql(f"CAST(`{id_col}` AS STRING)")) * F.lit(
         1.0
     ) / F.lit(float(FP_PRIME))
+    # null-safe join: groupBy emits a rate row for a NULL bucket, but a
+    # plain equi-join would never match it — every NULL-bucket document
+    # would silently vanish from the mixture instead of being sampled at
+    # its own bucket's rate
     return (
-        df.join(rates, bucket_col)
+        df.join(
+            rates.withColumnRenamed(bucket_col, "__bucket"),
+            F.col(bucket_col).eqNullSafe(F.col("__bucket")),
+        )
         .filter(u < F.col("__r"))
-        .drop("__r")
+        .drop("__bucket", "__r")
     )
 
 
@@ -383,7 +390,11 @@ def per_source_cap(
                 ascending=[True, False, True],
                 kind="mergesort",
             )
-            yield pdf.groupby("source", sort=False).head(cap)
+            # dropna=False: pandas' default silently drops the NULL-source
+            # group, whereas the window below (and the SQL oracle) rank
+            # NULL as its own partition — the prune must only REDUCE rows,
+            # never change which groups exist
+            yield pdf.groupby("source", sort=False, dropna=False).head(cap)
 
     pruned = scored.mapInPandas(
         local_topk,
@@ -605,7 +616,12 @@ def content_train_split(
     edited. Both are map-only, rand()-free, stable under corpus growth.
     Hex-string comparison is binary-collation equal across engines.
     """
-    bucket = F.substring(F.md5(F.col(text_col)), 1, 2)
+    # coalesce: md5(NULL) is NULL, which fails BOTH range predicates and
+    # falls through to 'test' with a NULL bucket — every null-content doc
+    # would silently skew the ~2% test split. NULL hashes like the empty
+    # string instead (all such docs are content-identical, so same-split
+    # is exactly the no-leakage property this split exists for).
+    bucket = F.substring(F.md5(F.coalesce(F.col(text_col), F.lit(""))), 1, 2)
     split = (
         F.when(bucket < F.lit(val_lo), F.lit("train"))
         .when(bucket < F.lit(test_lo), F.lit("val"))

@@ -42,6 +42,23 @@ def bpe_token_count(col: Column | str) -> Column:
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "on")
 
 
+def _word_count_normalized(col: Column) -> Column:
+    """Lowercase with every non-letter run widened to TWO spaces, padded.
+
+    Whole-word occurrences are counted as `size(split(s, '[^a-z]w[^a-z]'))-1`;
+    with single-space delimiters that undercounts ADJACENT repeats ("the the"
+    counts 1) because each non-overlapping match consumes the shared
+    delimiter. Two-space gaps leave one delimiter character for the next
+    match. Expressed without lookahead so the DuckDB oracles (RE2, no
+    lookahead support) can mirror it exactly.
+    """
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(col), "[^a-z]+", "  "),
+        F.lit(" "),
+    )
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features.
 
@@ -52,11 +69,10 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_chars = F.length(col)
     n_tokens = token_count(col)
     n_punct = F.length(col) - F.length(F.regexp_replace(col, "[^A-Za-z0-9\\s]", ""))
-    lower = F.lower(col)
+    padded = _word_count_normalized(col)
     n_stop = sum(
         (
-            F.size(F.split(F.concat(F.lit(" "), lower, F.lit(" ")), f"[^a-z]{w}[^a-z]"))
-            - 1
+            F.size(F.split(padded, f"[^a-z]{w}[^a-z]")) - 1
             for w in STOPWORDS_EN
         ),
         F.lit(0),
@@ -101,7 +117,7 @@ def _marker_hits(lower_padded: Column, word: str) -> Column:
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
     col = F.col(col) if isinstance(col, str) else col
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    padded = _word_count_normalized(col)
     return {
         lang: sum((_marker_hits(padded, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
@@ -347,7 +363,9 @@ def unigram_logprob_score(
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
-    )
+    ).filter(F.col("tok") != "")  # split(trim(''),'\s+') yields [''] — a
+    # blank doc must score over 0 tokens (token_count semantics), not over
+    # one phantom '' token with a finite NLL
     freqs = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
     total = freqs.agg(F.sum("tf").cast("double").alias("__total"))
     nll_micro = F.round(
@@ -357,9 +375,17 @@ def unigram_logprob_score(
         freqs.crossJoin(F.broadcast(total)).select("tok", nll_micro.alias("nll")),
         "tok",
     ).select("doc", "nll")
-    return scored.groupBy("doc").agg(
+    per_doc = scored.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("nll").alias("nll_micro"),
+    )
+    # tokenless (blank) docs score (0, 0) instead of dropping out — the
+    # same convention as bigram_logprob_score's left join
+    ids = df.select(F.col(id_col).alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("nll_micro"), F.lit(0)).alias("nll_micro"),
     )
 
 
@@ -444,8 +470,24 @@ def bigram_logprob_score(
     ).otherwise(F.array().cast("array<struct<bigram:string,prev:string>>"))
     bg = w.select("doc", F.inline(pairs))
 
-    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
-    cu = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("np"))
+    # cb feeds BOTH the prefix derivation and the scored join: checkpoint
+    # it (the file convention for multi-branch reuse). The prefix counts
+    # derive from cb — every bigram occurrence contributes 1 to its
+    # prefix's count, and tokens are whitespace-split so the prefix is
+    # exactly the text before the bigram's single space — which removes
+    # one of three full-corpus-stream shuffles. The bigram explode itself
+    # still runs twice (cb + the scored join side); that recompute is a
+    # map-only stage, cheaper at scale than materializing the raw bigram
+    # STREAM (~2x corpus size) to executor disk.
+    cb = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .localCheckpoint(eager=False)
+    )
+    cu = (
+        cb.groupBy(F.substring_index("bigram", " ", 1).alias("prev"))
+        .agg(F.sum("nb").alias("np"))
+    )
     vocab = (
         w.select(F.explode("__w").alias("tok"))
         .groupBy("tok")
@@ -504,7 +546,7 @@ def corpus_vocabulary(
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
             "term"
         ),
-    )
+    ).filter(F.col("term") != "")  # no phantom '' term from blank docs
     per_doc = tokens.groupBy("doc", "term").agg(
         F.count(F.lit(1)).alias("tf_doc")
     )
@@ -548,7 +590,7 @@ def tfidf_top_terms(
     tokens = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
-    )
+    ).filter(F.col("term") != "")  # no phantom '' term from blank docs
     # tf feeds three branches (docfreq, N, the scored join) — materialize it
     # once so the corpus is tokenized exactly one time
     tf = (
@@ -871,10 +913,16 @@ def pmi_collocations(
     )
     ua = uni.select(F.col("tok").alias("lhs"), F.col("c").alias("c_lhs"))
     ub = uni.select(F.col("tok").alias("rhs"), F.col("c").alias("c_rhs"))
+    # each factor is cast to double BEFORE multiplying: a web-scale corpus
+    # (~1e13 tokens) puts c('the')*c('of') ~ 1e23 past int64 and n_pair *
+    # n_total overflows for any pair with n_pair > ~9e5 — bigint multiply
+    # would wrap negative for exactly the most frequent collocations. IEEE
+    # double products are deterministic, so the DuckDB oracle (same form)
+    # still matches bit-for-bit; counts < 2^53 stay exact.
     pmi = F.round(
         F.log(
-            (F.col("n_pair") * F.col("n_total"))
-            / (F.col("c_lhs") * F.col("c_rhs")).cast("double")
+            (F.col("n_pair").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("c_lhs").cast("double") * F.col("c_rhs").cast("double"))
         )
         * 1_000_000
     ).cast("long")
@@ -915,7 +963,7 @@ def token_freq_spectrum(
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("term")
-    )
+    ).filter(F.col("term") != "")  # no phantom '' term from blank docs
     freqs = tokens.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
@@ -940,6 +988,9 @@ def sparse_cosine_pairs(
     Exactness: dot products and squared norms are pure BIGINT sums of
     term-frequency products; the only float math is one sqrt-product-
     divide-round chain per emitted pair, deterministic on any engine.
+    Both dots and norms live in the SAME df-pruned term space (df >= 2,
+    df <= max_df), so `cos` is the true cosine of the surviving-term
+    vectors — the standard stopword-removal semantics.
 
     Scale levers, in plan order:
 
@@ -970,7 +1021,10 @@ def sparse_cosine_pairs(
         )
         term = F.explode(grams)
     if ngram <= 1:
-        tokens = df.select(F.col(id_col).alias("doc"), term.alias("term"))
+        tokens = df.select(
+            F.col(id_col).alias("doc"), term.alias("term")
+        ).filter(F.col("term") != "")  # blank docs: no phantom '' term
+        # (two blank docs would otherwise cos-match at 1.0 on it)
     else:
         tokens = df.select(
             F.col(id_col).alias("doc"), words.alias("__w")
@@ -978,15 +1032,23 @@ def sparse_cosine_pairs(
     tf = tokens.groupBy("doc", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
-    tf = tf.localCheckpoint(eager=False)  # feeds norms + both join sides
-    norms = tf.groupBy("doc").agg(
-        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
-    )
+    tf = tf.localCheckpoint(eager=False)  # feeds df-prune + postings
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     keep = dfreq.filter(F.col("df") >= 2)
     if max_df is not None:
         keep = keep.filter(F.col("df") <= max_df)
     postings = tf.join(keep.select("term"), "term")
+    postings = postings.localCheckpoint(eager=False)  # norms + both sides
+    # norms over the SAME pruned term space as the dot products: norms over
+    # the full tf vector with dots over surviving terms is not the cosine
+    # of any consistent vector pair — a pair sharing a capped boilerplate
+    # term would have that term in both norms but not the dot,
+    # underestimating cos and silently dropping true near-dups. (df < 2
+    # terms can't form a pair, so excluding them from norms likewise keeps
+    # the two sides consistent.)
+    norms = postings.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
     a = postings.select(
         F.col("doc").alias("doc_a"), "term", F.col("tf").alias("tfa")
     )
@@ -1107,10 +1169,20 @@ def source_kl_divergence(
         F.explode(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ).alias("tok"),
+    ).filter(F.col("tok") != "")  # no phantom '' token from blank docs
+    # (source, tok) counts feed EVERYTHING else: the corpus counts are the
+    # sum over sources, so ct/ctot/stot all derive from the vocab-sized st
+    # instead of re-running the corpus-sized explode per branch (three
+    # differently-keyed aggregations over `tokens` = three scan+explode
+    # executions; ReuseExchange only dedups identical exchanges). st is
+    # localCheckpointed because it still feeds three branches itself.
+    st = (
+        tokens.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .localCheckpoint(eager=False)
     )
-    st = tokens.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("ns"))
     stot = st.groupBy("source").agg(F.sum("ns").alias("s_tot"))
-    ct = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    ct = st.groupBy("tok").agg(F.sum("ns").alias("ct"))
     ctot = ct.agg(F.sum("ct").cast("double").alias("c_tot"))
     ps = F.col("ns") / F.col("s_tot").cast("double")
     pc = F.col("ct") / F.col("c_tot")

@@ -56,8 +56,14 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SQL_NPUNCT = "length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))"
+# mirrors text._word_count_normalized: non-letter runs widened to two spaces
+# so adjacent repeats ("the the") are not undercounted by delimiter-consuming
+# non-overlapping matches (RE2 has no lookahead, hence this form)
+_SQL_WORDPAD = (
+    "(' ' || regexp_replace(lower(text), '[^a-z]+', '  ', 'g') || ' ')"
+)
 _SQL_NSTOP = " + ".join(
-    f"(len(regexp_split_to_array(' ' || lower(text) || ' ', '[^a-z]{w}[^a-z]')) - 1)"
+    f"(len(regexp_split_to_array({_SQL_WORDPAD}, '[^a-z]{w}[^a-z]')) - 1)"
     for w in X.STOPWORDS_EN
 )
 
@@ -104,7 +110,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_lang_score(words: tuple[str, ...]) -> str:
     return " + ".join(
-        f"(len(regexp_split_to_array(' ' || lower(text) || ' ', '[^a-z]{w}[^a-z]')) - 1)"
+        f"(len(regexp_split_to_array({_SQL_WORDPAD}, '[^a-z]{w}[^a-z]')) - 1)"
         for w in words
     )
 
@@ -231,14 +237,23 @@ def q_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
             FROM documents) w,
            unnest(words) AS t(tok)
+      WHERE tok != ''
     ),
     freqs AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
-    total AS (SELECT count(*) AS n FROM toks)
-    SELECT doc, count(*) AS n_tokens,
-           CAST(sum(CAST(round(-ln(tf / (SELECT n * 1.0 FROM total)) * 1000000)
-                    AS BIGINT)) AS BIGINT) AS nll_micro
-    FROM toks JOIN freqs USING (tok)
-    GROUP BY doc
+    total AS (SELECT count(*) AS n FROM toks),
+    per_doc AS (
+      SELECT doc, count(*) AS n_tokens,
+             CAST(sum(CAST(round(-ln(tf / (SELECT n * 1.0 FROM total)) * 1000000)
+                      AS BIGINT)) AS BIGINT) AS nll_micro
+      FROM toks JOIN freqs USING (tok)
+      GROUP BY doc
+    )
+    -- tokenless (blank) docs score (0, 0) instead of dropping out, same
+    -- convention as the bigram scorer's left join
+    SELECT d.doc_id AS doc,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.nll_micro, 0) AS nll_micro
+    FROM documents d LEFT JOIN per_doc p ON p.doc = d.doc_id
     """,
 )
 def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,6 +320,7 @@ def q_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
             FROM documents) w,
            unnest(words) AS t(tok)
+      WHERE tok != ''
     ),
     tf AS (SELECT doc, tok AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
     df_ AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -684,6 +700,7 @@ VOCAB_K = 100
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
             FROM documents) w,
            unnest(words) AS t(tok)
+      WHERE tok != ''
     ),
     freqs AS (
       SELECT term, CAST(count(*) AS BIGINT) AS tf,
@@ -809,7 +826,10 @@ MIXTURE_BASE_PER_MILLE = 500
       FROM counts, head
     )
     SELECT d.doc_id, d.lang
-    FROM documents d JOIN rates USING (lang)
+    FROM documents d
+    -- null-safe: a NULL-lang bucket gets its own rate row (mirrors the
+    -- Spark operator's eqNullSafe join)
+    JOIN rates r2 ON d.lang IS NOT DISTINCT FROM r2.lang
     WHERE ({X.md5_horner_sql("CAST(doc_id AS STRING)")}) * 1.0
           / {X.FP_PRIME} < r
     """,
@@ -909,8 +929,8 @@ PMI_TOP_K = 20
     ),
     scored AS (
       SELECT p.lhs, p.rhs, p.n_pair,
-             CAST(round(ln((p.n_pair * t.n_total)
-                           / CAST(a.c * b.c AS DOUBLE)) * 1000000, 0)
+             CAST(round(ln((CAST(p.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+                           / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) * 1000000, 0)
                   AS BIGINT) AS pmi_micro
       FROM pair p
       JOIN uni a ON a.tok = p.lhs
@@ -1484,6 +1504,7 @@ def q_compaction_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS words
             FROM documents) w,
            unnest(words) AS t(tok)
+      WHERE tok != ''
     ),
     freqs AS (
       SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY term
@@ -1562,9 +1583,13 @@ SPARSE_MAX_DF = 100  # drop terms in >100 docs before the postings join
       SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
       FROM toks GROUP BY 1, 2
     ),
-    norms AS (SELECT doc, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY doc),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     keep AS (SELECT term FROM dfreq WHERE df >= 2 AND df <= {SPARSE_MAX_DF}),
+    -- norms over the SAME pruned term space as the dots (see the Spark
+    -- operator): full-vector norms with pruned dots is not the cosine of
+    -- any consistent vector pair
+    norms AS (SELECT doc, CAST(sum(tf * tf) AS BIGINT) AS n2
+              FROM tf JOIN keep USING (term) GROUP BY doc),
     dots AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b,
              CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
@@ -1779,6 +1804,7 @@ def q_containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS words
             FROM documents) w,
            unnest(words) AS t(tok)
+      WHERE tok != ''
     ),
     st AS (SELECT source, tok, count(*) AS ns FROM toks GROUP BY 1, 2),
     stot AS (SELECT source, sum(ns) AS s_tot FROM st GROUP BY 1),
@@ -2050,9 +2076,9 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_train_split",
     """
     SELECT doc_id AS doc,
-           substr(md5(text), 1, 2) AS bucket,
-           CASE WHEN substr(md5(text), 1, 2) < 'f6' THEN 'train'
-                WHEN substr(md5(text), 1, 2) < 'fb' THEN 'val'
+           substr(md5(coalesce(text, '')), 1, 2) AS bucket,
+           CASE WHEN substr(md5(coalesce(text, '')), 1, 2) < 'f6' THEN 'train'
+                WHEN substr(md5(coalesce(text, '')), 1, 2) < 'fb' THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
