@@ -449,6 +449,8 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             feats = [decode_wav(bytes(b)) for b in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].values)
@@ -462,6 +464,8 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             feats = [decode_image(bytes(b)) for b in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].values)
@@ -873,6 +877,8 @@ def video_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 meta = probe_mp4(bytes(payload))
@@ -939,6 +945,8 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 px = decode_image_pixels(bytes(payload))
@@ -977,8 +985,9 @@ def audio_frame_rms(
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_rows = []
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             out_rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 norm, rate, channels, _nf = _wav_samples(bytes(payload))
@@ -991,8 +1000,13 @@ def audio_frame_rms(
                     starts = [0]
                 else:
                     span = n - frame_len
+                    # align each start DOWN to a channel boundary: an odd
+                    # interleaved-sample index on a stereo payload would
+                    # begin the window mid-PCM-frame, mixing channel
+                    # offsets and putting start_s between frames
                     starts = [
-                        (i * span) // (n_frames - 1) for i in range(n_frames)
+                        ((i * span) // (n_frames - 1)) // channels * channels
+                        for i in range(n_frames)
                     ]
                 for fi, s in enumerate(starts):
                     seg = norm[s : s + frame_len]
@@ -1035,6 +1049,8 @@ def gif_frame_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 frames = list(_gif_frames(bytes(payload)))
@@ -1117,6 +1133,8 @@ def image_dhash_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 px = decode_image_pixels(bytes(payload))
@@ -1215,6 +1233,8 @@ def audio_fingerprint_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 h, nf, dur = audio_fingerprint(bytes(payload))

@@ -93,25 +93,20 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    q_rows = sorted(
-        queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-        ).collect(),
-        key=lambda r: r.qid,
-    )
+    # ONE collect of (qid, qv[, label]): a second collect for the labels
+    # would recompute a nondeterministic query frame (sample()/limit() over
+    # an unordered source) into a DIFFERENT row set — KeyError at best, a
+    # silently wrong exclusion mask at worst — and doubles the driver pull.
+    q_cols = [F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")]
+    if exclude_label_col is not None:
+        q_cols.append(F.col(exclude_label_col).alias("ql"))
+    q_rows = sorted(queries.select(*q_cols).collect(), key=lambda r: r.qid)
     if not q_rows:
         raise ValueError("cosine_topk requires a non-empty query set")
     q_ids = [r.qid for r in q_rows]
     q_labels = None
     if exclude_label_col is not None:
-        lab = {
-            r.qid: r.ql
-            for r in queries.select(
-                F.col(id_col).alias("qid"),
-                F.col(exclude_label_col).alias("ql"),
-            ).collect()
-        }
-        q_labels = [lab[qid] for qid in q_ids]
+        q_labels = [r.ql for r in q_rows]
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     q_arr = np.array(q_lists, dtype=np.float64)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
@@ -404,12 +399,37 @@ def cosine_topk_lsh(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _adc_tables(q_lists, codebooks, dims: int, m: int):
+    """Shared ADC lookup-table construction for PQ and IVF-PQ scoring:
+    tq[s][q, cell] = dot of the query subvector with the centroid
+    (sequential over subdims — the oracle fold order), csq[s][cell] =
+    centroid self-dot. Fold-order-critical arithmetic lives ONCE so
+    PQ-vs-IVFPQ score parity cannot drift."""
+    import numpy as np
+
+    sd = dims // m
+    tq, csq = [], []
+    for s, (lo, _hi) in enumerate(pq_subspace_bounds(dims, m)):
+        cents = codebooks[s]
+        tab = np.zeros((len(q_lists), len(cents)))
+        for qi, qv in enumerate(q_lists):
+            for ci, cent in enumerate(cents):
+                acc = 0.0
+                for d in range(sd):
+                    acc += qv[lo + d] * cent[d]
+                tab[qi, ci] = acc
+        tq.append(tab)
+        csq.append(np.array([_seq_sq_sum(c) for c in cents]))
+    return tq, csq
+
+
 def near_dup_pairs_from_buckets(
     emb: DataFrame,
     buckets: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_pairs: int = 1 << 21,
 ) -> DataFrame:
     """(vec_a, vec_b, sim): every id-ordered pair sharing a (table, bucket)
     whose exact cosine >= `threshold`, verified WITHIN the bucket.
@@ -439,7 +459,7 @@ def near_dup_pairs_from_buckets(
 
     id_type = emb.schema[id_col].dataType.simpleString()
     out_schema = f"vec_a {id_type}, vec_b {id_type}, sim double"
-    chunk = 1 << 21  # pairs per verification chunk (~2M -> tens of MB)
+    chunk = chunk_pairs  # pairs per verification chunk (~2M -> tens of MB)
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         idd = pdf["vec_id"].dtype
@@ -462,10 +482,24 @@ def near_dup_pairs_from_buckets(
             xd = x[:, d]
             sq = sq + xd * xd
         norms = np.sqrt(sq)
-        ia, ib = np.triu_indices(m, 1)  # ids sorted -> vec_a < vec_b
+        # Pair indices are generated PER CHUNK (ids sorted -> vec_a <
+        # vec_b): materializing the full triangle up front
+        # (np.triu_indices) allocates m(m-1)/2 int64 pairs before any
+        # chunk runs — ~550 GB for a 260k-row degenerate bucket, exactly
+        # the case the chunking exists to survive. Each chunk covers a
+        # block of anchor rows whose combined pair count stays <= chunk
+        # (or one anchor when a single row's pairs exceed it, bounding
+        # memory at O(max(chunk, m))).
         outs = []
-        for s in range(0, len(ia), chunk):
-            ja, jb = ia[s : s + chunk], ib[s : s + chunk]
+        cum = np.cumsum(m - 1 - np.arange(m - 1))  # pairs through anchor i
+        anchor = 0
+        while anchor < m - 1:
+            base = int(cum[anchor - 1]) if anchor else 0
+            end = int(np.searchsorted(cum, base + chunk)) + 1
+            block = np.arange(anchor, min(max(end, anchor + 1), m - 1))
+            ja = np.repeat(block, m - 1 - block)
+            jb = np.concatenate([np.arange(i + 1, m) for i in block])
+            anchor = int(block[-1]) + 1
             a, b = x[ja], x[jb]
             acc = np.zeros(len(ja))
             for d in range(dims):
@@ -544,6 +578,14 @@ def _codebook_affinities(x, cents, cnorms):
         dots = dots + xd[:, None] * cents[:, d]
         self_dot = self_dot + xd * xd
     vn = np.sqrt(self_dot)
+    # Degenerate-norm guard (same as _codebook_argtop): a zero-norm vector
+    # or centroid would emit NaN affinities, and NaN ranks LAST in numpy
+    # lexsort but FIRST in a Spark desc() window — the same row set could
+    # rank differently depending on which side pruned it, making top-k
+    # output partition-dependent. Coalescing the zero norms to 1 keeps the
+    # numerator-0 affinities at exactly 0.0 on every path.
+    vn = np.where(vn == 0.0, 1.0, vn)
+    cnorms = np.where(cnorms == 0.0, 1.0, cnorms)
     return _round6_spark(dots / (vn[:, None] * cnorms))
 
 
@@ -851,6 +893,7 @@ def cosine_topk_int8(
         bits,
     )
     q_norms = np.sqrt((q_codes * q_codes).sum(axis=1).astype(np.float64))
+    q_norms = np.where(q_norms == 0.0, 1.0, q_norms)  # zero-norm guard
     nq = len(q_rows)
 
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -867,6 +910,9 @@ def cosine_topk_int8(
             nbr = pdf["vec_id"].to_numpy()
             dots = x.astype(np.float64) @ q_codes_f.T
             x_norms = np.sqrt((x * x).sum(axis=1).astype(np.float64))
+            # zero-norm guard (see _codebook_affinities): numerator is 0
+            # anyway, and NaN would rank partition-dependently
+            x_norms = np.where(x_norms == 0.0, 1.0, x_norms)
             sims = _round6_spark(
                 dots / (q_norms[None, :] * x_norms[:, None])
             )
@@ -1256,23 +1302,9 @@ def cosine_topk_pq(
     q_ids_arr = np.array([r.qid for r in q_rows])
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     nq = len(q_lists)
-    sd = dims // m
-    # per-subspace ADC tables, oracle fold order: tq[s][q, cell] = dot of the
-    # query subvector with the centroid (sequential over subdims); csq[s][cell]
-    # = centroid self-dot (the reconstruction-norm pieces)
-    tq = []
-    csq = []
-    for s, (lo, _hi) in enumerate(pq_subspace_bounds(dims, m)):
-        cents = codebooks[s]
-        tab = np.zeros((nq, len(cents)))
-        for qi, qv in enumerate(q_lists):
-            for ci, cent in enumerate(cents):
-                acc = 0.0
-                for d in range(sd):
-                    acc += qv[lo + d] * cent[d]
-                tab[qi, ci] = acc
-        tq.append(tab)
-        csq.append(np.array([_seq_sq_sum(c) for c in cents]))
+    # per-subspace ADC tables (shared with cosine_topk_ivfpq): the
+    # reconstruction-dot / reconstruction-norm pieces in oracle fold order
+    tq, csq = _adc_tables(q_lists, codebooks, dims, m)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
 
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -1479,19 +1511,7 @@ def cosine_topk_ivfpq(
         raise ValueError("cosine_topk_ivfpq requires a non-empty query set")
     q_ids = np.array([r.qid for r in q_rows])
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
-    sd = dims // m
-    tq, csq = [], []
-    for s, (lo, _hi) in enumerate(pq_subspace_bounds(dims, m)):
-        cents = codebooks[s]
-        tab = np.zeros((len(q_lists), len(cents)))
-        for qi, qv in enumerate(q_lists):
-            for ci, cent in enumerate(cents):
-                acc = 0.0
-                for d in range(sd):
-                    acc += qv[lo + d] * cent[d]
-                tab[qi, ci] = acc
-        tq.append(tab)
-        csq.append(np.array([_seq_sq_sum(c) for c in cents]))
+    tq, csq = _adc_tables(q_lists, codebooks, dims, m)  # shared with PQ
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
 
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -1570,6 +1590,7 @@ def exact_rerank(
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     q_arr = np.array(q_lists, dtype=np.float64)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_norms = np.where(q_norms == 0.0, 1.0, q_norms)  # zero-norm guard
     q_index = {r.qid: i for i, r in enumerate(q_rows)}
 
     id_type = corpus.schema[id_col].dataType.simpleString()
@@ -1593,15 +1614,38 @@ def exact_rerank(
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            # full-codebook affinities (the shared exact fold), then pick
-            # each row's own query column
-            aff = _codebook_affinities(x, q_arr, q_norms)
+            # group batch rows by their OWN query and fold only against
+            # that query (the _codebook_argtop grouped-recompute trick):
+            # a dense (n, nq) affinity matrix would spend nq x the FLOPs
+            # and keep one column per row. The per-query slice uses the
+            # identical sequential per-dimension fold, so the scores are
+            # bit-equal to the dense form.
             qidx = pdf["query_id"].map(q_index).to_numpy()
+            sims = np.empty(len(pdf))
+            order = np.argsort(qidx, kind="stable")
+            bounds = np.searchsorted(qidx[order], np.arange(len(q_arr) + 1))
+            n_dims = x.shape[1]
+            for j in range(len(q_arr)):
+                lo, hi = bounds[j], bounds[j + 1]
+                if lo == hi:
+                    continue
+                rows_j = order[lo:hi]
+                xj = x[rows_j]
+                qj = q_arr[j]
+                acc = np.zeros(hi - lo)
+                self_dot = np.zeros(hi - lo)
+                for d in range(n_dims):
+                    xd = xj[:, d]
+                    acc = acc + xd * qj[d]
+                    self_dot = self_dot + xd * xd
+                vn = np.sqrt(self_dot)
+                vn = np.where(vn == 0.0, 1.0, vn)
+                sims[rows_j] = _round6_spark(acc / (vn * q_norms[j]))
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
                     "neighbor_id": pdf["neighbor_id"].to_numpy(),
-                    "sim": aff[np.arange(len(pdf)), qidx],
+                    "sim": sims,
                 }
             )
 
@@ -1752,9 +1796,17 @@ def label_centroid_similarity(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = F.round(
-        dot / (F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))), 6
+    # zero-norm guard (same as centroid_outlier_scores): a label whose sum
+    # vector is all zeros would emit NaN cos for every pair it touches;
+    # the numerator is 0 there, so coalescing the norms to 1 pins cos at
+    # exactly 0.0
+    na = F.when(F.col("__na2") == 0.0, F.lit(1.0)).otherwise(
+        F.sqrt(F.col("__na2"))
     )
+    nb = F.when(F.col("__nb2") == 0.0, F.lit(1.0)).otherwise(
+        F.sqrt(F.col("__nb2"))
+    )
+    cos = F.round(dot / (na * nb), 6)
     return (
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", cos.alias("cos"))

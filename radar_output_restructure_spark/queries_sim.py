@@ -1689,9 +1689,13 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s GROUP BY 1),
     n AS (SELECT label, list_sum([x * x for x in sv]) AS n2 FROM v)
     SELECT a.label AS label_a, b.label AS label_b,
+           -- zero-norm guard mirrors the Spark operator: an all-zero sum
+           -- vector pins cos at 0.0 instead of NaN
            round(list_sum([a.sv[i] * b.sv[i]
                            for i in range(1, {DIMS + 1})])
-                 / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+                 / ((CASE WHEN na.n2 = 0 THEN 1.0 ELSE sqrt(na.n2) END)
+                    * (CASE WHEN nb.n2 = 0 THEN 1.0 ELSE sqrt(nb.n2) END)),
+                 6) AS cos
     FROM v a
     JOIN v b ON a.label < b.label
     JOIN n na ON na.label = a.label

@@ -174,3 +174,129 @@ def test_pmi_double_factors_match_bigint_at_small_counts(spark):
     # c(fast)=8, c(car)=8, n(fast car)=8, total=24
     expect = round(math.log((8 * 24) / (8 * 8)) * 1_000_000)
     assert out[("fast", "car")] == expect
+
+
+# ---------------------------------------------------------------------------
+# similarity.py / multimodal.py review findings
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_zero_norm_vector_is_deterministic(spark):
+    """A zero-norm corpus vector must score sim 0.0 (never NaN, which ranks
+    differently in numpy's batch prune vs Spark's window)."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0]),  # degenerate
+            Row(vec_id=3, embedding=[0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["neighbor_id"]: r["sim"]
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    assert out[2] == 0.0  # not NaN, not rank-1
+    assert out[1] == 1.0
+
+
+def test_near_dup_pairs_chunked_generation_matches_single_chunk(spark):
+    """Per-chunk pair generation (the O(m^2)-allocation fix) must emit the
+    identical pair set as one big chunk."""
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        near_dup_pairs_from_buckets,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[float(i % 4 + 1), float((i * 7) % 5 + 1)])
+            for i in range(24)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    buckets = spark.createDataFrame(
+        [Row(table=0, bucket=0, vec_id=i) for i in range(24)],
+        "table int, bucket int, vec_id long",
+    )
+
+    def pairs(chunk):
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["sim"])
+            for r in near_dup_pairs_from_buckets(
+                emb, buckets, threshold=0.2, chunk_pairs=chunk
+            ).collect()
+        )
+
+    big = pairs(1 << 21)  # single chunk covers all 276 pairs
+    small = pairs(7)  # many chunks, anchors split mid-row-range
+    assert big == small
+    assert len(big) > 0
+
+
+def test_label_centroid_zero_norm_label_pins_cos_zero(spark):
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, label="a", embedding=[1.0, 2.0]),
+            Row(vec_id=2, label="z", embedding=[0.0, 0.0]),  # zero centroid
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = label_centroid_similarity(emb).collect()
+    assert len(rows) == 1
+    assert rows[0]["cos"] == 0.0  # not NaN
+
+
+def test_audio_frame_starts_align_to_channel_boundaries(spark):
+    """Stereo WAV: every sampled window must start on a PCM frame boundary
+    (an even interleaved index), not mid-frame."""
+    import io
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    from radar_output_restructure_spark.operators.multimodal import (
+        audio_frame_rms,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(1000)
+        # left channel loud, right silent: channel mixing would show up as
+        # rms differing between aligned and misaligned windows
+        frames = b"".join(
+            struct.pack("<hh", 10000, 0) for _ in range(1003)  # odd-ish span
+        )
+        w.writeframes(frames)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(buf.getvalue()))],
+        "doc_id long, payload binary",
+    )
+    rows = audio_frame_rms(df, n_frames=5, frame_s=0.1).collect()
+    assert len(rows) == 5
+    # all windows cover identical (loud, silent) frame pairs -> equal rms
+    rmss = {r["rms"] for r in rows}
+    assert len(rmss) == 1, f"channel-misaligned windows: {sorted(rmss)}"
+    # start_s must land on whole PCM frames (multiples of 1/rate)
+    for r in rows:
+        assert (r["start_s"] * 1000) == int(r["start_s"] * 1000)
