@@ -213,8 +213,17 @@ def q_time_bin_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sanitize_ids",
     """
     SELECT DISTINCT
-      regexp_replace('u ' || CAST(user_id AS VARCHAR) || '/' || event_type,
-                     '[^a-zA-Z0-9_-]+', '', 'g') AS sanitized
+      -- mirrors sanitize_id's default: a NULL or all-illegal input maps to
+      -- 'unknown' (PathFormatter sanitize semantics), never NULL/''
+      CASE WHEN coalesce(
+             regexp_replace('u ' || CAST(user_id AS VARCHAR) || '/'
+                            || event_type,
+                            '[^a-zA-Z0-9_-]+', '', 'g'), '') = ''
+           THEN 'unknown'
+           ELSE regexp_replace('u ' || CAST(user_id AS VARCHAR) || '/'
+                               || event_type,
+                               '[^a-zA-Z0-9_-]+', '', 'g')
+      END AS sanitized
     FROM events
     """,
 )
@@ -419,7 +428,10 @@ def q_file_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     (worker/RestructureWorker.kt:74-99); files simulated as id DIV 500."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy((F.col("event_id") / 500).cast("long").alias("file_id"))
+        # integer DIV: truncating integer division on both engines (Spark
+        # DIV == DuckDB //, verified incl. negatives), with no double
+        # round-trip to lose exactness for ids beyond 2^53
+        ev.groupBy(F.expr("event_id DIV 500").alias("file_id"))
         .agg(
             F.count(F.lit(1)).alias("n_records"),
             F.min("event_id").alias("offset_from"),
@@ -483,7 +495,10 @@ def q_cleaner_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounted; age cutoff stands in for the 7-day rule."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy((F.col("event_id") / 500).cast("long").alias("file_id"))
+        # integer DIV: truncating integer division on both engines (Spark
+        # DIV == DuckDB //, verified incl. negatives), with no double
+        # round-trip to lose exactness for ids beyond 2^53
+        ev.groupBy(F.expr("event_id DIV 500").alias("file_id"))
         .agg(
             F.count(F.lit(1)).alias("n_records"),
             F.max("ts").alias("max_ts"),
@@ -736,8 +751,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
            r.ts AS asof_ts, r.value AS asof_value
     FROM events l
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') r
+    -- right side deduped on (user_id, ts): ASOF JOIN's pick among duplicate
+    -- right timestamps is unspecified, Spark's asof_join tie-break is
+    -- deterministic — max(value) per instant makes both engines agree by
+    -- construction
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id, ts) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 )
@@ -751,8 +770,10 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", "ts", "event_type", "value")
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     return asof_join(left, right, on="user_id")
 
@@ -763,8 +784,12 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
            r.ts AS asof_ts, r.value AS asof_value
     FROM events l
-    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                    WHERE event_type = 'purchase') r
+    -- right side deduped on (user_id, ts): ASOF JOIN's pick among duplicate
+    -- right timestamps is unspecified, Spark's asof_join tie-break is
+    -- deterministic — max(value) per instant makes both engines agree by
+    -- construction
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id, ts) r
       ON l.user_id = r.user_id AND l.ts <= r.ts
     """,
 )
@@ -777,8 +802,10 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", "ts", "event_type", "value")
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     return asof_join(left, right, on="user_id", direction="forward")
 

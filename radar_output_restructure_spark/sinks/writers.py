@@ -27,6 +27,7 @@ import gzip
 import json
 import os
 import threading
+import uuid
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
@@ -45,20 +46,36 @@ def _avro_schema_json(schema: T.StructType, topic: str) -> str:
     Inverse of spark-avro's mapping for the types the engine emits.
     """
 
-    def avro_type(dt: T.DataType) -> object:
+    def avro_type(dt: T.DataType, path: str = "record") -> object:
         if isinstance(dt, T.StructType):
+            # each nested record gets a UNIQUE name derived from its field
+            # path: Avro fullnames are global, so two struct fields both
+            # named "record" (e.g. the key+value topic shape) would make
+            # the sidecar unparseable ("Can't redefine: record")
             return {
                 "type": "record",
-                "name": "record",
+                "name": path,
                 "fields": [
-                    {"name": f.name, "type": _nullable(avro_type(f.dataType), f.nullable)}
+                    {
+                        "name": f.name,
+                        "type": _nullable(
+                            avro_type(f.dataType, f"{path}_{f.name}"),
+                            f.nullable,
+                        ),
+                    }
                     for f in dt.fields
                 ],
             }
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": avro_type(dt.elementType)}
+            return {
+                "type": "array",
+                "items": avro_type(dt.elementType, f"{path}_item"),
+            }
         if isinstance(dt, T.MapType):
-            return {"type": "map", "values": avro_type(dt.valueType)}
+            return {
+                "type": "map",
+                "values": avro_type(dt.valueType, f"{path}_value"),
+            }
         mapping = {
             T.StringType: "string",
             T.LongType: "long",
@@ -82,7 +99,10 @@ def _avro_schema_json(schema: T.StructType, topic: str) -> str:
         "type": "record",
         "name": topic,
         "fields": [
-            {"name": f.name, "type": _nullable(avro_type(f.dataType), f.nullable)}
+            {
+                "name": f.name,
+                "type": _nullable(avro_type(f.dataType, f.name), f.nullable),
+            }
             for f in schema.fields
         ],
     }
@@ -309,10 +329,16 @@ def write_output_tree_direct(
             ]
         )
     topic_idx = key_cols.index(topic_col) if topic_col in key_cols else None
-    sidecar_body: str | None = None
+    sidecar_obj: dict | None = None
     if value_schema is not None and topic_idx is not None:
-        # topic name is substituted per group; body computed once driver-side
-        sidecar_body = _avro_schema_json(value_schema, "__TOPIC_PLACEHOLDER__")
+        # schema rendered ONCE driver-side; the per-group topic name is
+        # swapped into the parsed object and re-dumped so a topic value
+        # containing '"' or '\\' is JSON-escaped correctly (a str.replace
+        # into the serialized body would inject raw quotes and produce an
+        # unparseable sidecar)
+        sidecar_obj = json.loads(
+            _avro_schema_json(value_schema, "__TOPIC_PLACEHOLDER__")
+        )
     write_header = fmt == "csv"
     arrow_schema = None
     if fmt == "parquet":
@@ -334,7 +360,15 @@ def write_output_tree_direct(
 
         import pandas as pd
 
-        segs = ["" if k is None else str(k) for k in keys]
+        # NULL partition values take Spark's own Hive token: '' would be
+        # DROPPED by os.path.join, silently collapsing one tree level (a
+        # null project would land its file inside the user directory) and
+        # diverging from write_output_tree, whose partitionBy emits this
+        # token for the identical input
+        segs = [
+            "__HIVE_DEFAULT_PARTITION__" if k is None else str(k)
+            for k in keys
+        ]
         *dir_segs, bin_seg = segs
         final_dir = os.path.join(out_dir, *dir_segs)
         storage.makedirs(final_dir)
@@ -374,15 +408,13 @@ def write_output_tree_direct(
                     lines = csv_header_line + "\n" + lines
                 payload = lines.encode()
             _store_payload(final, payload, compression, storage)
-        if sidecar_body is not None:
+        if sidecar_obj is not None:
             topic = segs[topic_idx]
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
             if not storage.exists(sidecar):
+                body = dict(sidecar_obj, name=topic)
                 storage.store_atomic(
-                    sidecar,
-                    sidecar_body.replace(
-                        "__TOPIC_PLACEHOLDER__", topic
-                    ).encode(),
+                    sidecar, json.dumps(body, indent=2).encode()
                 )
         return pd.DataFrame({"path": [final], "rows": [len(pdf)]})
 
@@ -526,7 +558,11 @@ def write_output_tree(
             "use None (snappy) or 'gzip'"
         )
     storage = storage if storage is not None else LocalTargetStorage()
-    tmp = tmp_dir or (out_dir.rstrip("/") + "+tmp")
+    # unique default stage dir: a deterministic out_dir+'+tmp' default
+    # (deleted unconditionally below) would let two concurrent calls on
+    # the same out_dir wipe each other's staged parts mid-finalize —
+    # the survivor would silently append incomplete output
+    tmp = tmp_dir or (out_dir.rstrip("/") + f"+tmp-{uuid.uuid4().hex[:12]}")
     storage.delete(tmp)
 
     shuffled = df.repartition(*[df[c] for c in partition_cols])
