@@ -134,7 +134,10 @@ _SQL_LANG_CASE = " ".join(
       SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s
     )
     SELECT doc_id, lang,
-           CASE WHEN best = 0 THEN 'und' {_SQL_LANG_CASE} END AS lang_pred
+           -- ELSE catches NULL text (all scores NULL, every WHEN NULL):
+           -- the Spark when/otherwise chain yields 'und' there too
+           CASE WHEN best = 0 THEN 'und' {_SQL_LANG_CASE}
+                ELSE 'und' END AS lang_pred
     FROM b
     """,
 )
