@@ -334,6 +334,20 @@ class RestructurePlan:
 
     # -- the declarative per-topic plan ------------------------------------
 
+    def file_dedup(self, topic: str | None = None):
+        """(distinct_fields, ignore_fields) for the writers' whole-file
+        dedup-on-append, or None when dedup is disabled for the topic.
+        Field names are the rendered (dot-joined) CSV header names —
+        exactly what DedupConfig carries (the reference's distinctFields /
+        ignoreFields address the same rendered header,
+        CsvAvroConverterFactory.fieldIndexes)."""
+        cfg = self.config
+        tcfg = cfg.topics.get(topic or "", TopicConfig())
+        dedup_cfg = tcfg.dedup or cfg.dedup
+        if not dedup_cfg.enable:
+            return None
+        return (dedup_cfg.distinct_fields, dedup_cfg.ignore_fields)
+
     def transform(
         self,
         df: DataFrame,
@@ -607,6 +621,7 @@ class RestructurePlan:
                 value_schema=value_schema if attempt == 0 else None,
                 order_col=ORDER_COLS,
                 storage=self.target_storage,
+                dedup=self.file_dedup(topic),
             )
             with Timer.time("restructure.write"):
                 if self.target_storage.executor_safe:

@@ -24,6 +24,7 @@ write-once schema sidecars; zip is direct-writer only.
 from __future__ import annotations
 
 import gzip
+import io
 import json
 import os
 import threading
@@ -109,12 +110,137 @@ def _avro_schema_json(schema: T.StructType, topic: str) -> str:
     return json.dumps(top, indent=2)
 
 
+def _field_indexes(
+    header: list[str],
+    distinct: list[str] | None,
+    ignore: list[str] | None,
+) -> list[int] | None:
+    """Key-column indexes for file-level dedup, with the reference's
+    fallback order (CsvAvroConverterFactory.fieldIndexes): the distinct
+    fields when ALL are present, else header-minus-ignored when ANY ignored
+    field is present, else None (whole record is the key)."""
+    if distinct:
+        idxs = [header.index(f) if f in header else -1 for f in distinct]
+        if -1 not in idxs:
+            return idxs
+    if ignore:
+        drop = {header.index(f) for f in ignore if f in header}
+        if drop:
+            return [i for i in range(len(header)) if i not in drop]
+    return None
+
+
+def _dedup_csv_content(
+    old: bytes,
+    new: bytes,
+    distinct: list[str] | None,
+    ignore: list[str] | None,
+) -> bytes:
+    """Keep-LAST whole-file dedup of a rendered CSV target + its appended
+    batch — reference parity with CsvAvroConverterFactory.deduplicate
+    (key = md5 of the selected fields there, the field tuple here; keep the
+    LAST occurrence; emit survivors in their original record order).
+
+    `old` carries the header; `new` is headerless (the append payload).
+    Raw lines are preserved byte-for-byte when no record contains a quote;
+    quoted records (embedded commas/newlines) take the csv-module path and
+    re-serialize with the same RFC4180 doubling the Spark writer uses.
+    Memory is the whole file — bounded by one user-hour of one topic, the
+    same invariant the reference's in-memory line map relies on."""
+    text_old, text_new = old.decode(), new.decode()
+    if '"' not in text_old and '"' not in text_new:
+        lines = [ln for ln in text_old.split("\n") if ln != ""]
+        header_line, body = lines[0], lines[1:]
+        body += [ln for ln in text_new.split("\n") if ln != ""]
+        header = header_line.split(",")
+        idxs = _field_indexes(header, distinct, ignore)
+        last: dict = {}
+        for i, ln in enumerate(body):
+            f = ln.split(",")
+            key = ln if idxs is None else tuple(f[j] for j in idxs)
+            last[key] = i
+        kept = sorted(last.values())
+        return ("\n".join([header_line, *(body[i] for i in kept)]) + "\n").encode()
+    import csv
+
+    rows_old = list(csv.reader(io.StringIO(text_old)))
+    header = rows_old[0]
+    body_rows = rows_old[1:] + list(csv.reader(io.StringIO(text_new)))
+    idxs = _field_indexes(header, distinct, ignore)
+    last = {}
+    for i, row in enumerate(body_rows):
+        key = tuple(row) if idxs is None else tuple(
+            row[j] if j < len(row) else "" for j in idxs
+        )
+        last[key] = i
+    kept = sorted(last.values())
+    sink = io.StringIO()
+    w = csv.writer(sink, lineterminator="\n")
+    w.writerow(header)
+    for i in kept:
+        w.writerow(body_rows[i])
+    return sink.getvalue().encode()
+
+
+def _dedup_json_content(old: bytes, new: bytes) -> bytes:
+    """Keep-FIRST whole-line dedup of a JSON-lines target + its appended
+    batch (reference RecordConverterFactory.readFile's LinkedHashSet)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for ln in [*old.decode().split("\n"), *new.decode().split("\n")]:
+        if ln != "" and ln not in seen:
+            seen.add(ln)
+            out.append(ln)
+    return ("\n".join(out) + "\n").encode()
+
+
+def _read_full_content(
+    final: str, compression: str | None, storage: TargetStorage
+) -> bytes:
+    """Decompressed current content of an existing target file."""
+    data = storage.read(final)
+    if compression == "gzip":
+        data = gzip.decompress(data)
+    elif compression == "zip":
+        import zipfile
+
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            data = zf.read(zf.namelist()[0])
+    return data
+
+
+def _write_full_content(
+    final: str,
+    content: bytes,
+    compression: str | None,
+    storage: TargetStorage,
+) -> None:
+    """Atomically REPLACE the target with `content` (the dedup-rewrite
+    publish — the reference's dedupTmp -> tmpPath atomic move)."""
+    if compression == "gzip":
+        content = gzip.compress(content)
+        storage.store_atomic(final, content)
+        return
+    if compression == "zip":
+        import zipfile
+
+        entry = os.path.basename(final)[: -len(".zip")]
+        with storage.store_atomic_writer(final) as out, zipfile.ZipFile(
+            out, "w", zipfile.ZIP_DEFLATED, compresslevel=ZIP_LEVEL
+        ) as zf:
+            zf.writestr(entry, content)
+        return
+    storage.store_atomic(final, content)
+
+
 def _concat_into(
     dst: str,
     parts: list[str],
     gzipped: bool,
     has_header: bool,
     storage: TargetStorage,
+    dedup: tuple[list | None, list | None] | None = None,
+    fmt: str = "csv",
 ) -> None:
     """Append part files into dst (skipping their headers when dst exists),
     publishing the result atomically through the storage backend.
@@ -137,6 +263,22 @@ def _concat_into(
         new_chunks.append(data)
         skip_header = has_header  # subsequent parts always drop the header
     payload = b"".join(new_chunks)
+    if exists and dedup is not None and fmt in ("csv", "json"):
+        # dedup-enabled append rewrites the WHOLE file old+new (reference
+        # FileCache.closeAndJoin: the tmp starts as a copy of the target
+        # and deduplicate() runs over all of it) — this is what makes
+        # dedup-on-append the mitigation for the write-then-commit
+        # at-least-once window: a crash-replayed batch's rows collapse
+        # into the survivors instead of accumulating
+        old = _read_full_content(dst, "gzip" if gzipped else None, storage)
+        if fmt == "csv":
+            content = _dedup_csv_content(old, payload, dedup[0], dedup[1])
+        else:
+            content = _dedup_json_content(old, payload)
+        _write_full_content(
+            dst, content, "gzip" if gzipped else None, storage
+        )
+        return
     if gzipped:
         # appended as a fresh member; gzip and the reference's
         # decompress-on-append both accept multi-member files
@@ -163,6 +305,8 @@ def _store_payload(
     payload: bytes,
     compression: str | None,
     storage: TargetStorage,
+    dedup: tuple[list | None, list | None] | None = None,
+    fmt: str = "csv",
 ) -> None:
     """Atomically store/append `payload` at `final` through the storage
     backend (the reference's FileCache store protocol: full new content is
@@ -178,6 +322,20 @@ def _store_payload(
     import zipfile
 
     exists = storage.exists(final)
+    if exists and dedup is not None and fmt in ("csv", "json"):
+        # dedup-enabled append rewrites the WHOLE file old+new (reference
+        # FileCache.closeAndJoin runs deduplicate() over the tmp copy of
+        # the full target) — the dedup-on-append mitigation for the
+        # write-then-commit at-least-once window: a crash-replayed batch's
+        # rows collapse into the survivors instead of accumulating.
+        # Memory: the one user-hour file, the reference's own invariant.
+        old_content = _read_full_content(final, compression, storage)
+        if fmt == "csv":
+            content = _dedup_csv_content(old_content, payload, dedup[0], dedup[1])
+        else:
+            content = _dedup_json_content(old_content, payload)
+        _write_full_content(final, content, compression, storage)
+        return
     if compression == "zip":
         entry = os.path.basename(final)[: -len(".zip")]
         # force_zip64: the writer stream is non-seekable, so zipfile cannot
@@ -216,8 +374,16 @@ def write_output_tree_direct(
     order_col: str | list[str] | None = None,
     line_col: str = "line",
     storage: TargetStorage | None = None,
+    dedup: tuple[list | None, list | None] | None = None,
 ) -> list[str]:
     """Exact-name writer: key-sorted `mapInPandas`, many files per task.
+
+    `dedup=(distinct_fields, ignore_fields)` enables whole-file dedup on
+    APPEND (reference FileCache.closeAndJoin parity): the existing target
+    and the new batch dedup together — keep-last by the selected CSV
+    fields / keep-first by whole JSON line — so re-appended rows (late
+    data replays, the write-then-commit crash window) collapse instead of
+    accumulating. Field names are the RENDERED (dot-joined) header names.
 
     fmt="csv": every non-partition column of `df` must already be a rendered
     string (flatten(rendered=True)) — the JVM cast did the Java-toString
@@ -407,7 +573,9 @@ def write_output_tree_direct(
                 if write_header and not exists:
                     lines = csv_header_line + "\n" + lines
                 payload = lines.encode()
-            _store_payload(final, payload, compression, storage)
+            _store_payload(
+                final, payload, compression, storage, dedup=dedup, fmt=fmt
+            )
         if sidecar_obj is not None:
             topic = segs[topic_idx]
             sidecar = os.path.join(final_dir, f"schema-{topic}.json")
@@ -533,8 +701,12 @@ def write_output_tree(
     tmp_dir: str | None = None,
     order_col: str | list[str] | None = None,
     storage: TargetStorage | None = None,
+    dedup: tuple[list | None, list | None] | None = None,
 ) -> list[str]:
     """Write `df` as the reference's output tree; returns final file paths.
+
+    `dedup` enables whole-file dedup on append — see
+    `write_output_tree_direct` for the semantics.
 
     `partition_cols`: ordered path segments; the last is the time-bin that
     becomes the file name. The finalize pass runs through the storage
@@ -652,7 +824,10 @@ def write_output_tree(
             )
             storage.store_atomic(final, sink.getvalue())
         else:
-            _concat_into(final, parts, gzipped, has_header, storage)
+            _concat_into(
+                final, parts, gzipped, has_header, storage,
+                dedup=dedup, fmt=fmt,
+            )
         return final
 
     from concurrent.futures import ThreadPoolExecutor

@@ -171,6 +171,7 @@ def streaming_restructure(
                 value_schema=value_schema,
                 order_col=ORDER_COLS,
                 storage=plan.target_storage,
+                dedup=plan.file_dedup(topic),
             )
             if plan.target_storage.executor_safe:
                 write_output_tree_direct(

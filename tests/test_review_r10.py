@@ -407,3 +407,146 @@ def test_sidecar_topic_with_quote_is_valid_json(spark, tmp_path):
     assert sidecars
     body = json.loads(open(sidecars[0]).read())  # must parse
     assert body["name"] == 'a"b'
+
+
+# ---------------------------------------------------------------------------
+# write-then-commit crash window: documented behavior + dedup mitigation
+# ---------------------------------------------------------------------------
+
+
+def _crash_fixture(spark, tmp_path):
+    import os
+
+    from tests.test_restructure_e2e import _write_fixture
+
+    input_dir = str(tmp_path / "in")
+    rows = [
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=3600.0 + i, status=s),
+        )
+        for i, s in enumerate(["A", "B", "C"])
+    ]
+    _write_fixture(spark, input_dir, "t", rows, 0, 0, 2)
+    return input_dir, str(tmp_path / "out")
+
+
+def _run_with_crash_before_commit(spark, cfg):
+    """Run the plan but crash between the output write and the manifest
+    commit — the T2 at-least-once window."""
+    import pytest
+
+    from radar_output_restructure_spark.plans.restructure import (
+        RestructurePlan,
+    )
+
+    plan = RestructurePlan(spark, cfg)
+
+    def crash(files):
+        raise RuntimeError("crash between write and commit")
+
+    plan.manifest.commit = crash
+    with pytest.raises(RuntimeError, match="between write and commit"):
+        plan.run()
+
+
+def test_crash_between_write_and_commit_duplicates_then_rerun(
+    spark, tmp_path
+):
+    """Documented behavior (README, sources/manifest.py): a crash between
+    write and commit replays the batch and APPENDS duplicate rows — exact
+    reference parity (worker/FileCache.kt:181-186)."""
+    from radar_output_restructure_spark.plans.restructure import (
+        RestructureConfig,
+        RestructurePlan,
+    )
+
+    input_dir, output_dir = _crash_fixture(spark, tmp_path)
+    cfg = RestructureConfig(input_dir=input_dir, output_dir=output_dir)
+    _run_with_crash_before_commit(spark, cfg)
+
+    finals = RestructurePlan(spark, cfg).run()["t"]  # recovery run
+    lines = open(finals[0]).read().splitlines()
+    assert len(lines) == 1 + 6  # header + 3 original + 3 replayed (dup)
+
+    # and the ledger now owns the files: a THIRD run is a no-op
+    assert RestructurePlan(spark, cfg).run() == {"t": []}
+
+
+def test_crash_replay_with_dedup_collapses_duplicates(spark, tmp_path):
+    """The documented mitigation: dedup-on-append rewrites the whole file
+    (reference FileCache.closeAndJoin), so the replayed batch's rows
+    collapse into the survivors."""
+    from radar_output_restructure_spark.plans.restructure import (
+        DedupConfig,
+        RestructureConfig,
+        RestructurePlan,
+    )
+
+    input_dir, output_dir = _crash_fixture(spark, tmp_path)
+    cfg = RestructureConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        dedup=DedupConfig(enable=True),
+    )
+    _run_with_crash_before_commit(spark, cfg)
+
+    finals = RestructurePlan(spark, cfg).run()["t"]  # recovery run
+    lines = open(finals[0]).read().splitlines()
+    assert len(lines) == 1 + 3, lines  # duplicates collapsed
+    assert sorted(lines[1:]) == [
+        "p,u,s,3600.0,A",
+        "p,u,s,3601.0,B",
+        "p,u,s,3602.0,C",
+    ]
+
+
+def test_dedup_on_append_across_runs_keep_last(spark, tmp_path):
+    """Late data appending an already-written row must dedup against the
+    EXISTING file content, not just within its own batch."""
+    import os
+
+    from tests.test_restructure_e2e import _write_fixture
+
+    from radar_output_restructure_spark.plans.restructure import (
+        DedupConfig,
+        RestructureConfig,
+        RestructurePlan,
+    )
+
+    input_dir, output_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    base = [
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=3600.0 + i, status=s),
+        )
+        for i, s in enumerate(["A", "B"])
+    ]
+    _write_fixture(spark, input_dir, "t", base, 0, 0, 1)
+    cfg = RestructureConfig(
+        input_dir=input_dir,
+        output_dir=output_dir,
+        dedup=DedupConfig(enable=True),
+    )
+    RestructurePlan(spark, cfg).run()
+
+    # a second source file carries ONE duplicate of row A and one new row
+    late = [
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=3600.0, status="A"),
+        ),
+        Row(
+            key=Row(projectId="p", userId="u", sourceId="s"),
+            value=Row(time=3602.0, status="Z"),
+        ),
+    ]
+    _write_fixture(spark, input_dir, "t", late, 0, 2, 3)
+    finals = RestructurePlan(spark, cfg).run()["t"]
+    lines = open(finals[0]).read().splitlines()
+    assert len(lines) == 1 + 3, lines  # A deduped across runs
+    assert lines[1:] == [
+        "p,u,s,3601.0,B",
+        "p,u,s,3600.0,A",  # keep-LAST: the replayed A survives, in its
+        "p,u,s,3602.0,Z",  # last-occurrence position (reference order)
+    ]
