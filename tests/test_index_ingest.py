@@ -442,3 +442,70 @@ def test_pending_compaction_swap_cannot_eat_committed_epoch(
     assert not os.path.exists(staging)
     got = sorted(r.vec_id for r in spark.read.parquet(index).collect())
     assert got == sorted(r.vec_id for r in emb.collect())
+
+
+def test_two_ingestor_chaos_crash_between_intent_and_first_move(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The full adversarial interleaving (r9 verdict item 7): ingestor A
+    crashes BETWEEN publishing the intent manifest and its FIRST rename —
+    staging holds every epoch file plus the intent, no cell dir was
+    touched. Ingestor B (same run_id lineage, as after a driver restart
+    over the same checkpoint) recovers and proceeds. The probe must equal
+    a from-scratch rebuild exactly."""
+    import pytest
+
+    import radar_output_restructure_spark.streaming.index_ingest as ii
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    index = str(tmp_path / "index")
+    write_ivf_index(emb.filter(F.col("vec_id") < 150), centroids, index)
+    delta = emb.filter("vec_id >= 150 and vec_id < 300").select(
+        "vec_id", "embedding"
+    )
+
+    # ingestor A: epoch 0 commits normally; epoch 1 crashes after the
+    # intent publish, before the first rename
+    ingest_a = make_batch_ingestor(spark, index, centroids, run_id="ckpt")
+    ingest_a(delta, 0)
+
+    def no_rename(*a, **k):
+        raise IOError("executor lost before the first move")
+
+    monkeypatch.setattr(ii, "_checked_rename", no_rename)
+    delta2 = emb.filter("vec_id >= 300 and vec_id < 450").select(
+        "vec_id", "embedding"
+    )
+    with pytest.raises(IOError, match="before the first move"):
+        ingest_a(delta2, 1)
+    monkeypatch.undo()
+
+    # crash state: intent published, staging full, NO e1- files moved
+    assert os.path.exists(
+        os.path.join(index, ii.EPOCH_STAGING_DIR, ii.EPOCH_INTENT_NAME)
+    )
+    assert not glob.glob(os.path.join(index, "cell=*", "e1-*.parquet"))
+
+    # ingestor B: same run_id lineage (driver restart over the checkpoint)
+    ingest_b = make_batch_ingestor(spark, index, centroids, run_id="ckpt")
+    ingest_b(delta2, 1)  # recovery + idempotent re-append
+    assert not os.path.exists(os.path.join(index, ii.EPOCH_STAGING_DIR))
+
+    rebuild = str(tmp_path / "rebuild")
+    write_ivf_index(emb.filter("vec_id < 450"), centroids, rebuild)
+
+    def probe(p):
+        return {
+            (r.query_id, r.neighbor_id, r.sim)
+            for r in probe_ivf_index(
+                spark, p, queries, centroids, k=5, nprobe=4
+            ).collect()
+        }
+
+    assert probe(index) == probe(rebuild)
+
+    # and a replay of epoch 1 (foreachBatch at-least-once) is a no-op
+    ingest_b(delta2, 1)
+    assert probe(index) == probe(rebuild)
