@@ -248,7 +248,12 @@ def sliding_chunks(
 
     if stride <= 0 or window_tokens <= 0:
         raise ValueError("window_tokens and stride must be positive")
-    staged = df.select(F.col(id_col), split_words(text_col).alias("__w"))
+    # coalesce: NULL text chunks exactly like empty text (one empty
+    # chunk), instead of NULL-propagating into a NULL chunk_text
+    staged = df.select(
+        F.col(id_col),
+        split_words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    )
     n = F.size("__w")
     n_chunks = F.lit(1) + F.floor(
         (F.greatest(n - window_tokens, F.lit(0)) + (stride - 1))

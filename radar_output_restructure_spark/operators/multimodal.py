@@ -495,12 +495,22 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in it:
             payloads = pdf["payload"]
+            # NULL payloads (e.g. encode(NULL text)) propagate as NULL
+            # features — .map(len) would crash the task on None
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": payloads.map(len),
-                    "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "ascii_ratio": payloads.map(lambda b: ascii_ratio(bytes(b))),
+                    "n_bytes": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ),
+                    "digest": payloads.map(
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "ascii_ratio": payloads.map(
+                        lambda b: None if b is None else ascii_ratio(bytes(b))
+                    ),
                 }
             )
 

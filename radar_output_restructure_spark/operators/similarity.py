@@ -58,7 +58,14 @@ def _norm(a: Column, dims: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dims: int | None = None) -> Column:
-    return _dot(a, b, dims) / (_norm(a, dims) * _norm(b, dims))
+    # zero-norm guard (module-wide convention): the numerator is 0 for a
+    # zero vector, so coalescing its norm to 1 pins cos at exactly 0.0 —
+    # under ANSI mode an unguarded 0/0 is a DIVIDE_BY_ZERO task failure,
+    # and NaN would rank differently between numpy prunes and SQL windows
+    na, nb = _norm(a, dims), _norm(b, dims)
+    na = F.when(na == F.lit(0.0), F.lit(1.0)).otherwise(na)
+    nb = F.when(nb == F.lit(0.0), F.lit(1.0)).otherwise(nb)
+    return _dot(a, b, dims) / (na * nb)
 
 
 def cosine_topk(
@@ -110,6 +117,7 @@ def cosine_topk(
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     q_arr = np.array(q_lists, dtype=np.float64)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_norms = np.where(q_norms == 0.0, 1.0, q_norms)  # zero-norm guard
     q_ids_arr = np.array(q_ids)
     nq = len(q_ids)
 
@@ -190,6 +198,7 @@ def cosine_range_search(
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     q_arr = np.array(q_lists, dtype=np.float64)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_norms = np.where(q_norms == 0.0, 1.0, q_norms)  # zero-norm guard
     q_ids_arr = np.array([r.qid for r in q_rows])
     nq = len(q_ids_arr)
 
@@ -1306,6 +1315,7 @@ def cosine_topk_pq(
     # reconstruction-dot / reconstruction-norm pieces in oracle fold order
     tq, csq = _adc_tables(q_lists, codebooks, dims, m)
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_norms = np.where(q_norms == 0.0, 1.0, q_norms)  # zero-norm guard
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
@@ -1324,7 +1334,11 @@ def cosine_topk_pq(
             for s in range(1, m):
                 num = num + tq[s][:, code_arrs[s]]
                 den_inner = den_inner + csq[s][code_arrs[s]]
-            den = q_norms[:, None] * np.sqrt(den_inner)[None, :]
+            # zero-norm guard: an all-zero reconstruction (zero vector's
+            # codes) pins sim at 0.0 instead of NaN (see _codebook_affinities)
+            rnorm = np.sqrt(den_inner)
+            rnorm = np.where(rnorm == 0.0, 1.0, rnorm)
+            den = q_norms[:, None] * rnorm[None, :]
             sim = _round6_spark(num / den)
             qcol, ncol, scol = [], [], []
             for j in range(nq):
@@ -1513,6 +1527,7 @@ def cosine_topk_ivfpq(
     q_lists = [[float(x) for x in r.qv] for r in q_rows]
     tq, csq = _adc_tables(q_lists, codebooks, dims, m)  # shared with PQ
     q_norms = np.array([math_sqrt(_seq_sq_sum(v)) for v in q_lists])
+    q_norms = np.where(q_norms == 0.0, 1.0, q_norms)  # zero-norm guard
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
@@ -1530,7 +1545,9 @@ def cosine_topk_ivfpq(
             for s in range(1, m):
                 num = num + tq[s][qidx, code_arrs[s]]
                 den_inner = den_inner + csq[s][code_arrs[s]]
-            sim = _round6_spark(num / (q_norms[qidx] * np.sqrt(den_inner)))
+            rnorm = np.sqrt(den_inner)  # zero-norm guard, see the PQ scorer
+            rnorm = np.where(rnorm == 0.0, 1.0, rnorm)
+            sim = _round6_spark(num / (q_norms[qidx] * rnorm))
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),

@@ -544,7 +544,8 @@ CHUNK_S = 48   # stride (overlap = 16)
     f"""
     WITH w AS (
       SELECT doc_id,
-             regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+             regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                   '\\s+') AS words
       FROM documents
     ),
     sized AS (SELECT doc_id, words, len(words) AS n FROM w)

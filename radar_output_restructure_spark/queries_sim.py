@@ -214,8 +214,13 @@ _SQL_DOT = (
     "list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) "
     f"for i in range(1, {DIMS + 1})])"
 )
-_SQL_QNORM = f"sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
-_SQL_CNORM = f"sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
+# zero-norm guard mirrors the Spark operators (similarity.py): a
+# zero-norm vector pins sim at 0.0 instead of NaN (NaN would also rank
+# differently across engines)
+_SQL_QSSQ = f"list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, {DIMS + 1})])"
+_SQL_QNORM = f"(CASE WHEN ({_SQL_QSSQ}) = 0 THEN 1.0 ELSE sqrt({_SQL_QSSQ}) END)"
+_SQL_CSSQ = f"list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, {DIMS + 1})])"
+_SQL_CNORM = f"(CASE WHEN ({_SQL_CSSQ}) = 0 THEN 1.0 ELSE sqrt({_SQL_CSSQ}) END)"
 
 
 @register(
@@ -366,8 +371,10 @@ _SQL_IVF_DOT = (
     "list_sum([CAST(v[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
     f"for i in range(1, {DIMS + 1})])"
 )
-_SQL_IVF_VNORM = f"sqrt(list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
-_SQL_IVF_CNORM = f"sqrt(list_sum([CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) for i in range(1, {DIMS + 1})]))"
+_SQL_IVF_VSSQ = f"list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) for i in range(1, {DIMS + 1})])"
+_SQL_IVF_VNORM = f"(CASE WHEN ({_SQL_IVF_VSSQ}) = 0 THEN 1.0 ELSE sqrt({_SQL_IVF_VSSQ}) END)"
+_SQL_IVF_CSSQ = f"list_sum([CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) for i in range(1, {DIMS + 1})])"
+_SQL_IVF_CNORM = f"(CASE WHEN ({_SQL_IVF_CSSQ}) = 0 THEN 1.0 ELSE sqrt({_SQL_IVF_CSSQ}) END)"
 
 
 def _sql_ivf_cells(source_filter: str, nprobe: int) -> str:
@@ -869,14 +876,16 @@ def _sql_pq_cos(sd: int) -> tuple[str, str, str]:
         "list_sum([CAST(v[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
         f"for i in range(1, {sd + 1})])"
     )
-    vnorm = (
-        "sqrt(list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) "
-        f"for i in range(1, {sd + 1})]))"
+    vssq = (
+        "list_sum([CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE) "
+        f"for i in range(1, {sd + 1})])"
     )
-    cnorm = (
-        "sqrt(list_sum([CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
-        f"for i in range(1, {sd + 1})]))"
+    vnorm = f"(CASE WHEN ({vssq}) = 0 THEN 1.0 ELSE sqrt({vssq}) END)"
+    cssq = (
+        "list_sum([CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE) "
+        f"for i in range(1, {sd + 1})])"
     )
+    cnorm = f"(CASE WHEN ({cssq}) = 0 THEN 1.0 ELSE sqrt({cssq}) END)"
     return dot, vnorm, cnorm
 
 
@@ -994,7 +1003,9 @@ _SQL_PQ_CODES = ",\n    ".join(_sql_pq_codes(s) for s in range(PQ_M))
     scored AS (
       SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
              round(({_SQL_PQ_DOT})
-                   / (({_SQL_QNORM}) * sqrt({_SQL_PQ_CSQ})), 6) AS sim
+                   / (({_SQL_QNORM})
+                      * (CASE WHEN ({_SQL_PQ_CSQ}) = 0 THEN 1.0
+                         ELSE sqrt({_SQL_PQ_CSQ}) END)), 6) AS sim
       FROM codes x
       JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c0 FROM cent{PQ_ITERS}_s0) t0 ON t0.cell = x.k0
       JOIN (SELECT cell, {_SQL_PQ_DEQUANT} AS c1 FROM cent{PQ_ITERS}_s1) t1 ON t1.cell = x.k1
@@ -1147,7 +1158,9 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT qc.vec_id AS query_id, x.vec_id AS neighbor_id,
              round(({_SQL_PQ_DOT})
-                   / (({_SQL_QNORM}) * sqrt({_SQL_PQ_CSQ})), 6) AS sim
+                   / (({_SQL_QNORM})
+                      * (CASE WHEN ({_SQL_PQ_CSQ}) = 0 THEN 1.0
+                         ELSE sqrt({_SQL_PQ_CSQ}) END)), 6) AS sim
       FROM codes x
       JOIN corpus_cells cc ON cc.vec_id = x.vec_id
       JOIN query_cells qc ON qc.cell = cc.cell
@@ -1420,13 +1433,20 @@ _SQL_INT8_CODES = f"""
 """
 
 _SQL_INT8_DOT = f"list_sum([qa[i] * qb[i] for i in range(1, {DIMS + 1})])"
+# zero-norm guards mirror the Spark scorer (a zero vector pins sim 0.0)
+_SQL_INT8_QSSQ = (
+    f"CAST(list_sum([qa[i] * qa[i] for i in range(1, {DIMS + 1})]) AS DOUBLE)"
+)
 _SQL_INT8_QNORM = (
-    f"sqrt(CAST(list_sum([qa[i] * qa[i] for i in range(1, {DIMS + 1})])"
-    " AS DOUBLE))"
+    f"(CASE WHEN ({_SQL_INT8_QSSQ}) = 0 THEN 1.0"
+    f" ELSE sqrt({_SQL_INT8_QSSQ}) END)"
+)
+_SQL_INT8_CSSQ = (
+    f"CAST(list_sum([qb[i] * qb[i] for i in range(1, {DIMS + 1})]) AS DOUBLE)"
 )
 _SQL_INT8_CNORM = (
-    f"sqrt(CAST(list_sum([qb[i] * qb[i] for i in range(1, {DIMS + 1})])"
-    " AS DOUBLE))"
+    f"(CASE WHEN ({_SQL_INT8_CSSQ}) = 0 THEN 1.0"
+    f" ELSE sqrt({_SQL_INT8_CSSQ}) END)"
 )
 
 
