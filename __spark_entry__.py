@@ -96,11 +96,11 @@ _GATE_HEAD = (
     "quality_resample_docs",
     "source_quality_stats_docs",
     "source_cap_docs",
-    # -- slots 49-50: r8 backlog refreshes certified a round early so the
-    #    round-11 rotation backlog shrinks, keeping rotation near steady
-    #    state --
+    # slot 49: values changed by the rollup micros fix (floor -> HALF_UP
+    # round, the repo-wide cents/micros convention; 180 sf0.01 rows move)
+    "event_rollup_daily",
+    # -- slot 50: r8 backlog refresh certified a round early --
     "dedup_keep_first",
-    "extraction_check",
     # After the head: the remaining r8/r9-certified queries ride the tail at
     # age <= 1 entering round 11 -- the 44 other r8-certified queries are the
     # round-11 rotation backlog (see CERT_AGE.json for the exact ledger).

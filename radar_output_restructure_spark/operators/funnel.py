@@ -50,7 +50,12 @@ def funnel(
                 F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
             ).alias(f"a{i}")
         )
-    per_user = df.groupBy(user_col).agg(*aggs)
+    # NULL users are excluded: the oracle's step joins (JOIN USING
+    # (user_id)) never match NULL = NULL, and a NULL "user" is not a
+    # coherent funnel subject anyway
+    per_user = (
+        df.filter(F.col(user_col).isNotNull()).groupBy(user_col).agg(*aggs)
+    )
     for i in range(1, len(steps)):
         prev = F.col(f"t{i-1}")
         per_user = per_user.withColumn(
@@ -128,7 +133,13 @@ def event_path_topk(
     ]
     stepped = df.select(
         *[p.alias(f"s{i}") for i, p in enumerate(parts)]
-    ).filter(F.col(f"s{n-1}").isNotNull())
+    )
+    # EVERY step must be non-null, not just the last lead: a NULL
+    # event_type mid-path would pass an s{n-1}-only check and concat_ws
+    # would skip it, corrupting (a, NULL, c) into the colliding path
+    # 'a>c' — and diverging from the oracle, whose || chain nulls out
+    for i in range(n):
+        stepped = stepped.filter(F.col(f"s{i}").isNotNull())
     path = F.concat_ws(">", *[F.col(f"s{i}") for i in range(n)])
     return (
         stepped.select(path.alias("path"))
@@ -150,13 +161,16 @@ def event_rollup_daily(ev: DataFrame) -> DataFrame:
     map-side combined per grouping set, so the corpus is read ONCE and the
     shuffle carries only (groups x levels) partial rows — at 100 TB this
     beats three separate aggregations by 3x on scan alone. Values sum as
-    integer micros (floor(value * 1e6)): exact, associative, engine-equal;
+    integer micros (round(value * 1e6), HALF_UP — the repo-wide
+    cents/micros convention; a floor would truncate ~half of all
+    two-decimal values one micro low because their nearest double sits
+    just under the decimal): exact, associative, engine-equal;
     a float sum over millions of rows is neither.
     """
     base = ev.select(
         "event_type",
         F.col("ts").cast("date").cast("string").alias("event_date"),
-        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("__v"),
+        F.round(F.col("value") * 1_000_000, 0).cast("bigint").alias("__v"),
     )
     return (
         base.rollup("event_type", "event_date")

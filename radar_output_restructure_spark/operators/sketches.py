@@ -59,6 +59,14 @@ def _cms_bucket(md: Column, row: int, width: int) -> Column:
     `depth` rows (disjoint spans of a cryptographic digest are independent
     hash families) — the first cut hashed md5('r:tok') per row and the
     depth x md5 cost was the whole sketch runtime at 10x tiling."""
+    if not 0 <= row <= 3:
+        raise ValueError(
+            f"row {row} out of range: an md5 digest has 32 hex chars = 4 "
+            "disjoint 8-char spans, so depth/k cannot exceed 4 (row 4+ "
+            "would fold ascii('') = 0 into every position — a degenerate "
+            "all-bucket-0 hash on the JVM side and an IndexError in the "
+            "numpy replay)"
+        )
     h: Column = F.lit(0).cast("bigint")
     for j in range(row * 8 + 1, row * 8 + 9):
         h = (h * 131 + F.ascii(F.substring(md, j, 1))) % 9007199254740881
@@ -116,14 +124,17 @@ def cms_heavy_hitters(
 
     The counter table is sketch-sized (depth x width longs), so the
     estimate join BROADCASTS it against the vocabulary frame; the min over
-    depth rows is an exact integer aggregate. Two bounded shuffles total:
-    counters (sketch-sized) and the vocabulary groupBy.
+    depth rows is an exact integer aggregate. ONE corpus scan total: the
+    counters derive from the banded vocabulary frame (sum of exact_n per
+    (row, bucket) == the token-occurrence counter), so the corpus is
+    tokenized and hashed exactly once; both post-vocab shuffles are
+    sketch-/vocab-sized.
     """
-    counters = cms_counters(df, text_col, depth, width)
     toks = _tokens(df, text_col)
     vocab = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("exact_n")
     )
+    vocab = vocab.localCheckpoint(eager=False)  # feeds counters + the join
     banded = vocab.select(
         "tok",
         "exact_n",
@@ -142,6 +153,15 @@ def cms_heavy_hitters(
                 ]
             )
         ),
+    )
+    banded = banded.localCheckpoint(eager=False)  # counters + join side
+    # the counter table derives from the banded vocab frame instead of a
+    # second corpus scan (cms_counters re-tokenizes + re-hashes the whole
+    # corpus): counters(row, bucket) = sum of exact_n over the vocab
+    # tokens hashing there — bit-identical, since exact_n IS the token's
+    # occurrence count, at vocab (not corpus) cost
+    counters = banded.groupBy("row", "bucket").agg(
+        F.sum("exact_n").cast("long").alias("cnt")
     )
     est = (
         banded.join(F.broadcast(counters), ["row", "bucket"])
@@ -193,7 +213,10 @@ def hll_distinct(
     )
     regs = ranked.groupBy("grp", "reg").agg(F.max("rank").alias("m_rank"))
 
-    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    # group list from the sketch-sized register frame, NOT a third
+    # corpus scan: a group absent from regs has zero tokens and would be
+    # dropped by the final inner join with `exact` anyway
+    groups = regs.select("grp").distinct()
     all_regs = groups.crossJoin(
         F.broadcast(
             regs.sparkSession.range(HLL_M).select(
@@ -313,12 +336,15 @@ def bloom_ngram_filter(
         # exact numpy replay of _cms_bucket: Horner over the ascii codes of
         # the r-th 8-hex-char span, mod FP_PRIME then mod width. h < p and
         # p * 131 + 127 < 2^63, so int64 never overflows.
-        codes = (
-            md.str.slice(row * 8, row * 8 + 8)
-            .apply(lambda s: [ord(c) for c in s])
-            .to_list()
+        # one frombuffer over the joined 8-char spans: md5 hex is pure
+        # ASCII, so the utf-8 bytes ARE the ord() codes — no per-row
+        # Python list building in the corpus-sized probe hot path
+        spans = md.str.slice(row * 8, row * 8 + 8)
+        arr = (
+            np.frombuffer("".join(spans).encode("ascii"), dtype=np.uint8)
+            .reshape(-1, 8)
+            .astype(np.int64)
         )
-        arr = np.asarray(codes, dtype=np.int64)
         h = np.zeros(len(arr), dtype=np.int64)
         for j in range(8):
             h = (h * 131 + arr[:, j]) % 9007199254740881
@@ -402,9 +428,17 @@ def log_bucket_quantiles(
             "long"
         ),
     )
+    # Overflow-safe sub-bucket arithmetic: for p >= sub_buckets (p a power
+    # of two, so p DIV sub is exact) divide FIRST — (x-p)*sub would wrap
+    # int64 for values >= ~2^60 (nanosecond epochs), silently corrupting
+    # the quantiles. floor((x-p)*s/p) == floor((x-p)/(p/s)) exactly when
+    # s | p, so the two branches agree wherever both are defined.
     lb = F.expr(
-        f"__p + ((((__x - __p) * {sub_buckets}) DIV __p) * __p)"
-        f" DIV {sub_buckets}"
+        f"__p + (CASE WHEN __p >= {sub_buckets}"
+        f" THEN ((__x - __p) DIV (__p DIV {sub_buckets}))"
+        f"      * (__p DIV {sub_buckets})"
+        f" ELSE ((((__x - __p) * {sub_buckets}) DIV __p) * __p)"
+        f"      DIV {sub_buckets} END)"
     )
     buckets = (
         base.select("grp", lb.alias("lb"))

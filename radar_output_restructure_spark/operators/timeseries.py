@@ -97,7 +97,14 @@ def interval_join(
     l_df = left.withColumn("__bucket", lb.cast("long"))
     rs = F.unix_micros(F.col(start_col))
     re_ = F.unix_micros(F.col(end_col))
-    r_df = right.withColumn(
+    # empty/inverted intervals (end <= start) are dropped BEFORE the
+    # explode: Spark's sequence(start, stop) silently generates a
+    # DESCENDING array when start > stop, so one malformed row (say an
+    # epoch-0 sentinel end under a 2026 start) would explode into ~500k
+    # junk buckets per row — the residual filter would discard them all,
+    # but only after the memory blow-up (same hazard dedup_scale guards
+    # at its sequence(1, n-k+1) sites)
+    r_df = right.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(
@@ -141,9 +148,19 @@ def scd2_intervals(
     """
     order = [F.col(ts_col).asc(), F.col(tie_col).asc()]
     w = Window.partitionBy(key_col).orderBy(*order)
+    # null-safe island break (~eqNullSafe): with a plain !=, a
+    # state->NULL transition evaluates to (false OR NULL) = NULL, the
+    # running sum skips it, and the NULL-state event is silently absorbed
+    # into the previous interval while NULL->NULL starts a fresh island —
+    # intervals would misstate validity whenever state_col is nullable.
+    # First row: lag is NULL over a non-null state -> NOT(eqNullSafe) = 1,
+    # same as the old isNull() arm; a first-row NULL state also opens its
+    # own island (lag NULL <=> state NULL is true... except lag's NULL
+    # here means "no previous row", so force the first row open).
+    w_prev = F.lag(state_col).over(w)
+    first_row = F.row_number().over(w) == 1
     changed = (
-        (F.lag(state_col).over(w).isNull())
-        | (F.lag(state_col).over(w) != F.col(state_col))
+        first_row | ~w_prev.eqNullSafe(F.col(state_col))
     ).cast("long")
     # the key column keeps its ORIGINAL name until the final projection:
     # renaming it mid-plan makes the (key, island) windows' clustering

@@ -1924,7 +1924,13 @@ def q_doc_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT grp, x,
                  CAST(power(2.0, length(bin(x)) - 1) AS BIGINT) AS p
           FROM v),
-    lbs AS (SELECT grp, p + (((x - p) * 16 // p) * p) // 16 AS lb FROM b),
+    -- overflow-safe form mirrors the Spark operator (divide first when
+    -- p >= 16; identical values, proven s|p)
+    lbs AS (SELECT grp,
+                   p + (CASE WHEN p >= 16
+                        THEN ((x - p) // (p // 16)) * (p // 16)
+                        ELSE (((x - p) * 16 // p) * p) // 16 END) AS lb
+            FROM b),
     buckets AS (SELECT grp, lb, count(*) AS c FROM lbs GROUP BY 1, 2),
     cum AS (SELECT grp, lb,
                    sum(c) OVER (PARTITION BY grp ORDER BY lb

@@ -20,8 +20,12 @@ FUNNEL_STEPS = ("view", "click", "purchase")
     "event_funnel",
     f"""
     WITH s1 AS (
+      -- NULL users excluded (mirrors the Spark operator): the later
+      -- JOIN USING steps never match NULL anyway, so counting the NULL
+      -- group only in n_step1 would be internally inconsistent
       SELECT user_id, min(ts) AS ts1 FROM events
-      WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+      WHERE event_type = '{FUNNEL_STEPS[0]}' AND user_id IS NOT NULL
+      GROUP BY user_id
     ),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS ts2
@@ -106,7 +110,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s0 || '>' || s1 || '>' || s2 AS path,
            CAST(count(*) AS BIGINT) AS n_paths
-    FROM s WHERE s2 IS NOT NULL
+    -- every step non-null (mirrors the Spark operator): a NULL mid-path
+    -- nulls the || chain and would otherwise form a NULL-path group
+    FROM s WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
     GROUP BY path
     ORDER BY n_paths DESC, path ASC
     LIMIT 10
@@ -131,7 +137,7 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT event_type,
              CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
-             CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+             CAST(round(value * 1000000, 0) AS BIGINT) AS v_micro
       FROM events
     )
     SELECT coalesce(event_type, '(all)') AS event_type,
@@ -282,9 +288,13 @@ def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id AS key, event_type AS state, ts, event_id FROM events
     ),
     marked AS (
+      -- null-safe island break (mirrors the Spark operator's eqNullSafe):
+      -- a state->NULL transition must OPEN an island, and the first row
+      -- always opens one
       SELECT key, state, ts, event_id,
-             CASE WHEN lag(state) OVER w IS NULL
-                    OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+             CASE WHEN row_number() OVER w = 1
+                    OR lag(state) OVER w IS DISTINCT FROM state
+                  THEN 1 ELSE 0 END AS chg
       FROM ev WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
     ),
     isl AS (

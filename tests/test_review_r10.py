@@ -6,6 +6,7 @@ oracle comparison alone cannot see, because the oracle mirrored the bug).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -550,3 +551,130 @@ def test_dedup_on_append_across_runs_keep_last(spark, tmp_path):
         "p,u,s,3600.0,A",  # keep-LAST: the replayed A survives, in its
         "p,u,s,3602.0,Z",  # last-occurrence position (reference order)
     ]
+
+
+# ---------------------------------------------------------------------------
+# sketches / timeseries / funnel review findings
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_drops_inverted_intervals(spark):
+    """An end <= start interval must be dropped BEFORE the bucket explode —
+    Spark's sequence() silently generates a huge DESCENDING array when
+    start > stop (one epoch-0-end sentinel row = ~500k junk buckets)."""
+    from radar_output_restructure_spark.operators.timeseries import (
+        interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts="2026-01-01 10:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            Row(user_id=1, s="2026-01-01 09:00:00", e="2026-01-01 11:00:00"),
+            Row(user_id=1, s="2026-01-01 09:00:00", e="1970-01-01 00:00:00"),
+        ],
+        "user_id long, s string, e string",
+    ).select(
+        "user_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    out = interval_join(
+        left, right, keys="user_id", left_ts="ts", start_col="s",
+        end_col="e", bucket_s=3600
+    )
+    assert out.count() == 1  # matches the valid interval only, no blow-up
+
+
+def test_scd2_null_state_opens_its_own_island(spark):
+    from radar_output_restructure_spark.operators.timeseries import (
+        scd2_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=1.0, event_id=1, state="login"),
+            Row(user_id=1, ts=2.0, event_id=2, state=None),
+            Row(user_id=1, ts=3.0, event_id=3, state="logout"),
+        ],
+        "user_id long, ts double, event_id long, state string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_intervals(
+        df, key_col="user_id", state_col="state", ts_col="ts",
+        tie_col="event_id",
+    ).orderBy("valid_from")
+    rows = out.collect()
+    assert len(rows) == 3, rows  # NULL state is its OWN interval, not
+    # absorbed into 'login'
+    states = [r["state"] for r in rows]
+    assert states == ["login", None, "logout"]
+
+
+def test_event_path_topk_drops_null_mid_path(spark):
+    from radar_output_restructure_spark.operators.funnel import (
+        event_path_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=float(i), event_id=i, event_type=t)
+            for i, t in enumerate(["a", None, "c", "a", "b", "c"])
+        ],
+        "user_id long, ts double, event_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    paths = {r["path"] for r in event_path_topk(df, n=3).collect()}
+    # (a, NULL, c) must not corrupt into the colliding path 'a>c'
+    assert "a>c" not in paths
+    assert "a>b>c" in paths
+
+
+def test_funnel_excludes_null_users(spark):
+    from radar_output_restructure_spark.operators.funnel import funnel
+
+    rows = [
+        Row(user_id=None, ts=1.0, event_type="view"),
+        Row(user_id=None, ts=2.0, event_type="click"),
+        Row(user_id=7, ts=1.0, event_type="view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel(df, steps=("view", "click")).first()
+    assert out["n_step1"] == 1  # the NULL "user" is not a funnel subject
+    assert out["n_step2"] == 0
+
+
+def test_cms_bucket_rejects_depth_past_digest():
+    from pyspark.sql import functions as F
+
+    from radar_output_restructure_spark.operators.sketches import _cms_bucket
+
+    with pytest.raises(ValueError, match="32 hex chars"):
+        _cms_bucket(F.lit("ab"), row=4, width=1024)
+
+
+def test_log_bucket_quantiles_survive_nanosecond_epochs(spark):
+    """Values >= 2^60 must not wrap int64 in the sub-bucket arithmetic."""
+    from radar_output_restructure_spark.operators.sketches import (
+        log_bucket_quantiles,
+    )
+
+    big = [1_700_000_000_000_000_000 + i * 10**15 for i in range(100)]
+    df = spark.createDataFrame(
+        [Row(grp="ns", v=x) for x in big], "grp string, v long"
+    )
+    row = log_bucket_quantiles(df, group_col="grp", value_col="v").first()
+    # exact python replay of the documented bucket rule
+    def lb(x):
+        p = 1 << (x.bit_length() - 1)
+        return p + ((x - p) // (p // 16)) * (p // 16)
+
+    lbs = sorted(lb(x) for x in big)
+    def q(pct):
+        need = (len(big) * pct + 99) // 100
+        return lbs[need - 1]
+
+    assert row["q50"] == q(50) and row["q95"] == q(95) and row["q99"] == q(99)
+    assert row["q99"] > 0  # the wrapped-negative symptom
