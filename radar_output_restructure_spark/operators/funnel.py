@@ -31,16 +31,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def funnel(
+def per_user_step_times(
     df: DataFrame,
-    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    steps: tuple[str, ...],
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Single-row strict-sequence funnel: n_step_i = users whose first
-    qualifying step-i event follows their step-(i-1) time; sum_lag_i_us =
-    exact integer microsecond lag summed over converting users."""
+    """(user_col, t0..t{n-1}): each user's first strict-sequence completion
+    times — t0 = first step-0 event, t{i} = first step-i event strictly
+    after t{i-1}. The SHARED per-user min-after-min chain consumed by both
+    `funnel` and the streaming funnel's batch mode (the two copies drifted
+    once — one dropped the NULL-user filter — so the chain lives here).
+
+    NULL users are excluded: the oracles' step joins (JOIN USING
+    (user_id)) never match NULL = NULL, and a NULL "user" is not a
+    coherent funnel subject anyway.
+    """
     aggs = [
         F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
     ]
@@ -50,9 +57,6 @@ def funnel(
                 F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
             ).alias(f"a{i}")
         )
-    # NULL users are excluded: the oracle's step joins (JOIN USING
-    # (user_id)) never match NULL = NULL, and a NULL "user" is not a
-    # coherent funnel subject anyway
     per_user = (
         df.filter(F.col(user_col).isNotNull()).groupBy(user_col).agg(*aggs)
     )
@@ -65,6 +69,21 @@ def funnel(
                 F.array_min(F.filter(F.col(f"a{i}"), lambda x: x > prev)),
             ),
         )
+    return per_user.drop(*[f"a{i}" for i in range(1, len(steps))])
+
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Single-row strict-sequence funnel: n_step_i = users whose first
+    qualifying step-i event follows their step-(i-1) time; sum_lag_i_us =
+    exact integer microsecond lag summed over converting users."""
+    per_user = per_user_step_times(df, steps, user_col, ts_col, type_col)
     out_aggs = []
     for i in range(len(steps)):
         out_aggs.append(

@@ -36,12 +36,14 @@ SESSION_GAP_S = 3600
     "session_windows_events",
     f"""
     WITH g AS (
+      -- NULL event times are dropped (mirrors session_windows): the
+      -- engines otherwise disagree on where a NULL-ts row sessions
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                           > {SESSION_GAP_S * 1_000_000}
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), s AS (
       SELECT user_id, ts,
@@ -149,10 +151,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dup_from_buckets(emb, cb)
 
 
-@register(
-    "dedup_clusters_docs",
-    f"""
-    WITH RECURSIVE sh AS ({SQL_SHINGLES}),
+#: shared pair-graph + transitive-closure oracle fragments: the
+#: jaccard-verified pair graph and its min-label reach CTE are consumed by
+#: both the clusters and the survivors oracle — one copy, so a threshold
+#: or closure fix cannot drift between the sibling queries
+SQL_JACCARD_PAIR_GRAPH = f"""sh AS ({SQL_SHINGLES}),
     sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
     inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
@@ -162,8 +165,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_a, doc_b FROM inter
       JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
       WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
-    ),
-    edges AS (
+    )"""
+
+SQL_REACH_LABELS = """edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
@@ -171,7 +175,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT src, src FROM edges
       UNION
       SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
-    )
+    )"""
+
+
+@register(
+    "dedup_clusters_docs",
+    f"""
+    WITH RECURSIVE {SQL_JACCARD_PAIR_GRAPH},
+    {SQL_REACH_LABELS}
     SELECT doc, min(label) AS cluster FROM reach GROUP BY doc
     """,
 )
@@ -193,26 +204,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_survivors_docs",
     f"""
-    WITH RECURSIVE sh AS ({SQL_SHINGLES}),
-    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (shingle) WHERE a.doc < b.doc GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
-      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION ALL SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(doc, label) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
-    ),
+    WITH RECURSIVE {SQL_JACCARD_PAIR_GRAPH},
+    {SQL_REACH_LABELS},
     labels AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc),
     removed AS (SELECT doc FROM labels WHERE doc <> cluster)
     SELECT d.doc_id AS doc FROM documents d
@@ -239,10 +232,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_dup_clusters",
-    f"""
-    WITH RECURSIVE b AS (
+#: the embedding analog of SQL_JACCARD_PAIR_GRAPH: LSH candidate pairs
+#: verified by exact cosine — shared by the clusters and survivors oracles
+SQL_EMB_PAIR_GRAPH = f"""b AS (
 {sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
     ),
     cand AS (
@@ -256,8 +248,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
       WHERE round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
             >= {NEAR_DUP_COSINE}
-    ),
-    edges AS (
+    )"""
+
+SQL_EMB_REACH = """edges AS (
       SELECT vec_a AS src, vec_b AS dst FROM pairs
       UNION ALL SELECT vec_b, vec_a FROM pairs
     ),
@@ -265,7 +258,14 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT src, src FROM edges
       UNION
       SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
-    )
+    )"""
+
+
+@register(
+    "embedding_dup_clusters",
+    f"""
+    WITH RECURSIVE {SQL_EMB_PAIR_GRAPH},
+    {SQL_EMB_REACH}
     SELECT doc, min(label) AS cluster FROM reach GROUP BY doc
     """,
 )
@@ -292,30 +292,8 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_dedup_survivors",
     f"""
-    WITH RECURSIVE b AS (
-{sql_buckets_union(AUTO_GATE_PLANES, NUM_TABLES)}
-    ),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
-      FROM b a JOIN b c USING (tbl, bucket)
-      WHERE a.vec_id < c.vec_id
-    ),
-    pairs AS (
-      SELECT vec_a, vec_b FROM cand
-      JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = vec_a
-      JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = vec_b
-      WHERE round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
-            >= {NEAR_DUP_COSINE}
-    ),
-    edges AS (
-      SELECT vec_a AS src, vec_b AS dst FROM pairs
-      UNION ALL SELECT vec_b, vec_a FROM pairs
-    ),
-    reach(doc, label) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc
-    ),
+    WITH RECURSIVE {SQL_EMB_PAIR_GRAPH},
+    {SQL_EMB_REACH},
     labels AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc),
     removed AS (SELECT doc FROM labels WHERE doc <> cluster)
     SELECT e.vec_id, e.label FROM embeddings e

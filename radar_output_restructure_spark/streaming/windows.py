@@ -22,6 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: two's-complement popcount mask for signed 64-bit fingerprints
+_U64 = (1 << 64) - 1
+
 
 def hourly_event_counts(
     df: DataFrame,
@@ -115,6 +118,10 @@ def session_windows(
     time timeout flushes idle sessions). Batch: the equivalent lag/cumsum
     window plan — same output for the same input, used by tests and oracles.
     """
+    # NULL event times are meaningless for gap sessions and every mode
+    # disagreed on them (batch new-session-per-row, oracle absorb-into-
+    # last, streaming NaT -> int64 min garbage): drop them uniformly
+    df = df.filter(F.col(ts_col).isNotNull())
     if df.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -172,7 +179,22 @@ def streaming_dedup(
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             list(keys)
         )
-    return df.dropDuplicates(list(keys))
+    # deterministic batch fallback: dropDuplicates keeps an ARBITRARY row
+    # per key (partitioning-dependent), so batch/stream parity tests would
+    # be nondeterministic for re-delivered rows with differing payloads —
+    # keep the earliest arrival (min ts; full-row tiebreak) like the
+    # streaming first-wins semantics
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in df.columns if c not in keys
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def stream_interval_join(
@@ -257,24 +279,27 @@ def streaming_simhash_near_dup_pairs(
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for exact recall")
 
+    # banded frame built ONCE before the mode branch (the wide variant's
+    # shape): two drifting copies of the shift/mask banding would silently
+    # break batch/stream parity
+    banded = df.select(
+        "doc",
+        "simhash",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    )
     if not df.isStreaming:
-        banded = df.select(
-            "doc",
-            "simhash",
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftright(F.col("simhash"), i * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bv"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ),
-        )
         left = banded.select(
             F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"), "band", "bv"
         )
@@ -316,7 +341,13 @@ def streaming_simhash_near_dup_pairs(
                 zip(pdf["doc"].tolist(), pdf["simhash"].tolist())
             ):
                 for seen_doc, seen_fp in zip(docs, hashes):
-                    h = bin(seen_fp ^ fp).count("1")
+                    # mask to 64 bits: Python ints are signed-unbounded,
+                    # so bin(-256 ^ 0) popcounts the magnitude (1 bit)
+                    # while the batch mode's F.bit_count sees the
+                    # two's-complement 64-bit pattern (56 bits) — a
+                    # signed fingerprint producer would get false-positive
+                    # pairs and broken batch/stream parity
+                    h = bin((seen_fp ^ fp) & _U64).count("1")
                     if h <= max_hamming and seen_doc != doc:
                         a, b = sorted((seen_doc, doc))
                         out_a.append(a)
@@ -332,23 +363,6 @@ def streaming_simhash_near_dup_pairs(
                 {"doc_a": out_a, "doc_b": out_b, "hamming": out_h}
             )
 
-    banded = df.select(
-        "doc",
-        "simhash",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ),
-    )
     return banded.groupBy("band", "bv").applyInPandasWithState(
         fn,
         outputStructType=NEAR_DUP_PAIR_SCHEMA,
@@ -468,7 +482,10 @@ def streaming_simhash_near_dup_pairs_wide(
                 )
             ):
                 for sd, sl, sh in zip(docs, los, his):
-                    h = bin(sl ^ lo).count("1") + bin(sh ^ hi).count("1")
+                    # 64-bit masked popcount — see the narrow variant
+                    h = bin((sl ^ lo) & _U64).count("1") + bin(
+                        (sh ^ hi) & _U64
+                    ).count("1")
                     if h <= max_hamming and sd != doc:
                         a, b = sorted((sd, doc))
                         out_a.append(a)
@@ -575,11 +592,13 @@ def streaming_funnel_conversions(
     """
     n = len(steps)
     out_schema = _funnel_out_schema(n)
+    # NULL users are not funnel subjects in either mode (the oracle's
+    # JOIN USING chain never matches NULL; operators/funnel shares the
+    # same rule)
+    df = df.filter(F.col(user_col).isNotNull())
     if df.isStreaming:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
-
-        step_index = {s: i for i, s in enumerate(steps)}
 
         def fn(key, pdfs, state):
             (user_id,) = key
@@ -600,7 +619,10 @@ def streaming_funnel_conversions(
                 for t_us, t_type in zip(ts_us.to_list(), types):
                     if step >= n:
                         break
-                    if step_index.get(t_type) != step:
+                    # positional match, NOT a type->index dict: with
+                    # repeated step types the dict keeps only the LAST
+                    # index and the stream never advances past step 0
+                    if t_type != steps[step]:
                         continue
                     if step > 0 and t_us <= last_us:
                         continue
@@ -645,25 +667,13 @@ def streaming_funnel_conversions(
             )
         )
 
-    aggs = [
-        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
-    ]
-    for i, s in enumerate(steps[1:], start=1):
-        aggs.append(
-            F.sort_array(
-                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
-            ).alias(f"a{i}")
-        )
-    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(*aggs)
-    for i in range(1, n):
-        prev = F.col(f"t{i-1}")
-        per_user = per_user.withColumn(
-            f"t{i}",
-            F.when(
-                prev.isNotNull(),
-                F.array_min(F.filter(F.col(f"a{i}"), lambda x: x > prev)),
-            ),
-        )
+    from radar_output_restructure_spark.operators.funnel import (
+        per_user_step_times,
+    )
+
+    per_user = per_user_step_times(
+        df, steps, user_col, ts_col, type_col
+    ).withColumnRenamed(user_col, "user_id")
     lag_cols = [
         (F.unix_micros(F.col(f"t{i}")) - F.unix_micros(F.col(f"t{i-1}")))
         .cast("bigint")

@@ -678,3 +678,110 @@ def test_log_bucket_quantiles_survive_nanosecond_epochs(spark):
 
     assert row["q50"] == q(50) and row["q95"] == q(95) and row["q99"] == q(99)
     assert row["q99"] > 0  # the wrapped-negative symptom
+
+
+# ---------------------------------------------------------------------------
+# streaming/windows.py review findings (batch-mode checks; stream paths
+# share the fixed code)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_funnel_batch_excludes_null_users(spark):
+    from radar_output_restructure_spark.streaming.windows import (
+        streaming_funnel_conversions,
+    )
+
+    rows = [
+        Row(user_id=None, ts=1.0, event_type="view"),
+        Row(user_id=None, ts=2.0, event_type="click"),
+        Row(user_id=None, ts=3.0, event_type="purchase"),
+        Row(user_id=5, ts=1.0, event_type="view"),
+        Row(user_id=5, ts=2.0, event_type="click"),
+        Row(user_id=5, ts=3.0, event_type="purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_funnel_conversions(df).collect()
+    assert [r["user_id"] for r in out] == [5]
+
+
+def test_session_windows_drop_null_ts(spark):
+    from radar_output_restructure_spark.streaming.windows import (
+        session_windows,
+    )
+
+    rows = [
+        Row(user_id=1, ts=1.0),
+        Row(user_id=1, ts=None),
+        Row(user_id=1, ts=10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = session_windows(df, gap_s=100.0).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2  # the NULL-ts row neither sessions nor
+    # splits the real session
+
+
+def test_streaming_dedup_batch_keeps_first_arrival(spark):
+    from radar_output_restructure_spark.streaming.windows import (
+        streaming_dedup,
+    )
+
+    rows = [
+        Row(event_id=1, ts=2.0, payload="late"),
+        Row(event_id=1, ts=1.0, payload="first"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts double, payload string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = streaming_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0]["payload"] == "first"  # deterministic, not arbitrary
+
+
+def test_simhash_stream_popcount_masks_signed_fingerprints(spark, tmp_path):
+    """A signed 64-bit fingerprint (-256) is 56 bits away from 0 in
+    two's-complement; the unmasked Python popcount said 1 and emitted a
+    false near-dup pair that batch mode rejects."""
+    import glob
+    import os
+
+    from radar_output_restructure_spark.streaming.windows import (
+        streaming_simhash_near_dup_pairs,
+    )
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    batch = spark.createDataFrame(
+        [Row(doc=1, simhash=-256), Row(doc=2, simhash=0)],
+        "doc long, simhash long",
+    )
+    # batch mode (the reference semantics): bit_count(-256 ^ 0) = 56 > 3
+    got_batch = streaming_simhash_near_dup_pairs(
+        batch, bits=64, bands=8, max_hamming=3
+    ).collect()
+    assert got_batch == []
+
+    # streaming mode over the same two rows must agree
+    batch.coalesce(1).write.parquet(src_dir + "/d1")
+    stream = (
+        spark.readStream.schema("doc long, simhash long")
+        .parquet(src_dir + "/d1")
+    )
+    out_rows = []
+    q = (
+        streaming_simhash_near_dup_pairs(
+            stream, bits=64, bands=8, max_hamming=3
+        )
+        .writeStream.foreachBatch(
+            lambda bdf, _i: out_rows.extend(bdf.collect())
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert out_rows == [], out_rows
