@@ -68,7 +68,7 @@ def asof_join(
     on = [on] if isinstance(on, str) else list(on)
     payload = [c for c in right.columns if c not in set(on) and c != right_ts]
 
-    r = right.select(
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),  # right sorts first on ts ties (inclusive)
@@ -107,27 +107,43 @@ def asof_join(
         .orderBy(ts_order, F.col("__side").asc(), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The right row is carried as ONE struct, not per-column last(...,
+    # ignorenulls) calls: independent per-column carries SKIP a right row
+    # for exactly the columns it holds NULL in, stitching the matched ts
+    # from one row to payload values from an OLDER row — a row that never
+    # existed. The struct is non-null for every right row (even all-NULL
+    # payloads), so the carry is atomic. Right rows with a NULL timestamp
+    # are excluded up front: they cannot anchor an as-of match.
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__rts").alias("ts"),
+            *[F.col(f"__p_{c}").alias(c) for c in payload],
+        ),
+    )
     carried = unioned.select(
-        "*",
-        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
+        "*", F.last(row_struct, ignorenulls=True).over(w).alias("__m")
     )
     out = carried.filter(F.col("__side") == 1)
-    matched: Column = F.col("__m_ts").isNotNull()
+    # a NULL-ts LEFT row has no "as of" moment either: in the forward
+    # (desc) walk it sorts after every right row and would otherwise
+    # match the earliest one
+    matched: Column = (
+        F.col("__m").isNotNull()
+        & F.col("__m.ts").isNotNull()
+        & F.col("__ts").isNotNull()
+    )
     if tolerance_s is not None:
-        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m_ts"))
+        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__m.ts"))
         if direction == "forward":
             gap = -gap
         matched = matched & (gap <= int(tolerance_s * 1_000_000))
     result_cols = [F.col(c) for c in left.columns]
     result_cols.append(
-        F.when(matched, F.col("__m_ts")).alias(f"{prefix}{right_ts}")
+        F.when(matched, F.col("__m.ts")).alias(f"{prefix}{right_ts}")
     )
     result_cols += [
-        F.when(matched, F.col(f"__m_{c}")).alias(f"{prefix}{c}")
+        F.when(matched, F.col(f"__m.{c}")).alias(f"{prefix}{c}")
         for c in payload
     ]
     return out.select(*result_cols)

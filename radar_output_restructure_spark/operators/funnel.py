@@ -144,6 +144,9 @@ def event_path_topk(
     event-type sequences across users, tie-broken lexically. Ordering is
     (ts, event_id) — a strict total order, so the window is deterministic
     even when timestamps collide."""
+    # NULL ts dropped before the window: the engines' NULL sort orders
+    # differ, which would change every lead() neighborhood
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
@@ -189,7 +192,17 @@ def event_rollup_daily(ev: DataFrame) -> DataFrame:
     base = ev.select(
         "event_type",
         F.col("ts").cast("date").cast("string").alias("event_date"),
-        F.round(F.col("value") * 1_000_000, 0).cast("bigint").alias("__v"),
+        # saturating clamp at +/-2^62 (exactly representable): an ANSI
+        # BIGINT cast of round(1e15 * 1e6) would fail the job
+        F.least(
+            F.greatest(
+                F.round(F.col("value") * 1_000_000, 0),
+                F.lit(-4611686018427387904.0),
+            ),
+            F.lit(4611686018427387904.0),
+        )
+        .cast("bigint")
+        .alias("__v"),
     )
     return (
         base.rollup("event_type", "event_date")

@@ -146,6 +146,10 @@ def scd2_intervals(
     ties on `ts` break by `tie_col` so the island numbering — and
     therefore every interval — is deterministic under any arrival order.
     """
+    # NULL event times are dropped: a state observation without a time
+    # cannot bound an interval, and the engines' NULL sort orders differ
+    # (Spark NULLS FIRST asc, DuckDB NULLS LAST) so islands would diverge
+    df = df.filter(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc(), F.col(tie_col).asc()]
     w = Window.partitionBy(key_col).orderBy(*order)
     # null-safe island break (~eqNullSafe): with a plain !=, a

@@ -82,12 +82,20 @@ def events_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SQL fragments shared by the oracles (DuckDB dialect)
 _SQL_TIME_S = "(epoch_us(ts) / 1000000.0)"
+# NULL user_id sanitizes to the reference defaults (sanitize_id's
+# 'unknown-*'), like the Spark builders
 _SQL_PROJECT = (
-    "CASE WHEN user_id % 10 = 0 THEN 'unknown-project' "
+    "CASE WHEN user_id IS NULL OR user_id % 10 = 0 THEN 'unknown-project' "
     "ELSE 'proj' || CAST(user_id % 3 AS VARCHAR) END"
 )
-_SQL_USER = "'user' || CAST(user_id AS VARCHAR)"
-_SQL_BIN = "strftime(ts, '%Y%m%d_%H') || '00'"
+_SQL_USER = (
+    "coalesce('user' || CAST(user_id AS VARCHAR), 'unknown-user')"
+)
+# NULL ts renders the reference's UNKNOWN_TIME default, like
+# operators/timebin.time_bin's coalesce
+_SQL_BIN = (
+    "coalesce(strftime(ts, '%Y%m%d_%H') || '00', 'unknown-time')"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -301,14 +309,19 @@ _SQL_DEDUP = """
            CAST(round(value * 100, 0) AS BIGINT) AS value_cents
     FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY user_id, event_type ORDER BY ts {dirn}, event_id {dirn}
+        -- NULL placement mirrors Spark (ASC -> NULLS FIRST, DESC ->
+        -- NULLS LAST); DuckDB defaults are the opposite
+        PARTITION BY user_id, event_type
+        ORDER BY ts {dirn} {nulls}, event_id {dirn} {nulls}
       ) AS rn
       FROM events
     ) WHERE rn = 1
 """
 
 
-@register("dedup_keep_last", _SQL_DEDUP.format(dirn="DESC"))
+@register(
+    "dedup_keep_last", _SQL_DEDUP.format(dirn="DESC", nulls="NULLS LAST")
+)
 def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1/D2 keep-LAST semantics (CsvAvroConverterFactory.kt:30-86) with
     distinct key (user_id, event_type), order = (ts, event_id)."""
@@ -324,7 +337,9 @@ def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_keep_first", _SQL_DEDUP.format(dirn="ASC"))
+@register(
+    "dedup_keep_first", _SQL_DEDUP.format(dirn="ASC", nulls="NULLS FIRST")
+)
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 keep-FIRST semantics (RecordConverterFactory.kt:166-193)."""
     ev = load_table(spark, sf_dir, "events")
@@ -748,16 +763,29 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_last_purchase",
     """
+    WITH r AS (
+      -- right side deduped on (user_id, ts): ASOF JOIN's pick among
+      -- duplicate right timestamps is unspecified, Spark's asof_join
+      -- tie-break is deterministic — max(value) per instant makes both
+      -- engines agree by construction
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+            AND user_id IS NOT NULL
+      GROUP BY user_id, ts
+    )
     SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
            r.ts AS asof_ts, r.value AS asof_value
     FROM events l
-    -- right side deduped on (user_id, ts): ASOF JOIN's pick among duplicate
-    -- right timestamps is unspecified, Spark's asof_join tie-break is
-    -- deterministic — max(value) per instant makes both engines agree by
-    -- construction
-    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
-                    WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+    ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts >= r.ts
+    WHERE l.ts IS NOT NULL
+    UNION ALL
+    -- a NULL-ts left row has no "as of" moment: it survives unenriched
+    -- (DuckDB's ASOF would otherwise match NULL against everything,
+    -- where Spark's merge matches nothing)
+    SELECT event_id, user_id, ts, event_type, value,
+           NULL AS asof_ts, NULL AS asof_value
+    FROM events WHERE ts IS NULL
     """,
 )
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,7 +799,15 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", "ts", "event_type", "value")
     right = (
-        ev.filter(F.col("event_type") == "purchase")
+        # NULL-ts purchases cannot anchor an as-of match, and a NULL-user
+        # right row must not enrich NULL-user left rows: Spark's window
+        # partitioning groups NULL keys together where SQL's equi-ASOF
+        # never matches NULL = NULL (both mirrored in the oracle's r CTE)
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
@@ -781,16 +817,29 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_next_purchase",
     """
+    WITH r AS (
+      -- right side deduped on (user_id, ts): ASOF JOIN's pick among
+      -- duplicate right timestamps is unspecified, Spark's asof_join
+      -- tie-break is deterministic — max(value) per instant makes both
+      -- engines agree by construction
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+            AND user_id IS NOT NULL
+      GROUP BY user_id, ts
+    )
     SELECT l.event_id, l.user_id, l.ts, l.event_type, l.value,
            r.ts AS asof_ts, r.value AS asof_value
     FROM events l
-    -- right side deduped on (user_id, ts): ASOF JOIN's pick among duplicate
-    -- right timestamps is unspecified, Spark's asof_join tie-break is
-    -- deterministic — max(value) per instant makes both engines agree by
-    -- construction
-    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
-                    WHERE event_type = 'purchase' GROUP BY user_id, ts) r
+    ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts <= r.ts
+    WHERE l.ts IS NOT NULL
+    UNION ALL
+    -- a NULL-ts left row has no "as of" moment: it survives unenriched
+    -- (DuckDB's ASOF would otherwise match NULL against everything,
+    -- where Spark's merge matches nothing)
+    SELECT event_id, user_id, ts, event_type, value,
+           NULL AS asof_ts, NULL AS asof_value
+    FROM events WHERE ts IS NULL
     """,
 )
 def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,7 +852,15 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     left = ev.select("event_id", "user_id", "ts", "event_type", "value")
     right = (
-        ev.filter(F.col("event_type") == "purchase")
+        # NULL-ts purchases cannot anchor an as-of match, and a NULL-user
+        # right row must not enrich NULL-user left rows: Spark's window
+        # partitioning groups NULL keys together where SQL's equi-ASOF
+        # never matches NULL = NULL (both mirrored in the oracle's r CTE)
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("value"))
     )
@@ -838,8 +895,11 @@ def q_rolling_1h_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_props_json",
     """
     WITH p AS (
+      -- json_valid guard: Spark's get_json_object returns NULL for
+      -- malformed JSON, DuckDB's json_extract raises
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
       FROM events
     )
     SELECT event_type,

@@ -105,7 +105,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS s0,
              lead(event_type, 1) OVER w AS s1,
              lead(event_type, 2) OVER w AS s2
-      FROM events
+      -- NULL ts excluded: the engines' NULL sort orders differ (Spark
+      -- NULLS FIRST asc, DuckDB NULLS LAST), which would change every
+      -- lead() neighborhood; an unordered event cannot sit in a path
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT s0 || '>' || s1 || '>' || s2 AS path,
@@ -137,7 +140,11 @@ def q_event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
       SELECT event_type,
              CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
-             CAST(round(value * 1000000, 0) AS BIGINT) AS v_micro
+             -- saturating clamp at +/-2^62: a 1e15 value would overflow
+             -- the BIGINT cast (error under ANSI Spark, error in DuckDB)
+             CAST(least(greatest(round(value * 1000000, 0),
+                                 -4611686018427387904.0),
+                        4611686018427387904.0) AS BIGINT) AS v_micro
       FROM events
     )
     SELECT coalesce(event_type, '(all)') AS event_type,
@@ -295,7 +302,8 @@ def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN row_number() OVER w = 1
                     OR lag(state) OVER w IS DISTINCT FROM state
                   THEN 1 ELSE 0 END AS chg
-      FROM ev WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
+      FROM (SELECT * FROM ev WHERE ts IS NOT NULL) ev2
+      WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
     ),
     isl AS (
       SELECT key, state, ts, chg,

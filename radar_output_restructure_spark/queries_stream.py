@@ -70,7 +70,8 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('hour', ts) AS bin_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS bin_end,
            count(*) AS n_events
-    FROM events GROUP BY 1, 2, 3
+    -- NULL ts excluded: Spark's window() emits no window for them
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
 )
 def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

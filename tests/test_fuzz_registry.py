@@ -113,3 +113,95 @@ def test_fuzz_query_matches_oracle(spark, fuzz_dir, name):
     sql = entry.oracle_sql()[name]
     odf = duckdb_con(fuzz_dir).execute(sql).df()
     assert compare(name, sdf, odf), f"{name} diverges on adversarial input"
+
+
+# ---------------------------------------------------------------------------
+# events-table fuzz: NULL ts/user/type/value, duplicate instants, ties
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+_BASE_TS = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return None if minutes is None else _BASE_TS + _dt.timedelta(minutes=minutes)
+
+
+ADVERSARIAL_EVENTS = [
+    # (event_id, ts_minutes, user_id, event_type, value, props)
+    (0, 0, 1, "signup", 1.0, '{"k": 1}'),
+    (1, 10, 1, "view", 8.62, '{"k": 2}'),      # .62: floor-vs-round trap
+    (2, 20, 1, "click", -3.5, None),            # negative value, NULL props
+    (3, 30, 1, "purchase", 100.75, '{"k": 3}'),
+    (4, 40, None, "view", 5.0, '{"k": 4}'),     # NULL user mid-funnel
+    (5, 50, None, "click", 6.0, '{"k": 5}'),
+    (6, 60, None, "purchase", 7.0, '{"k": 6}'),
+    (7, None, 2, "view", 1.25, '{"k": 7}'),     # NULL ts
+    (8, 70, 2, None, 2.0, '{"k": 8}'),          # NULL event_type
+    (9, 80, 2, "purchase", None, '{"k": 9}'),   # NULL value
+    (10, 90, 2, "purchase", 4.0, '{"k": 10}'),  # same-instant purchases:
+    (11, 90, 2, "purchase", 9.0, '{"k": 11}'),  # asof right-side tie
+    (12, 90, 2, "view", 1.0, '{"k": 12}'),      # ts tie across types
+    (13, 100, 3, "signup", 2.5, "not json"),    # malformed props
+    (14, 101, 3, "view", 2.5, '{"k": 14}'),
+    (15, 102, 3, "error", 1e15, '{"k": 15}'),   # huge value
+    (16, 5000, 3, "view", 0.0, '{"k": 16}'),    # far-future gap (sessions)
+    (17, 5001, 3, "purchase", 1.115, '{"k": 17}'),  # half-way rounding
+]
+
+
+@pytest.fixture(scope="module")
+def events_fuzz_dir(spark, tmp_path_factory):
+    base = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
+    out = str(tmp_path_factory.mktemp("fuzz_events_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = pa.table(
+        {
+            "event_id": pa.array(
+                [r[0] for r in ADVERSARIAL_EVENTS], type=pa.int64()
+            ),
+            "ts": pa.array(
+                [_ts(r[1]) for r in ADVERSARIAL_EVENTS],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array(
+                [r[2] for r in ADVERSARIAL_EVENTS], type=pa.int64()
+            ),
+            "event_type": pa.array([r[3] for r in ADVERSARIAL_EVENTS]),
+            "value": pa.array(
+                [r[4] for r in ADVERSARIAL_EVENTS], type=pa.float64()
+            ),
+            "props": pa.array([r[5] for r in ADVERSARIAL_EVENTS]),
+        }
+    )
+    pq.write_table(ev, f"{out}/events.parquet")
+    return out
+
+
+def _events_fuzz_targets():
+    import re
+
+    oracles = entry.oracle_sql()
+    names = []
+    for name, sql in oracles.items():
+        if re.search(r"\bevents\b", sql) and "documents" not in sql:
+            names.append(name)
+    return names
+
+
+@pytest.mark.parametrize("name", _events_fuzz_targets())
+def test_events_fuzz_query_matches_oracle(spark, events_fuzz_dir, name):
+    q = entry.queries()[name]
+    sdf = q(spark, events_fuzz_dir).toPandas()  # (a) no crash
+    sql = entry.oracle_sql()[name]
+    odf = duckdb_con(events_fuzz_dir).execute(sql).df()
+    assert compare(name, sdf, odf), f"{name} diverges on adversarial events"
