@@ -229,12 +229,24 @@ def _keep_and_release(query, held, ttl: float) -> None:
     try:
         last_renewed = time.monotonic()
         wait = renew_every
+        first = True
         while True:
-            try:
-                if query.awaitTermination(wait):
-                    return  # terminated: release in finally
-            except Exception:
-                return  # failed query: release in finally
+            if first:
+                # Renew IMMEDIATELY on keeper start, before any wait: the
+                # lock was acquired BEFORE stream construction, and
+                # building the stream runs real Spark jobs (schema
+                # inference, manifest load), so by the time this thread
+                # runs, a short-TTL lock may already be near expiry — a
+                # first renewal one full renew_every later arrives too
+                # late and a second replica breaks the stale lock while
+                # the query writes.
+                first = False
+            else:
+                try:
+                    if query.awaitTermination(wait):
+                        return  # terminated: release in finally
+                except Exception:
+                    return  # failed query: release in finally
             try:
                 ok = held.renew()
             except Exception:
