@@ -62,9 +62,9 @@ _SQL_NPUNCT = "length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '',
 _SQL_WORDPAD = (
     "(' ' || regexp_replace(lower(text), '[^a-z]+', '  ', 'g') || ' ')"
 )
-_SQL_NSTOP = " + ".join(
-    f"(len(regexp_split_to_array({_SQL_WORDPAD}, '[^a-z]{w}[^a-z]')) - 1)"
-    for w in X.STOPWORDS_EN
+_SQL_NSTOP = (
+    f"(len(regexp_split_to_array({_SQL_WORDPAD}, "
+    f"'[^a-z]({'|'.join(X.STOPWORDS_EN)})[^a-z]')) - 1)"
 )
 
 
@@ -109,9 +109,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lang_score(words: tuple[str, ...]) -> str:
-    return " + ".join(
-        f"(len(regexp_split_to_array({_SQL_WORDPAD}, '[^a-z]{w}[^a-z]')) - 1)"
-        for w in words
+    return (
+        f"(len(regexp_split_to_array({_SQL_WORDPAD}, "
+        f"'[^a-z]({'|'.join(words)})[^a-z]')) - 1)"
     )
 
 
