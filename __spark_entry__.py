@@ -30,80 +30,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: The driver's gate records only the first ~50 dict entries, so ordering
-#: chooses which queries get a CORRECTNESS row each round. Round-10 rotation
-#: (the r9-verdict "Next round" item 1, machine-checked by
-#: tests/test_registry_coverage.py against CERT_AGE.json): slots 1-44 are
-#: the full r7-certified backlog (age 2 entering round 10 -- certify-or-
-#: expire), and slots 45-50 refresh six r8-certified reference-core queries
-#: EARLY so the round-11 backlog shrinks from 50 to 44, matching the
+#: chooses which queries get a CORRECTNESS row each round. Round-11 rotation
+#: (the r10-verdict "Next round" item 1, machine-checked by
+#: tests/test_registry_coverage.py against CERT_AGE.json): slots 1-48 are
+#: the full r8-certified backlog (age 2 entering round 11 -- certify-or-
+#: expire), and slots 49-50 refresh the two STALEST r9-certified rows
+#: (prior green r6, alphabetical tie-break: ann_int8_recall_at_k,
+#: ann_int8_topk) so the round-12 backlog shrinks to 44, matching the
 #: 3-round certification capacity (144 queries / ~150 slots). No new gated
-#: queries this round; scripts/check_oracles.py still verifies the full
-#: registry locally via the committed ORACLES_LOCAL.json.
+#: queries at rotation time; scripts/check_oracles.py still verifies the
+#: full registry locally via the committed ORACLES_LOCAL.json.
 _GATE_HEAD = (
-    # -- r7-certified backlog (44; age 2 -- certify-or-expire this round) --
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "ann_ivfpq_recall_at_k",
-    "ann_ivfpq_rerank_recall_at_k",
-    "ann_ivfpq_rerank_topk",
-    "ann_ivfpq_topk",
-    "ann_lsh_topk",
-    "ann_pq_topk",
-    "ann_recall_at_k",
-    "bucketed_join_sales",
-    "char_ngram_jaccard_docs",
-    "compaction_bins_docs",
-    "constraint_checks_docs",
-    "curation_pipeline_docs",
-    "dedup_exact_docs",
-    "dedup_keep_last",
-    "doc_bigram_logprob",
-    "doc_char_entropy",
-    "doc_contamination",
-    "doc_lang_id",
-    "doc_pack_chunks",
-    "doc_redact_pii",
-    "doc_repetition",
-    "doc_sliding_chunks",
-    "doc_tfidf_top_terms",
-    "doc_trigram_backoff",
-    "doc_unigram_logprob",
-    "embedding_near_dup_pairs",
-    "embedding_outlier_scores",
-    "embedding_random_projection",
-    "global_rank_docs",
-    "hard_negative_mining",
-    "label_centroid_similarity",
-    "profile_docs",
-    "salted_agg_events",
-    "semantic_decontaminate_embeddings",
-    "simhash_near_dup_docs",
-    "snapshot_neardup_delta_docs",
-    "source_kl_divergence_docs",
-    "source_length_quantile_sketch",
-    "sparse_cosine_pairs_docs",
-    "stratified_sample_docs",
-    "token_freq_spectrum_docs",
-    "zorder_events",
-    # -- slots 45-48: queries whose VALUES changed this round (the r10
-    #    code-review stopword-count fix — adjacent repeats were
-    #    undercounted — shifts quality/stopword numbers on 63 of 500
-    #    sf0.01 docs). Changed values void the old certification, so they
-    #    re-certify in THIS gate per the r9-verdict rule. The other two
-    #    affected queries (doc_lang_id, curation_pipeline_docs,
-    #    sparse_cosine_pairs_docs) are r7 rows already in the head above --
-    "doc_quality",
-    "quality_resample_docs",
-    "source_quality_stats_docs",
-    "source_cap_docs",
-    # slot 49: values changed by the rollup micros fix (floor -> HALF_UP
-    # round, the repo-wide cents/micros convention; 180 sf0.01 rows move)
-    "event_rollup_daily",
-    # -- slot 50: r8 backlog refresh certified a round early --
-    "dedup_keep_first",
-    # After the head: the remaining r8/r9-certified queries ride the tail at
-    # age <= 1 entering round 11 -- the 44 other r8-certified queries are the
-    # round-11 rotation backlog (see CERT_AGE.json for the exact ledger).
+    # -- r8-certified backlog (48; age 2 -- certify-or-expire this round) --
+    "ann_ivf_incremental_topk",
+    "ann_multiprobe_lsh_topk",
+    "asof_last_purchase",
+    "asof_next_purchase",
+    "bpe_encode_docs",
+    "bpe_merges_docs",
+    "containment_pairs_docs",
+    "corpus_vocabulary_docs",
+    "cosine_range_search",
+    "cosine_topk_bruteforce",
+    "dedup_clusters_docs",
+    "dedup_survivors_docs",
+    "doc_fingerprint_overlap",
+    "doc_gopher_quality",
+    "doc_length_quantiles",
+    "doc_ngram_novelty",
+    "doc_train_split",
+    "doc_type_token_ratio",
+    "doc_winnow_fingerprints",
+    "dup_group_size_hist_docs",
+    "embedding_dedup_survivors",
+    "embedding_dup_clusters",
+    "embedding_gram_matrix",
+    "embedding_norms",
+    "embedding_quantize",
+    "event_time_cascade",
+    "extraction_check",
+    "hourly_event_counts",
+    "jaccard_pairs_docs",
+    "knn_label_accuracy",
+    "minhash_estimate_error_docs",
+    "minhash_lsh_pairs_docs",
+    "minhash_signatures_docs",
+    "multimodal_features",
+    "offset_antijoin",
+    "pmi_collocations_docs",
+    "scd2_user_state_events",
+    "session_windows_events",
+    "simhash_docs",
+    "source_balance_weights_docs",
+    "source_dup_rate_docs",
+    "temperature_mixture_docs",
+    "tokenizer_fertility_docs",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_lines",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q9_profit_by_nation",
+    # -- slots 49-50: stalest r9-certified rows, refreshed a round early --
+    "ann_int8_recall_at_k",
+    "ann_int8_topk",
+    # After the head: the remaining r9/r10-certified queries ride the tail
+    # at age <= 1 entering round 12 -- the 44 other r9-certified queries
+    # are the round-12 rotation backlog (see CERT_AGE.json).
 )
 
 
