@@ -111,10 +111,6 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _marker_hits(lower_padded: Column, word: str) -> Column:
-    return F.size(F.split(lower_padded, f"[^a-z]{word}[^a-z]")) - 1
-
-
 def lang_scores(col: Column | str) -> dict[str, Column]:
     col = F.col(col) if isinstance(col, str) else col
     padded = _word_count_normalized(col)

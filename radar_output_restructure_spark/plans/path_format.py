@@ -296,6 +296,15 @@ class PathFormat:
                         for k, v in parts
                     ]
                 )
+            # A param repeated across segments (e.g. '${projectId}/
+            # backup-${projectId}/${topic}') must not reuse its name:
+            # withColumn would silently REPLACE the earlier segment's
+            # column and both path levels would render the second
+            # segment's value. First occurrence keeps the param-derived
+            # name (the one the writers hard-code); later collisions get
+            # the positional fallback.
+            if name in names:
+                name = f"{prefix}seg{i}"
             df = df.withColumn(name, col)
             names.append(name)
         # the bin column renders the file segment with ${filename} -> the

@@ -157,7 +157,13 @@ def _dedup_csv_content(
         last: dict = {}
         for i, ln in enumerate(body):
             f = ln.split(",")
-            key = ln if idxs is None else tuple(f[j] for j in idxs)
+            # guard short/truncated lines in an existing target the same
+            # way the quoted csv-module path does, instead of IndexError
+            key = (
+                ln
+                if idxs is None
+                else tuple(f[j] if j < len(f) else "" for j in idxs)
+            )
             last[key] = i
         kept = sorted(last.values())
         return ("\n".join([header_line, *(body[i] for i in kept)]) + "\n").encode()
@@ -689,6 +695,54 @@ class _aqe_coalesce_disabled:
         return False
 
 
+#: Orphaned staging dirs older than this are swept (a crashed run can never
+#: resume its stage — finalize re-runs from the source batch, so deleting a
+#: day-old stage is always safe; a LIVE run's stage is younger than this).
+_STAGE_ORPHAN_MAX_AGE_MS = 24 * 3600 * 1000
+
+
+def _sweep_orphan_stage_dirs(
+    out_dir: str, storage: "TargetStorage", now_ms: int | None = None
+) -> list[str]:
+    """Delete sibling ``<out_dir>+tmp-<uuid>`` staging dirs whose NEWEST
+    file is older than `_STAGE_ORPHAN_MAX_AGE_MS` — the unique stage names
+    (concurrent-wipe fix) mean a crashed run orphans its stage forever,
+    so each successful write sweeps its predecessors' debris. Returns the
+    swept paths (for tests). Errors are swallowed per-candidate: another
+    run may be finalizing or deleting the same dir concurrently."""
+    import time as _time
+
+    stripped = out_dir.rstrip("/")
+    parent, _, base = stripped.rpartition("/")
+    parent = parent or "."
+    prefix = base + "+tmp-"
+    try:
+        siblings = storage.list_dirs(parent)
+    except Exception:
+        return []
+    now = now_ms if now_ms is not None else int(_time.time() * 1000)
+    swept: list[str] = []
+    for d in siblings:
+        # list_dirs returns bare names locally, full paths on object stores
+        name = d.rstrip("/").rsplit("/", 1)[-1]
+        if not name.startswith(prefix):
+            continue
+        full = d if "/" in d else f"{parent}/{d}"
+        try:
+            newest = max(
+                (m for _p, m, _s in storage.walk_file_status(full)),
+                default=None,
+            )
+            if newest is None:  # empty stage: fall back to the dir itself
+                newest = storage.mtime_ms(full)
+            if now - newest > _STAGE_ORPHAN_MAX_AGE_MS:
+                storage.delete(full)
+                swept.append(full)
+        except Exception:
+            continue
+    return swept
+
+
 def write_output_tree(
     df: DataFrame,
     out_dir: str,
@@ -736,6 +790,9 @@ def write_output_tree(
     # the survivor would silently append incomplete output
     tmp = tmp_dir or (out_dir.rstrip("/") + f"+tmp-{uuid.uuid4().hex[:12]}")
     storage.delete(tmp)
+    # the unique names mean a CRASHED run orphans its staging dir forever
+    # (the old deterministic name was self-cleaning); sweep stale siblings
+    _sweep_orphan_stage_dirs(out_dir, storage)
 
     shuffled = df.repartition(*[df[c] for c in partition_cols])
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col or [])

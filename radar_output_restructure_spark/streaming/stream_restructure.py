@@ -83,8 +83,10 @@ def streaming_restructure(
     cfg = config
     plan = RestructurePlan(spark, cfg)
     lock = None
+    acquired_at = time.monotonic()
     if plan._lock_manager is not None:
         lock = plan._lock_manager.acquire_lock(topic)
+        acquired_at = time.monotonic()
         if lock is None:
             return None  # held by another replica: skip, like the batch plan
     try:
@@ -212,12 +214,16 @@ def streaming_restructure(
     if lock is not None:
         ttl = getattr(plan._lock_manager, "ttl_s", 24 * 3600.0)
         threading.Thread(
-            target=_keep_and_release, args=(query, lock, ttl), daemon=True
+            target=_keep_and_release,
+            args=(query, lock, ttl, acquired_at),
+            daemon=True,
         ).start()
     return query
 
 
-def _keep_and_release(query, held, ttl: float) -> None:
+def _keep_and_release(
+    query, held, ttl: float, acquired_at: float | None = None
+) -> None:
     """Lock-keeper loop: renew the topic lock at TTL/3 for the query's
     lifetime; release it only AFTER the query terminates (or after stopping
     the query on a definitively lost lock). Module-level so the
@@ -227,7 +233,15 @@ def _keep_and_release(query, held, ttl: float) -> None:
     # second replica while this one still writes — two live holders.
     renew_every = max(ttl / 3.0, 0.5)
     try:
-        last_renewed = time.monotonic()
+        # The lease was stamped at ACQUIRE time, before stream construction
+        # (which runs real Spark jobs and can eat most of a short TTL), so
+        # the renew-error grace window must be measured from there — not
+        # from keeper-thread start, which would trust the lease for a full
+        # TTL past a point where a breaker may already have taken it. Only
+        # a SUCCESSFUL renew advances the mark.
+        last_renewed = (
+            acquired_at if acquired_at is not None else time.monotonic()
+        )
         wait = renew_every
         first = True
         while True:
