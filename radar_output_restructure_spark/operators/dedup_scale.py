@@ -78,10 +78,11 @@ def shingles(col: Column | str, k: int = 3) -> Column:
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Duplicate groups by exact content: digest -> (canonical id, count).
-
-    Keep-min-id is the deterministic survivor rule; `count > 1` filters to
-    actual duplicate groups.
+    """Content-digest groups: digest -> (canonical id, count), ONE ROW PER
+    DISTINCT DIGEST including singletons (dup_group_size_hist and the
+    dedup_exact_docs oracle rely on the unfiltered output). Keep-min-id is
+    the deterministic survivor rule; filter `n_copies > 1` downstream when
+    only actual duplicate groups are wanted.
     """
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("digest"))
@@ -101,11 +102,19 @@ def _exploded_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> Dat
     )
 
 
-def _jaccard_from_exploded(
-    ex: DataFrame, threshold: float, max_token_df: int | None
+def _inverted_index_pairs(
+    ex: DataFrame, max_token_df: int | None
 ) -> DataFrame:
-    """Inverted-index Jaccard join over an exploded (doc, shingle) frame."""
-    if max_token_df:
+    """Shared inverted-index core: exploded (doc, shingle) -> per-pair
+    (doc_a, doc_b, n_common, n_a, n_b). Both the symmetric Jaccard scorer
+    and the directional containment scorer read this frame; only their
+    final scoring selects differ.
+
+    `max_token_df is not None` (NOT truthiness: 0 is a valid, tightest
+    cap) drops stop-shingles hotter than the cap before the self-join —
+    the skew bound that keeps the per-shingle quadratic blowup controlled
+    at corpus scale."""
+    if max_token_df is not None:
         hot = ex.groupBy("shingle").count().filter(F.col("count") > max_token_df)
         ex = ex.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     # the shingle table feeds three branches (sizes + both self-join sides);
@@ -124,9 +133,15 @@ def _jaccard_from_exploded(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_from_exploded(
+    ex: DataFrame, threshold: float, max_token_df: int | None
+) -> DataFrame:
+    """Inverted-index Jaccard join over an exploded (doc, shingle) frame."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _inverted_index_pairs(ex, max_token_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -221,6 +236,10 @@ def jaccard_for_pairs(
     )
     df = df.join(F.broadcast(cand_docs), id_col, "left_semi")
     ex = _exploded_shingles(df, text_col, id_col, k)
+    # ex feeds three branches (sizes + both sides of the intersection);
+    # without the barrier the semi-join + scan + shingling re-runs per
+    # branch (same rule as _inverted_index_pairs)
+    ex = ex.localCheckpoint(eager=False)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     p = F.broadcast(pairs.select("doc_a", "doc_b"))
     inter = (
@@ -302,6 +321,12 @@ def band_hashes(wide: DataFrame, num_hashes: int = 8, rows_per_band: int = 2) ->
     band key = md5 of the sorted "seed:minhash" strings of the band, matching
     the long-form/list_sort oracle rendering exactly.
     """
+    if num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band ({rows_per_band}) must divide num_hashes "
+            f"({num_hashes}): trailing signatures would be silently "
+            "ignored and LSH recall would degrade with no error"
+        )
     structs = []
     for band in range(num_hashes // rows_per_band):
         seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
@@ -502,6 +527,38 @@ def simhash_wide(
     )
 
 
+def _banded_wide(fp: DataFrame, bands: int = 4, width: int = 16) -> DataFrame:
+    """(doc, fp_lo, fp_hi, band, bv): band a WIDE (two 32-bit halves)
+    SimHash frame into `bands` x `width`-bit buckets — the shared banding
+    geometry of `simhash_near_dup_pairs_wide` and `snapshot_neardup_delta`
+    (one definition so the two can never drift)."""
+    if bands * width != 64:
+        raise ValueError("wide banding must cover exactly the 64 fp bits")
+    per_half = 32 // width
+    mask = (1 << width) - 1
+    return fp.select(
+        "doc",
+        "fp_lo",
+        "fp_hi",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(
+                            F.col("fp_lo" if i < per_half else "fp_hi"),
+                            (i % per_half) * width,
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ),
+    )
+
+
 def simhash_near_dup_pairs_wide(
     df: DataFrame,
     text_col: str = "text",
@@ -528,30 +585,11 @@ def simhash_near_dup_pairs_wide(
     Verification is in-join (each banded row carries both fingerprint
     halves); hamming = popcount(xor lo) + popcount(xor hi) <= max_hamming.
     """
-    bands, width = 4, 16
+    bands = 4  # x 16-bit bands — see _banded_wide
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for pigeonhole recall")
-    mask = (1 << width) - 1
     fp = simhash_wide(df, text_col, id_col).localCheckpoint(eager=False)
-    half_of = {0: "fp_lo", 1: "fp_lo", 2: "fp_hi", 3: "fp_hi"}
-    banded = fp.select(
-        "doc",
-        "fp_lo",
-        "fp_hi",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col(half_of[i]), (i % 2) * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ),
-    )
+    banded = _banded_wide(fp, bands=bands)
     if max_bucket_df is not None:
         hot = (
             banded.groupBy("band", "bv")
@@ -606,9 +644,12 @@ def duplicate_clusters(
       diameter, localCheckpoint per round keeps plans flat.
     """
     spark = pairs.sparkSession
-    # one evaluation of the (possibly expensive) pair plan: collect up to the
-    # cap + 1 row; over the cap -> fall through to the distributed path
-    rows = pairs.select("doc_a", "doc_b").limit(driver_max_pairs + 1).collect()
+    # one evaluation of the (possibly expensive) pair plan: the barrier
+    # makes the limit probe, the edges union (which inlines its input into
+    # BOTH unionByName branches), and the label seed all read a single
+    # materialization instead of re-running candidate generation 3x
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    rows = pairs.limit(driver_max_pairs + 1).collect()
     if len(rows) <= driver_max_pairs:
         parent: dict = {}
 
@@ -630,7 +671,16 @@ def duplicate_clusters(
                 else:
                     parent[ra] = rb
         labels = [(doc, find(doc)) for doc in parent]
-        return spark.createDataFrame(labels, "doc long, cluster long")
+        # preserve the pairs' actual id type (string/int ids must behave
+        # the same under the cap as over it, where the distributed path
+        # inherits the type naturally)
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema["doc_a"].dataType
+        schema = T.StructType(
+            [T.StructField("doc", id_type), T.StructField("cluster", id_type)]
+        )
+        return spark.createDataFrame(labels, schema)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -643,6 +693,7 @@ def duplicate_clusters(
         .localCheckpoint()
     )
     edges = edges.localCheckpoint()
+    changed: int | None = None  # None = loop body never ran (budget 0)
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["doc"])
@@ -668,9 +719,10 @@ def duplicate_clusters(
         # cluster ids; surface it instead (caller can raise the budget)
         import warnings
 
+        still = "unknown" if changed is None else str(changed)
         warnings.warn(
             f"label propagation did not converge after {max_iterations} "
-            f"iterations ({changed} labels still changing); cluster ids may "
+            f"iterations ({still} labels still changing); cluster ids may "
             "be split for long-diameter components",
             RuntimeWarning,
             stacklevel=2,
@@ -750,11 +802,17 @@ def snapshot_delta_dedup(
     (`bloom_ngram_filter` is the same trick at n-gram granularity);
     correctness here never depends on it.
     """
+    # NULL text behaves as empty (repo-wide convention): md5(NULL) is NULL
+    # and the digest inner-join against `canon` would silently DROP the doc
+    # from the classification output — every batch doc must get a status row
     new = new_df.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest")
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest"),
     )
     hist = (
-        history_df.select(F.md5(F.col(text_col)).alias("digest"))
+        history_df.select(
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("digest")
+        )
         .distinct()
         .withColumn("__hist", F.lit(1))
     )
@@ -796,15 +854,23 @@ def fingerprint_near_dup_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
+    # the fingerprint frame feeds BOTH sides of the band equijoin with
+    # differently-named projections, so ReuseExchange cannot dedup them —
+    # without the barrier an expensive upstream (mapInPandas image/audio
+    # decode in multimodal.image_near_dup_pairs) runs twice. Narrow to the
+    # two needed columns first so the materialization stays small.
+    fp = fp.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).alias("__fp")
+    ).localCheckpoint(eager=False)
     banded = fp.select(
-        F.col(id_col).alias("__id"),
-        F.col(fp_col).alias("__fp"),
+        "__id",
+        "__fp",
         F.inline(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col(fp_col), i * width)
+                        F.shiftright(F.col("__fp"), i * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bv"),
                     )
@@ -861,44 +927,27 @@ def snapshot_neardup_delta(
     -friendly on (band, bv) — the `ann_index.py` pattern); recomputing it
     here keeps the operator self-contained and the oracle replayable.
     """
-    bands, width = 4, 16
+    bands = 4
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for pigeonhole recall")
-    mask = (1 << width) - 1
-    half_of = {0: "fp_lo", 1: "fp_lo", 2: "fp_hi", 3: "fp_hi"}
-
-    def banded(fp: DataFrame) -> DataFrame:
-        return fp.select(
-            "doc",
-            "fp_lo",
-            "fp_hi",
-            F.inline(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.shiftright(F.col(half_of[i]), (i % 2) * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("bv"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ),
-        )
-
-    fp_new = simhash_wide(new_df, text_col, id_col).localCheckpoint(
-        eager=False
+    # NULL text behaves as empty (repo-wide convention): split(NULL) yields
+    # no tokens, the doc would vanish from fp_new and from the kept/near-dup
+    # report entirely — every batch doc must be classified
+    empty_as_text = lambda d: d.withColumn(  # noqa: E731
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
-    fp_old = simhash_wide(history_df, text_col, id_col)
-    probe = banded(fp_new).select(
+    fp_new = simhash_wide(
+        empty_as_text(new_df), text_col, id_col
+    ).localCheckpoint(eager=False)
+    fp_old = simhash_wide(empty_as_text(history_df), text_col, id_col)
+    probe = _banded_wide(fp_new).select(
         F.col("doc").alias("doc_new"),
         F.col("fp_lo").alias("ln"),
         F.col("fp_hi").alias("hn"),
         "band",
         "bv",
     )
-    hist = banded(fp_old).select(
+    hist = _banded_wide(fp_old).select(
         F.col("doc").alias("doc_old"),
         F.col("fp_lo").alias("lo"),
         F.col("fp_hi").alias("ho"),
@@ -960,28 +1009,10 @@ def containment_pairs(
     scoring differs, so the 100 TB story is identical.
     """
     ex = _exploded_shingles(df, text_col, id_col, k)
-    if max_shingle_df:
-        hot = (
-            ex.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
-        )
-        ex = ex.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
-    ex = ex.localCheckpoint(eager=False)
-    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
     ca = F.round(F.col("n_common") / F.col("n_a"), 6)
     cb = F.round(F.col("n_common") / F.col("n_b"), 6)
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _inverted_index_pairs(ex, max_shingle_df)
         .select(
             "doc_a",
             "doc_b",

@@ -1431,11 +1431,11 @@ SNAPSHOT_BATCH_MIN = 200
     "snapshot_delta_dedup_docs",
     f"""
     WITH new_side AS (
-      SELECT doc_id, md5(text) AS digest FROM documents
+      SELECT doc_id, md5(coalesce(text, '')) AS digest FROM documents
       WHERE doc_id >= {SNAPSHOT_BATCH_MIN}
     ),
     hist AS (
-      SELECT DISTINCT md5(text) AS digest FROM documents
+      SELECT DISTINCT md5(coalesce(text, '')) AS digest FROM documents
       WHERE doc_id < {SNAPSHOT_HIST_MAX}
     ),
     canon AS (

@@ -1871,7 +1871,7 @@ _SQL_BAND_WIDE = (
     WITH toks AS (
       SELECT doc_id AS doc, tok
       FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS words
             FROM documents) w,
            unnest(words) AS t(tok)
     ),
