@@ -132,11 +132,21 @@ def cosine_topk(
             nbr = pdf["vec_id"].to_numpy()
             lbl = pdf["__l"].to_numpy() if q_labels is not None else None
             aff = _codebook_affinities(x, q_arr, q_norms)  # (n, nq) rounded
+            lbl_na = pd.isna(lbl) if lbl is not None else None
             qcol, ncol, scol = [], [], []
             for j in range(nq):
                 valid = nbr != q_ids_arr[j]
                 if lbl is not None:
-                    valid &= lbl != q_labels[j]
+                    # IS DISTINCT FROM semantics, pinned against the oracle:
+                    # NULL label vs NULL label = SAME class (excluded);
+                    # NULL vs anything else = different (kept). Arrow hands
+                    # int labels with NULLs to pandas as float NaN, where
+                    # plain != would call NaN != NaN True and diverge.
+                    qj = q_labels[j]
+                    if qj is None or (isinstance(qj, float) and qj != qj):
+                        valid &= ~lbl_na
+                    else:
+                        valid &= lbl_na | (lbl != qj)
                 sims_j = aff[valid, j]
                 nbr_j = nbr[valid]
                 take = np.lexsort((nbr_j, -sims_j))[:k]
@@ -491,6 +501,10 @@ def near_dup_pairs_from_buckets(
             xd = x[:, d]
             sq = sq + xd * xd
         norms = np.sqrt(sq)
+        # zero-norm vectors pin sim 0.0, never NaN (repo-wide convention;
+        # the oracle's guarded norms do the same) — a zero vector's dot is
+        # 0, so dividing by the substituted 1.0 yields exactly 0.0
+        norms = np.where(norms == 0.0, 1.0, norms)
         # Pair indices are generated PER CHUNK (ids sorted -> vec_a <
         # vec_b): materializing the full triangle up front
         # (np.triu_indices) allocates m(m-1)/2 int64 pairs before any

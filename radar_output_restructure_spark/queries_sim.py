@@ -578,13 +578,18 @@ SEMDEDUP_TAU = 0.4
 #: AUTO_GATE_PLANES.
 SEM_TARGET_CELL = 32
 SEM_GATE_N = 500  # embeddings rows at the driver's fixed sf0.01 gate
-SEM_GATE_K = max(16, -(-SEM_GATE_N // SEM_TARGET_CELL))  # = 16 at the gate
 
 
 def sem_auto_cells(n: int) -> int:
     """Cell count for a corpus of n vectors: ceil(n / SEM_TARGET_CELL),
     floored at the gate's 16."""
     return max(16, -(-n // SEM_TARGET_CELL))
+
+
+#: the oracle pre-bakes the gate cardinality's k through the SAME function
+#: the Spark path sizes with (sem_auto_cells(emb.count())) — an inline
+#: re-derivation here could silently drift from a future floor/target change
+SEM_GATE_K = sem_auto_cells(SEM_GATE_N)  # = 16 at the gate
 
 
 @register(
@@ -696,13 +701,29 @@ def _sql_fp_sum_wide(half: str) -> str:
     )
 
 
-@register(
-    "simhash_near_dup_docs",
-    f"""
-    WITH toks AS (
+#: 4 x 16-bit banding over the wide fingerprint — ONE definition shared by
+#: simhash_near_dup_docs and snapshot_neardup_delta_docs, mirroring the
+#: operator side's single _banded_wide (dedup_scale.py) so the two oracles
+#: can never drift in banding geometry.
+_SQL_BAND_WIDE = (
+    "SELECT doc, i AS band,\n"
+    "             ((CASE WHEN i < 2 THEN fp_lo ELSE fp_hi END)"
+    " >> ((i % 2) * 16)) & 65535 AS bv\n"
+    "      FROM fp, (SELECT unnest(range(4)) AS i)"
+)
+
+
+def _sql_wide_fp_ctes(text_expr: str = "text") -> str:
+    """The toks -> hashed -> votes -> fp CTE chain computing the wide
+    (two 32-bit halves) simhash per document — shared by the two wide-
+    simhash oracles (same one-definition rule as _SQL_BAND_WIDE).
+    `text_expr` lets snapshot_neardup_delta_docs apply the NULL-as-empty
+    coalesce while simhash_near_dup_docs keeps raw text semantics."""
+    return f"""toks AS (
       SELECT doc_id AS doc, tok
       FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                   regexp_split_to_array(lower(trim({text_expr})), '\\s+')
+                     AS words
             FROM documents) w,
            unnest(words) AS t(tok)
     ),
@@ -714,12 +735,15 @@ def _sql_fp_sum_wide(half: str) -> str:
       FROM hashed GROUP BY doc
     ),
     fp AS (SELECT doc, {_sql_fp_sum_wide('lo')} AS fp_lo,
-                  {_sql_fp_sum_wide('hi')} AS fp_hi FROM votes),
+                  {_sql_fp_sum_wide('hi')} AS fp_hi FROM votes)"""
+
+
+@register(
+    "simhash_near_dup_docs",
+    f"""
+    WITH {_sql_wide_fp_ctes()},
     b AS (
-      SELECT doc, i AS band,
-             ((CASE WHEN i < 2 THEN fp_lo ELSE fp_hi END) >> ((i % 2) * 16))
-               & 65535 AS bv
-      FROM fp, (SELECT unnest(range(4)) AS i)
+      {_SQL_BAND_WIDE}
     ),
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, c.doc AS doc_b
@@ -789,7 +813,8 @@ KNN_N_QUERIES = 100
     pred AS (
       SELECT query_id, nbr_label AS pred_label FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY n_votes DESC, nbr_label ASC) AS vr
+          PARTITION BY query_id
+          ORDER BY n_votes DESC, nbr_label ASC NULLS FIRST) AS vr
         FROM votes
       ) WHERE vr = 1
     )
@@ -1081,14 +1106,15 @@ def q_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _recall_oracle_sql() -> str:
-    """Compose the recall@k oracle from the two registered top-k oracles
-    (exact brute force vs LSH) — both support WITH-in-subquery, so they
-    nest verbatim and any future change to either top-k stays in sync."""
+def _recall_oracle_sql(approx: str) -> str:
+    """Compose a recall@k oracle: the exact brute-force top-k oracle vs a
+    given approx top-k oracle — both support WITH-in-subquery, so they
+    nest verbatim. ONE definition serves all four recall audits (LSH,
+    IVF-PQ, IVF-PQ+rerank, int8) so a fix to the n_matched join or the
+    recall_micro rounding can never drift between them."""
     from radar_output_restructure_spark.queries import ORACLES
 
     exact = ORACLES["cosine_topk_bruteforce"]
-    approx = ORACLES["ann_lsh_topk"]
     return f"""
     WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
     approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
@@ -1106,24 +1132,16 @@ def _recall_oracle_sql() -> str:
     """
 
 
-@register("ann_recall_at_k", _recall_oracle_sql())
-def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the LSH index against the exact brute-force ranking —
-    the index-quality gauge every ANN deployment needs before trusting an
-    approximate path (tune planes/tables until recall clears the bar).
-    Composes the two existing operators; the per-query overlap join is
-    queries x k rows, so the evaluation itself is driver-negligible at any
-    corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
-        "query_id", "neighbor_id"
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Spark side of the recall@k composition — the single mirror of
+    `_recall_oracle_sql` (per-query n_matched over a left overlap join,
+    recall_micro = round(n_matched * 1e6 / k))."""
+    approx = approx.select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
     )
-    approx = cosine_topk_lsh(
-        emb, queries_df, k=TOP_K, num_planes=NUM_PLANES, num_tables=NUM_TABLES
-    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
     matched = (
-        exact.join(
+        exact.select("query_id", "neighbor_id")
+        .join(
             approx,
             (F.col("query_id") == F.col("aq"))
             & (F.col("neighbor_id") == F.col("an")),
@@ -1139,6 +1157,29 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    from radar_output_restructure_spark.queries import ORACLES
+
+    return _recall_oracle_sql(ORACLES["ann_lsh_topk"])
+
+
+@register("ann_recall_at_k", _lsh_recall_oracle_sql())
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact brute-force ranking —
+    the index-quality gauge every ANN deployment needs before trusting an
+    approximate path (tune planes/tables until recall clears the bar).
+    Composes the two existing operators; the per-query overlap join is
+    queries x k rows, so the evaluation itself is driver-negligible at any
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries_df, k=TOP_K)
+    approx = cosine_topk_lsh(
+        emb, queries_df, k=TOP_K, num_planes=NUM_PLANES, num_tables=NUM_TABLES
+    )
+    return _recall_vs_exact(exact, approx)
 
 
 @register(
@@ -1206,27 +1247,11 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_recall_oracle_sql() -> str:
-    """Recall@k for the compressed composite index, composed verbatim from
-    the exact and IVF-PQ oracles (same pattern as ann_recall_at_k)."""
+    """Recall@k for the compressed composite index, composed via the shared
+    `_recall_oracle_sql` (same single definition as ann_recall_at_k)."""
     from radar_output_restructure_spark.queries import ORACLES
 
-    exact = ORACLES["cosine_topk_bruteforce"]
-    approx = ORACLES["ann_ivfpq_topk"]
-    return f"""
-    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
-    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
-    matched AS (
-      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
-      FROM exact_k e
-      LEFT JOIN approx_k a
-        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-      GROUP BY 1
-    )
-    SELECT query_id, n_matched,
-           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
-             AS recall_micro
-    FROM matched
-    """
+    return _recall_oracle_sql(ORACLES["ann_ivfpq_topk"])
 
 
 @register("ann_ivfpq_recall_at_k", _pq_recall_oracle_sql())
@@ -1241,9 +1266,7 @@ def q_ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
-        "query_id", "neighbor_id"
-    )
+    exact = cosine_topk(emb, queries_df, k=TOP_K)
     approx = cosine_topk_ivfpq(
         emb,
         queries_df,
@@ -1254,24 +1277,8 @@ def q_ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook_k=PQ_K,
         iters=PQ_ITERS,
         dims=DIMS,
-    ).select(F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
-    matched = (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
     )
-    return matched.select(
-        "query_id",
-        "n_matched",
-        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
-        .cast("long")
-        .alias("recall_micro"),
-    )
+    return _recall_vs_exact(exact, approx)
 
 
 # exact re-ranking of the IVF-PQ shortlist (production refinement step)
@@ -1342,25 +1349,7 @@ def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rerank_recall_oracle_sql() -> str:
-    from radar_output_restructure_spark.queries import ORACLES
-
-    exact = ORACLES["cosine_topk_bruteforce"]
-    approx = _rerank_oracle_sql()
-    return f"""
-    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
-    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
-    matched AS (
-      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
-      FROM exact_k e
-      LEFT JOIN approx_k a
-        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-      GROUP BY 1
-    )
-    SELECT query_id, n_matched,
-           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
-             AS recall_micro
-    FROM matched
-    """
+    return _recall_oracle_sql(_rerank_oracle_sql())
 
 
 @register("ann_ivfpq_rerank_recall_at_k", _rerank_recall_oracle_sql())
@@ -1390,26 +1379,8 @@ def q_ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         dims=DIMS,
     )
-    approx = exact_rerank(emb, queries_df, shortlist, k=TOP_K).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    matched = (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
-    )
-    return matched.select(
-        "query_id",
-        "n_matched",
-        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
-        .cast("long")
-        .alias("recall_micro"),
-    )
+    approx = exact_rerank(emb, queries_df, shortlist, k=TOP_K)
+    return _recall_vs_exact(exact, approx)
 
 
 # ---------------------------------------------------------------------------
@@ -1489,26 +1460,10 @@ def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _int8_recall_oracle_sql() -> str:
     """Recall@k of the int8 path against full-precision brute force — the
-    quantization-loss gauge, composed verbatim from the two oracles."""
+    quantization-loss gauge, via the shared `_recall_oracle_sql`."""
     from radar_output_restructure_spark.queries import ORACLES
 
-    exact = ORACLES["cosine_topk_bruteforce"]
-    approx = ORACLES["ann_int8_topk"]
-    return f"""
-    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
-    approx_k AS (SELECT query_id, neighbor_id FROM ({approx})),
-    matched AS (
-      SELECT e.query_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_matched
-      FROM exact_k e
-      LEFT JOIN approx_k a
-        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-      GROUP BY 1
-    )
-    SELECT query_id, n_matched,
-           CAST(round(n_matched * 1000000.0 / {TOP_K}, 0) AS BIGINT)
-             AS recall_micro
-    FROM matched
-    """
+    return _recall_oracle_sql(ORACLES["ann_int8_topk"])
 
 
 @register("ann_int8_recall_at_k", _int8_recall_oracle_sql())
@@ -1522,29 +1477,9 @@ def q_ann_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = cosine_topk(emb, queries_df, k=TOP_K).select(
-        "query_id", "neighbor_id"
-    )
-    approx = cosine_topk_int8(emb, queries_df, k=TOP_K).select(
-        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
-    )
-    matched = (
-        exact.join(
-            approx,
-            (F.col("query_id") == F.col("aq"))
-            & (F.col("neighbor_id") == F.col("an")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(F.count(F.col("an")).cast("bigint").alias("n_matched"))
-    )
-    return matched.select(
-        "query_id",
-        "n_matched",
-        F.round(F.col("n_matched") * 1_000_000.0 / TOP_K, 0)
-        .cast("long")
-        .alias("recall_micro"),
-    )
+    exact = cosine_topk(emb, queries_df, k=TOP_K)
+    approx = cosine_topk_int8(emb, queries_df, k=TOP_K)
+    return _recall_vs_exact(exact, approx)
 
 
 # ---------------------------------------------------------------------------
@@ -1582,13 +1517,15 @@ def q_ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
-    # Index cache key = fingerprint of the SOURCE DATA, not just its path
-    # (file names + sizes + mtimes): regenerating the parquet at the same
-    # path changes the tag, so a stale index can never be silently reused.
+    # Index cache key = fingerprint of the SOURCE DATA (file names + sizes
+    # + mtimes — regenerating the parquet at the same path changes the tag)
+    # PLUS the index parameters: a code change to N_CENTROIDS would
+    # otherwise silently reuse an index whose home-cell assignment was
+    # computed under the OLD centroid set.
     import os
 
     tag = dataset_fingerprint(sf_dir, ("embeddings",))
-    path = f"/tmp/spark_graft_ivf_index_{tag}"
+    path = f"/tmp/spark_graft_ivf_index_{tag}_k{N_CENTROIDS}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):  # write-once per sf_dir, like any index
         write_ivf_index(emb, centroids, path)
@@ -1628,8 +1565,13 @@ def q_ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS)
+    # parameters in the key for the same reason as the persisted index —
+    # INCR_SPLIT additionally changes which vectors live in base vs delta
     tag = dataset_fingerprint(sf_dir, ("embeddings",))
-    path = f"/tmp/spark_graft_ivf_index_incr_{tag}"
+    path = (
+        f"/tmp/spark_graft_ivf_index_incr_{tag}"
+        f"_k{N_CENTROIDS}_s{INCR_SPLIT}"
+    )
     marker = os.path.join(path, "_DELTA_APPENDED")
     if not os.path.exists(marker):
         import shutil
@@ -1668,7 +1610,13 @@ def q_ann_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id, neighbor_label,
              round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
       FROM c, q
-      WHERE neighbor_id != query_id AND neighbor_label != qlabel
+      -- IS DISTINCT FROM pins NULL-label semantics to the Spark side's
+      -- numpy comparison (None != None is False, None != 'x' is True):
+      -- a NULL-labeled corpus row is a valid negative for every labeled
+      -- anchor, and two NULL labels count as the SAME class. Plain != has
+      -- three-valued NULL semantics and would drop all such rows.
+      WHERE neighbor_id != query_id
+        AND neighbor_label IS DISTINCT FROM qlabel
     )
     SELECT query_id, neighbor_id, sim, rank FROM (
       SELECT *, row_number() OVER (
@@ -1809,10 +1757,11 @@ DECON_TAU = 0.4
     c AS (SELECT vec_id, embedding AS cv
           FROM embeddings WHERE vec_id >= {N_EVAL}),
     sims AS (
+      -- zero-norm guard lives INSIDE _SQL_QNORM/_SQL_CNORM (ssq=0 -> 1.0),
+      -- so a zero vector's sim is 0/1 = 0.0 with no outer CASE needed; an
+      -- outer test on the guarded norms could never fire (they are >= 1e-x)
       SELECT c.vec_id, e.eid,
-             CASE WHEN {_SQL_QNORM} = 0 OR {_SQL_CNORM} = 0 THEN 0.0
-                  ELSE round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6)
-             END AS sim
+             round(({_SQL_DOT}) / ({_SQL_QNORM} * {_SQL_CNORM}), 6) AS sim
       FROM c CROSS JOIN e
     ),
     best AS (SELECT vec_id, max(sim) AS max_eval_sim FROM sims GROUP BY 1),
@@ -1857,33 +1806,14 @@ from radar_output_restructure_spark.queries_docs import (  # noqa: E402
     SNAPSHOT_HIST_MAX,
 )
 
-_SQL_BAND_WIDE = (
-    "SELECT doc, i AS band,\n"
-    "             ((CASE WHEN i < 2 THEN fp_lo ELSE fp_hi END)"
-    " >> ((i % 2) * 16)) & 65535 AS bv\n"
-    "      FROM fp, (SELECT unnest(range(4)) AS i)"
-)
+# banding/fp SQL shared with simhash_near_dup_docs: _SQL_BAND_WIDE and
+# _sql_wide_fp_ctes are defined once next to that oracle (see above)
 
 
 @register(
     "snapshot_neardup_delta_docs",
     f"""
-    WITH toks AS (
-      SELECT doc_id AS doc, tok
-      FROM (SELECT doc_id,
-                   regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+') AS words
-            FROM documents) w,
-           unnest(words) AS t(tok)
-    ),
-    hashed AS (SELECT doc, {_H} AS h_lo, {_H_HI} AS h_hi
-               FROM (SELECT doc, md5(tok) AS md FROM toks)),
-    votes AS (
-      SELECT doc,
-             {_SQL_VOTES_WIDE}
-      FROM hashed GROUP BY doc
-    ),
-    fp AS (SELECT doc, {_sql_fp_sum_wide('lo')} AS fp_lo,
-                  {_sql_fp_sum_wide('hi')} AS fp_hi FROM votes),
+    WITH {_sql_wide_fp_ctes("coalesce(text, '')")},
     b AS (
       {_SQL_BAND_WIDE}
     ),

@@ -89,7 +89,14 @@ def fuzz_dir(spark, tmp_path_factory):
         {
             "vec_id": pa.array(range(40), type=pa.int64()),
             "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
-            "label": pa.array([i % 4 for i in range(40)], type=pa.int32()),
+            # NULL labels at 5 (a query anchor: vec_id < N_QUERIES=10) and
+            # 11/23 (corpus rows): exercises the pinned IS-DISTINCT-FROM
+            # label semantics (NULL vs NULL = same class, NULL vs real =
+            # different) in hard_negative_mining / knn_label_accuracy
+            "label": pa.array(
+                [None if i in (5, 11, 23) else i % 4 for i in range(40)],
+                type=pa.int32(),
+            ),
         }
     )
     pq.write_table(emb, f"{out}/embeddings.parquet")
