@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from radar_output_restructure_spark.plans.restructure import RestructureConfig, RestructurePlan
 from radar_output_restructure_spark.sources.kafka_tree import (
     parse_offset_filename,
-    read_topic_tree,
 )
 from radar_output_restructure_spark.sources.manifest import FileEntry
 from radar_output_restructure_spark.timer import Timer
@@ -117,60 +116,23 @@ class SourceDataCleaner:
         """((source_file, target_path, time_str) per source record, covered
         source paths) — the same routing + rendering plan the writer ran.
 
-        Mirrors `run_topic` EXACTLY: per attempt, subset-schema groups are
-        conformed to the attempt's superset and unioned BEFORE one
-        transform, so dedup survivors match the writer's (a per-group
-        transform could keep a different duplicate than the union-scoped
-        writer did when distinct_fields dedup spans two groups). Files
-        whose schema cannot be read right now are NOT covered — the caller
-        must treat them as unverified, never as extracted."""
-        import json as _json
-
-        from pyspark.sql import types as T
-
-        from radar_output_restructure_spark.functions.schema_compat import (
-            conform_to,
-        )
-        from radar_output_restructure_spark.sinks.writers import (
-            _COMP_EXT,
-            _FMT_EXT,
-        )
-
+        Shares `plan.attempt_frames` with `run_topic` — ONE definition of
+        the per-attempt read+conform+union step, so dedup survivors in
+        verification are byte-identical to what the writer kept (a
+        divergent copy here could keep a different duplicate than the
+        union-scoped writer did when distinct_fields dedup spans two
+        groups, revoking healthy files forever). Files whose schema cannot
+        be read right now are NOT covered — the caller must treat them as
+        unverified, never as extracted."""
         cfg = self.config
         parts: list[DataFrame] = []
         covered: set[str] = set()
-        ext0 = _FMT_EXT[cfg.output_format] + (
-            ""
-            if cfg.output_format == "parquet"
-            else _COMP_EXT[cfg.compression]
-        )
-        meta_cols = [
-            "source_file", "file_modified", "kafka_partition",
-            "offset_from", "offset_to",
-        ]
+        ext0 = self.plan.output_extension()
         out_root = self._output_root()
-        for attempt, schema_json, fp_groups in self.plan._fingerprint_groups(
+        for attempt, _sup, df, group_files in self.plan.attempt_frames(
             topic, files
         ):
-            sup = (
-                T.StructType.fromJson(_json.loads(schema_json))
-                if schema_json
-                else None
-            )
-            dfs = []
-            for group in fp_groups:
-                covered.update(f.path for f in group)
-                d = read_topic_tree(
-                    self.spark, cfg.input_dir, topic=topic,
-                    file_format=cfg.source_format,
-                    paths=[f.path for f in group],
-                )
-                if sup is not None:
-                    d = conform_to(d, sup, keep=[*meta_cols, "topic"])
-                dfs.append(d)
-            df = dfs[0]
-            for other in dfs[1:]:
-                df = df.unionByName(other)
+            covered.update(f.path for f in group_files)
             flat, part_cols = self.plan.transform(
                 df, topic, keep_cols=("source_file",)
             )

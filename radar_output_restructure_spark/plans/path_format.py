@@ -357,22 +357,24 @@ class BucketFormat:
     fmt: str = "radar-output-storage"
     disabled_formats: list[str] = field(default_factory=list)
     default_name: str = "radar-output-storage"
-    time_bin_format: str = DEFAULT_BIN_FORMAT
+    # None = "not set here": the plan injects its configured bin format only
+    # then, so a YAML bucket carrying its OWN format (e.g. monthly archive
+    # roots under an hourly pipeline) is never silently clobbered
+    time_bin_format: str | None = None
     mp_dim: DataFrame | None = None
     custom_params: dict = field(default_factory=dict)
 
     def _formatter(self) -> PathFormat:
         return PathFormat(
             fmt=self.fmt,
-            time_bin_format=self.time_bin_format,
+            time_bin_format=self.time_bin_format or DEFAULT_BIN_FORMAT,
             extension="",
             mp_dim=self.mp_dim,
             custom_params=self.custom_params,
             require_distinction=False,
         )
 
-    def column(self, df: DataFrame, event_ts: Column) -> Column:
-        raw = self._formatter().template_column(df, event_ts)
+    def _dispatch(self, raw: Column) -> Column:
         cond = None
         for rx in self.disabled_formats:
             c = raw.rlike(f"(?i)^(?:{rx})$")
@@ -380,6 +382,24 @@ class BucketFormat:
         if cond is not None:
             raw = F.when(cond, F.lit(self.default_name)).otherwise(raw)
         return raw
+
+    def column(self, df: DataFrame, event_ts: Column) -> Column:
+        """Rendered bucket Column for formats WITHOUT `${mp:...}` segments.
+        An mp-bearing format references `mp_<attr>` columns that only a
+        dimension join materializes — use `attach` for those."""
+        return self._dispatch(self._formatter().template_column(df, event_ts))
+
+    def attach(
+        self, df: DataFrame, event_ts: Column, out_col: str = "pf_bucket"
+    ) -> DataFrame:
+        """Broadcast-join the `${mp:...}` dimension when the format needs
+        it, attach the rendered (and disabled-format-dispatched) bucket
+        column, and drop the join's mp_<attr> helper columns — the entry
+        point the restructure plan uses, valid for every format."""
+        pf = self._formatter()
+        joined = pf._with_mp_join(df)
+        raw = self._dispatch(pf.template_column(joined, event_ts))
+        return joined.withColumn(out_col, raw).drop(*pf._mp_cols())
 
 
 def _resolve_dotted(df: DataFrame, struct: str, dotted: str) -> str:

@@ -56,6 +56,16 @@ from radar_output_restructure_spark.timer import Timer
 # Arrival-order key: (kafka partition, starting offset, intra-file position).
 ORDER_COLS = ["__ord_part", "__ord_off", "__pos"]
 
+# Scan metadata attached per source file (kafka_tree._attach_path_metadata);
+# 'topic' is attached too but kept separate — some consumers carry it.
+META_COLS = [
+    "source_file",
+    "file_modified",
+    "kafka_partition",
+    "offset_from",
+    "offset_to",
+]
+
 
 @dataclass
 class DedupConfig:
@@ -145,7 +155,11 @@ class RestructureConfig:
         # `_metadata.file_path` reports. Pin them to the DRIVER's cwd at
         # config creation, once, for every component alike. URI-schemed
         # targets (s3a://, file:, ...) pass through untouched.
-        for attr in ("input_dir", "output_dir"):
+        # lock_dir most of all: its entire purpose is agreement between
+        # SEPARATE processes — two replicas launched from different cwds
+        # with a relative lock_dir would never contend and both would
+        # process the same topic (exactly what T5 locking prevents)
+        for attr in ("input_dir", "output_dir", "lock_dir"):
             val = getattr(self, attr)
             if val and "://" not in val and not val.startswith("file:"):
                 setattr(self, attr, os.path.abspath(val))
@@ -192,6 +206,9 @@ class RestructurePlan:
             offsets_dir, self.target_storage
         )
         self._mp_plugin = None  # lazy MPPathPlugin; its HTTP caches are TTL'd
+        # per-cycle topic failures (run() resets it): the reference logs and
+        # continues per topic; callers inspect this to surface errors
+        self.last_errors: dict[str, BaseException] = {}
         self._lock_manager = None
         if config.lock_dir:
             # Scheme-aware (T5): s3://-/azure://-prefixed lock dirs
@@ -290,6 +307,24 @@ class RestructurePlan:
             for f in entries
             if now_ms - f.modified_ms >= self.config.minimum_file_age_s * 1000
         ]
+        # Kafka-offset processing order (the reference walks files in offset
+        # order): path-lexicographic order is WRONG for unpadded offsets
+        # ("+10" sorts before "+9"), which matters whenever the listing is
+        # truncated (O2) or appended across runs — later offsets written
+        # before earlier ones flips keep-last dedup survivors. Unparseable
+        # names keep their lexicographic position after the parsed ones.
+        from radar_output_restructure_spark.sources.kafka_tree import (
+            parse_offset_filename,
+        )
+
+        def _offset_key(f: FileEntry):
+            parsed = parse_offset_filename(f.path)
+            if parsed is None:
+                return (1, 0, 0, f.path)
+            _topic, part, off_from, _off_to = parsed
+            return (0, part, off_from, f.path)
+
+        entries.sort(key=_offset_key)
         if self.config.max_files_per_topic:  # O2
             entries = entries[: self.config.max_files_per_topic]
         return entries
@@ -362,12 +397,16 @@ class RestructurePlan:
         """
         cfg = self.config
         tcfg = cfg.topics.get(topic or "", TopicConfig())
+        # one dimension snapshot per transform: resolving again for the
+        # bucket below could route path segments and the bucket on two
+        # DIFFERENT subject snapshots (TTL expiry between the calls)
+        mp_dim = self._resolve_mp_dim()
         fmt = PathFormat(
             fmt=tcfg.path_format or cfg.path_format,
             time_bin_format=cfg.time_bin_format,
             extension="",
             custom_params=cfg.path_params,
-            mp_dim=self._resolve_mp_dim(),
+            mp_dim=mp_dim,
         )
         ts = event_time(df)
         df, part_cols = fmt.partition_columns(df, ts)
@@ -379,24 +418,25 @@ class RestructurePlan:
             # the mp dimension, the configured bin format) unless the
             # BucketFormat instance carries its own: a YAML-loaded bucket
             # using `${mp:organization}` or a pathParams plugin must see
-            # the same resolvers the path format one line below gets.
+            # the same resolvers the path format above got.
             from dataclasses import replace as _dc_replace
 
             bucket = _dc_replace(
                 cfg.bucket,
-                time_bin_format=cfg.time_bin_format,
+                time_bin_format=(
+                    cfg.bucket.time_bin_format or cfg.time_bin_format
+                ),
                 custom_params=cfg.bucket.custom_params or cfg.path_params,
                 mp_dim=(
                     cfg.bucket.mp_dim
                     if cfg.bucket.mp_dim is not None
-                    else (
-                        self._resolve_mp_dim()
-                        if "${mp:" in cfg.bucket.fmt
-                        else None
-                    )
+                    else (mp_dim if "${mp:" in cfg.bucket.fmt else None)
                 ),
             )
-            df = df.withColumn("pf_bucket", bucket.column(df, ts))
+            # attach (not column): an ${mp:...} bucket needs its own
+            # broadcast join — partition_columns dropped the path join's
+            # mp_<attr> columns already
+            df = bucket.attach(df, ts, out_col="pf_bucket")
             part_cols = ["pf_bucket", *part_cols]
         meta_cols = [
             "source_file",
@@ -414,8 +454,13 @@ class RestructurePlan:
         # splits sorted by size DESCENDING — so when several source files feed
         # one output bin, id order can diverge from offset order. Lead the
         # order key with (kafka_partition, offset_from) parsed from the
-        # filename; the id breaks ties within one source file, where scan
-        # order is row order.
+        # filename; the id breaks ties within one source file. For a file
+        # larger than one scan split this relies on Scala sortBy being
+        # STABLE: a file's max-size splits are generated in offset order and
+        # compare equal on length, so the descending-length sort preserves
+        # their relative order, and the (smaller) tail split sorts after
+        # them — partition ids within one file therefore follow offset
+        # order, and __pos remains a faithful in-file position.
         df = (
             df.withColumn("__ord_part", F.col("kafka_partition").cast("bigint"))
             .withColumn("__ord_off", F.col("offset_from").cast("bigint"))
@@ -474,7 +519,17 @@ class RestructurePlan:
             if distinct:
                 distinct = [*part_cols, *distinct]
             else:
-                ignore = list(dedup_cfg.ignore_fields or []) + list(ORDER_COLS)
+                # keep_cols must NOT join the implicit key: the cleaner
+                # passes keep_cols=('source_file',) and a key containing it
+                # would keep different survivors than the writer's transform
+                # (which never sees that column) — every cross-file
+                # duplicate would then fail verification and loop
+                # revoke/re-extract forever
+                ignore = (
+                    list(dedup_cfg.ignore_fields or [])
+                    + list(ORDER_COLS)
+                    + list(keep_cols)
+                )
             flat = dedup_keep_last(
                 flat, ORDER_COLS, distinct, ignore, restore_order=False
             )
@@ -568,24 +623,33 @@ class RestructurePlan:
             for attempt, groups in sorted(per_attempt.items())
         ]
 
-    def run_topic(self, topic: str) -> list[str]:
-        cfg = self.config
-        files = self.list_candidate_files(topic)
-        if not files:
-            return []
+    def output_extension(self) -> str:
+        """`<format ext><compression ext>` — the attempt-0 target extension,
+        shared by the writer path and the cleaner's expectation rendering."""
         from radar_output_restructure_spark.sinks.writers import (
             _COMP_EXT,
             _FMT_EXT,
         )
 
-        ext0 = _FMT_EXT[cfg.output_format] + (
-            "" if cfg.output_format == "parquet" else _COMP_EXT[cfg.compression]
+        cfg = self.config
+        return _FMT_EXT[cfg.output_format] + (
+            ""
+            if cfg.output_format == "parquet"
+            else _COMP_EXT[cfg.compression]
         )
-        finals: list[str] = []
-        meta_cols = [
-            "source_file", "file_modified", "kafka_partition",
-            "offset_from", "offset_to",
-        ]
+
+    def attempt_frames(self, topic: str, files: list[FileEntry]):
+        """Yield (attempt, superset schema, unioned DataFrame, files) per
+        attempt: every fingerprint group read, conformed to the attempt's
+        superset (null-fill subset-write rule; identity for the defining
+        group) and unioned BEFORE any transform.
+
+        THE single definition of the read+conform+union step — run_topic
+        (the writer) and the cleaner's _source_expectations must see
+        byte-identical frames, or dedup keeps different survivors in
+        verification than were written and the cleaner revokes/re-extracts
+        the same files forever (plans/cleaner.py:120)."""
+        cfg = self.config
         for attempt, schema_json, fp_groups in self._fingerprint_groups(
             topic, files
         ):
@@ -602,17 +666,30 @@ class RestructurePlan:
                     paths=[f.path for f in group],
                 )
                 if sup is not None:
-                    # null-fill subset schemas into the attempt's superset
-                    # (subset-write rule); for the defining group this is an
-                    # identity projection
-                    d = conform_to(d, sup, keep=[*meta_cols, "topic"])
+                    d = conform_to(d, sup, keep=[*META_COLS, "topic"])
                 dfs.append(d)
             df = dfs[0]
             for other in dfs[1:]:
                 df = df.unionByName(other)
+            yield attempt, sup, df, [f for g in fp_groups for f in g]
+
+    def run_topic(self, topic: str) -> list[str]:
+        cfg = self.config
+        files = self.list_candidate_files(topic)
+        if not files:
+            return []
+        ext0 = self.output_extension()
+        finals: list[str] = []
+        for attempt, sup, df, group in self.attempt_frames(topic, files):
             flat, part_cols = self.transform(df, topic)
-            value_schema = sup if sup is not None else df.drop(*meta_cols).schema
-            group = [f for g in fp_groups for f in g]
+            # fallback when the registry stored no schema (legacy flat
+            # attempts): drop 'topic' too — it is path metadata the sidecar
+            # must not advertise, not record content
+            value_schema = (
+                sup
+                if sup is not None
+                else df.drop(*META_COLS, "topic").schema
+            )
             write_kwargs = dict(
                 fmt=cfg.output_format,
                 compression=cfg.compression,
@@ -681,11 +758,31 @@ class RestructurePlan:
         # safe: manifest.compact's name-anchored segment)
         self.manifest.maybe_compact()
         topics = self.topics()
+        # Per-topic error ISOLATION (worker/RestructureWorker.kt logs and
+        # continues): one topic's transient read error or config mistake
+        # must not abort the cycle and starve every other topic. Failed
+        # topics stay uncommitted (write-then-commit), so the next run
+        # retries them; the exceptions are kept on `last_errors` for
+        # callers that want to surface them.
+        self.last_errors: dict[str, BaseException] = {}
+
+        def one(topic: str) -> list[str]:
+            try:
+                return self._run_topic_locked(topic)
+            except Exception as exc:
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "topic %s failed this cycle; will retry next run", topic
+                )
+                self.last_errors[topic] = exc
+                return []
+
         n = max(1, int(self.config.num_threads or 1))
         if n == 1 or len(topics) <= 1:
-            return {t: self._run_topic_locked(t) for t in topics}
+            return {t: one(t) for t in topics}
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(n, len(topics))) as pool:
-            results = list(pool.map(self._run_topic_locked, topics))
+            results = list(pool.map(one, topics))
         return dict(zip(topics, results))

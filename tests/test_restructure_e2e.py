@@ -333,8 +333,12 @@ def test_crash_between_groups_no_duplicates(spark, tmp_path, monkeypatch):
         return real(*args, **kwargs)
 
     monkeypatch.setattr(R, "write_output_tree_direct", crash_on_second)
-    with pytest.raises(RuntimeError, match="simulated crash"):
-        RestructurePlan(spark, cfg).run()
+    # run() isolates per-topic failures (reference log-and-continue): the
+    # crash is logged, stashed on last_errors, and the topic stays
+    # partially committed — group 1 committed, group 2 uncommitted
+    crashed = RestructurePlan(spark, cfg)
+    assert crashed.run() == {"t": []}
+    assert isinstance(crashed.last_errors["t"], RuntimeError)
 
     monkeypatch.setattr(R, "write_output_tree_direct", real)
     finals = RestructurePlan(spark, cfg).run()["t"]
