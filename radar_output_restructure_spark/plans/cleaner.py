@@ -54,11 +54,14 @@ class SourceDataCleaner:
         spark: SparkSession,
         config: RestructureConfig,
         cleaner: CleanerConfig | None = None,
+        plan: RestructurePlan | None = None,
     ):
         self.spark = spark
         self.config = config
         self.cleaner = cleaner or CleanerConfig()
-        self.plan = RestructurePlan(spark, config)
+        # a service loop passes its long-lived plan so the cleaner shares
+        # its storage index (and deletes update that index in place)
+        self.plan = plan or RestructurePlan(spark, config)
 
     # -- C1: candidates ------------------------------------------------------
 
@@ -347,6 +350,10 @@ class SourceDataCleaner:
             for f in files:
                 if verdict.get(f.path):
                     self.plan.source_storage.delete(f.path)  # S15
+                    if self.plan.storage_index is not None:
+                        # keep the incremental index honest without waiting
+                        # for its next full sync (StorageIndex.remove)
+                        self.plan.storage_index.remove(f.path)
                     deleted.append(f.path)
                 else:
                     self.plan.manifest.revoke([f])  # T7 revocation

@@ -385,11 +385,7 @@ def avro_to_spark_type(schema) -> tuple[T.DataType, bool]:
     raise ValueError(f"unsupported avro type: {t!r}")
 
 
-def avro_schema_fingerprint_canonical(schema: dict) -> str:
-    """Canonical `name:type` list for schema fingerprinting — the same shape
-    the parquet path fingerprints, so a topic whose files alternate formats
-    still groups identically."""
-    spark_schema, _ = avro_to_spark_type(schema)
-    return ",".join(
-        f"{f.name}:{f.dataType.simpleString()}" for f in spark_schema.fields
-    )
+# NOTE: cross-format fingerprinting lives in plans/restructure._schema_canon
+# (StructType.json() of either format's schema) — there is deliberately no
+# separate avro-side fingerprint helper here; a second canon shape would
+# group files differently from the engine.

@@ -107,8 +107,32 @@ def has_native_avro(spark: SparkSession) -> bool:
             cached = True
         except Exception as exc:
             # jar missing raises the dedicated missing-data-source error;
-            # any OTHER failure (path-not-found) means the source RESOLVED
-            cached = "Failed to find data source" not in str(exc)
+            # any OTHER failure (path-not-found) means the source RESOLVED.
+            # Prefer the structured error condition: the free-text template
+            # is the deprecated _LEGACY_ERROR_TEMP_1139 and the generic
+            # DATA_SOURCE_NOT_FOUND message reads "Failed to find THE data
+            # source", which the substring probe would miss.
+            name = None
+            for getter in ("getCondition", "getErrorClass"):
+                fn = getattr(exc, getter, None)
+                if fn is not None:
+                    try:
+                        name = fn()
+                    except Exception:
+                        name = None
+                    if name:
+                        break
+            if name is not None:
+                cached = name not in (
+                    "DATA_SOURCE_NOT_FOUND",
+                    "_LEGACY_ERROR_TEMP_1139",
+                )
+            else:
+                msg = str(exc)
+                cached = (
+                    "Failed to find data source" not in msg
+                    and "Failed to find the data source" not in msg
+                )
         _NATIVE_AVRO[spark] = cached
     return cached
 
@@ -162,9 +186,14 @@ def _read_avro_tree_python(
         ]
     )
     names = [f.name for f in record_type.fields]
-    import json
-
-    probe_canon = json.dumps(writer_schema, sort_keys=True)
+    # Schema-agreement check in SPARK shape, not raw avro JSON: the callers
+    # group files by the Spark-typed fingerprint (plans/restructure.
+    # _schema_canon), so two writer schemas differing only in non-structural
+    # avro attributes (doc strings, namespaces, aliases, field defaults,
+    # connect.version bumps) land in ONE group — a raw-JSON comparison here
+    # would crash that group's scan forever even though every file decodes
+    # fine with its own header schema.
+    probe_canon = record_type.json()
 
     def decode(batches):
         for pdf in batches:
@@ -173,7 +202,8 @@ def _read_avro_tree_python(
                 pdf["path"], pdf["modificationTime"], pdf["content"]
             ):
                 file_schema, records = avro_io.read_container(bytes(content))
-                if json.dumps(file_schema, sort_keys=True) != probe_canon:
+                file_type, _ = avro_io.avro_to_spark_type(file_schema)
+                if file_type.json() != probe_canon:
                     # Mixed-schema scan must fail loudly: decoding against
                     # the probe schema would silently drop extra fields and
                     # null-fill missing ones. Callers group files by schema
@@ -188,8 +218,18 @@ def _read_avro_tree_python(
                     # header-only flush: an empty pandas frame would type
                     # struct columns float64, which Arrow rejects
                     continue
+                # dtype=object per column: pandas' default inference turns a
+                # nullable long column (None + ints) into float64, silently
+                # corrupting values above 2^53 (9007199254740993 ->
+                # ...992.0) before Arrow casts back to LongType. Object
+                # columns hand Arrow the exact Python ints.
                 frame = pd.DataFrame(
-                    {n: [rec.get(n) for rec in records] for n in names}
+                    {
+                        n: pd.Series(
+                            [rec.get(n) for rec in records], dtype=object
+                        )
+                        for n in names
+                    }
                 )
                 frame["__src_path"] = path
                 frame["__src_mtime"] = mtime
@@ -223,6 +263,32 @@ def read_topic_tree(
     reader (avro_io.py) otherwise, with identical downstream semantics.
     """
     load = paths if paths is not None else f"{input_dir}/{topic or '*'}/partition=*/"
+    if (
+        exclude_topics
+        and paths is None
+        and topic is None
+        and isinstance(load, str)
+    ):
+        # Prune excluded topics DRIVER-SIDE into the load list: a post-scan
+        # row filter still SCANS the excluded topic's files, and a topic is
+        # typically excluded precisely because its schema drifted — the
+        # mixed-schema scan would fail (or silently null-fill) before the
+        # filter ever ran. One LIST of the tree root per call.
+        from radar_output_restructure_spark.sinks.storage import storage_for
+
+        names = [
+            d.rstrip("/").rsplit("/", 1)[-1]
+            for d in storage_for(input_dir, spark).list_dirs(input_dir)
+        ]
+        load = [
+            f"{input_dir}/{name}/partition=*/"
+            for name in sorted(names)
+            if name not in exclude_topics and name != "+tmp"
+        ]
+        if not load:
+            raise FileNotFoundError(
+                f"every topic under {input_dir!r} is excluded; nothing to scan"
+            )
     if file_format == "avro" and not has_native_avro(spark):
         decoded = _read_avro_tree_python(spark, load, exclude_topics)
         df = _attach_path_metadata(decoded, "__src_path", "__src_mtime")

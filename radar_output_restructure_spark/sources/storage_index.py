@@ -16,9 +16,12 @@ with two safety valves:
   produced data shouldn't cost a request per poll.
 
 Same trade-offs as the reference: a file that arrives with a name SORTING
-BEFORE the cursor (out-of-order upload) and a brand-new subdirectory under a
-file-bearing directory are both picked up by the next full sync, not the
-incremental pass. The Kafka sink's `<topic>+<partition>+<offset>` naming is
+BEFORE the cursor (out-of-order upload) is picked up by the next full sync,
+not the incremental pass. New subdirectories ARE discovered incrementally:
+file-bearing directories report them in the same LIST the cursor pass
+issues, and dirs-only/empty directories (the tree root, topic dirs) re-list
+on the `rescan_empty_s` cadence — so a new topic or partition appears within
+~15 min, not the full-sync hour. The Kafka sink's `<topic>+<partition>+<offset>` naming is
 only lexicographically monotonic when offsets are ZERO-PADDED (the Confluent
 sinks' default, width 10): unpadded offsets roll over at every digit-length
 boundary (`t+0+1000` sorts BEFORE `t+0+999`), which would make the cursor
@@ -95,6 +98,13 @@ class StorageIndexManager:
         self._files: dict[str, dict[str, tuple[int, int]]] = {}
         #: dir path -> sorted subdir names
         self._subdirs: dict[str, list[str]] = {}
+        #: dir path -> (n_names_when_computed, cursor_safe, max_name):
+        #: _cursor_safe + max() are O(files in dir); recomputing them for
+        #: every directory on every tick would cost O(all indexed files)
+        #: driver CPU per poll — against the module's O(new) goal. The
+        #: cache invalidates on name-set size change (files only ever merge
+        #: in between syncs; remove() invalidates explicitly).
+        self._cursor_cache: dict[str, tuple[int, bool, str]] = {}
         self._next_sync = float("-inf")
         self._next_empty_sync = float("-inf")
         self.list_ops = 0  # cumulative, for tests/metrics
@@ -125,6 +135,7 @@ class StorageIndexManager:
         ops = self._sync_level(self.root, fresh_files, fresh_subdirs)
         self._files = fresh_files
         self._subdirs = fresh_subdirs
+        self._cursor_cache.clear()
         self.list_ops += ops
         return ops
 
@@ -137,23 +148,29 @@ class StorageIndexManager:
             ops += self._sync_level(os.path.join(d, name), files, subdirs)
         return ops
 
+    def _dir_cursor(self, d: str, known_files) -> tuple[bool, str]:
+        """(cursor_safe, max_name) for a file-bearing directory, cached by
+        name-set size so an unchanged directory costs O(1) per tick."""
+        cached = self._cursor_cache.get(d)
+        n = len(known_files)
+        if cached is not None and cached[0] == n:
+            return cached[1], cached[2]
+        safe = _cursor_safe(known_files)
+        mx = max(known_files)
+        self._cursor_cache[d] = (n, safe, mx)
+        return safe, mx
+
     def _update_level(self, d: str, rescan_empty: bool) -> int:
-        known_files = self._files.get(d, {})
-        known_dirs = self._subdirs.get(d, [])
+        known_files = self._files.get(d)
+        known_dirs = self._subdirs.get(d)
+        if known_files is None:
+            self._files[d] = known_files = {}
+        if known_dirs is None:
+            self._subdirs[d] = known_dirs = []
         ops = 0
-        if not known_files and not known_dirs:
-            # empty in the index: re-list only on the empty-rescan cadence
-            if rescan_empty:
-                dirs, entries = self.storage.list_entries(d)
-                self._files[d] = {name: (m, s) for name, m, s in entries}
-                self._subdirs[d] = [n for n in dirs if n != "+tmp"]
-                ops = 1
-                for name in self._subdirs[d]:
-                    ops += self._update_level(os.path.join(d, name), rescan_empty)
-            return ops
         if known_files:
-            if _cursor_safe(known_files):
-                cursor = max(known_files)
+            safe, cursor = self._dir_cursor(d, known_files)
+            if safe:
                 dirs, entries = self.storage.list_entries(
                     d, start_after=cursor
                 )
@@ -161,6 +178,23 @@ class StorageIndexManager:
                 # names don't prove lexicographic monotonicity (unpadded
                 # offsets roll over): full per-directory list, no cursor
                 dirs, entries = self.storage.list_entries(d)
+            ops = 1
+            for name, m, s in entries:
+                known_files[name] = (m, s)
+            if entries:
+                self._cursor_cache.pop(d, None)  # recompute on next tick
+            for name in dirs:
+                if name != "+tmp" and name not in known_dirs:
+                    known_dirs.append(name)
+            known_dirs.sort()
+        elif rescan_empty:
+            # NO files known here — the dir is empty OR holds only subdirs
+            # (the tree root, a topic dir). Either way a new child (a new
+            # topic, a new partition=N) is only discoverable by re-listing;
+            # the empty-rescan cadence bounds the cost. The old code
+            # re-listed only fully-EMPTY dirs, so a new topic under the
+            # root stayed invisible until the hourly full sync.
+            dirs, entries = self.storage.list_entries(d)
             ops = 1
             for name, m, s in entries:
                 known_files[name] = (m, s)
@@ -193,7 +227,11 @@ class StorageIndexManager:
         return list(self._subdirs.get(d.rstrip("/"), []))
 
     def remove(self, path: str) -> None:
-        """Drop one file (the cleaner deleted it) without waiting for the
-        next full sync (reference StorageIndex.remove)."""
+        """Drop one file (the cleaner deleted it — SourceDataCleaner calls
+        this after every source delete) without waiting for the next full
+        sync (reference StorageIndex.remove)."""
         d, name = os.path.split(path)
         self._files.get(d, {}).pop(name, None)
+        # a remove followed by exactly one add would leave the size-keyed
+        # cursor cache stale; invalidate explicitly
+        self._cursor_cache.pop(d, None)
