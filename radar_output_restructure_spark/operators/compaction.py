@@ -14,8 +14,8 @@ offset c goes to bin floor(c / target). It is a one-pass streaming rule
 (the same greedy cut a single-threaded compactor makes walking the
 listing in order), expressible as a window cumsum — so the plan for a
 billion-file listing is one partitioned window, no driver loop. Exact in
-both engines: the cumsum is a BIGINT window sum and the bin id divides an
-exact multiple (c - c % target) — no float path anywhere.
+both engines: the cumsum is a BIGINT window sum and the bin id is BIGINT
+integer division (Spark `div`, DuckDB `//`) — no float path anywhere.
 """
 
 from __future__ import annotations
@@ -35,6 +35,12 @@ def compaction_bins(
     plan: per `group_col`, files ordered by `order_col` are packed
     greedily into bins of ~`target` cumulative `size_col`.
 
+    `order_col` MUST be unique within each group (a file path / id):
+    the cumulative cut depends entirely on walk order, and rows tying on
+    the key would bin nondeterministically — differently per run and
+    differently from the oracle (same rule as ranking.global_rank's
+    strict-total-order requirement).
+
     ONE shuffle (window partition on the group key; the groupBy(group,
     bin) that follows re-uses the same partitioning, so AQE coalesces it
     without a second exchange). Per-group window sort is the scale
@@ -49,15 +55,20 @@ def compaction_bins(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = (F.sum(size_col).over(w) - F.col(size_col)).cast("long")
+    # `div` (integer division), NOT `/`: long/long is DOUBLE division in
+    # both engines, exact only below 2^53 cumulative bytes (~9 PB of
+    # group size sounds remote until one group is a whole un-sharded
+    # table); a 1-ulp-low quotient truncates into the wrong bin silently
     staged = df.select(
         F.col(group_col),
         F.col(order_col),
         F.col(size_col),
-        (
-            (cum_before - cum_before % F.lit(target)) / F.lit(target)
-        )
-        .cast("long")
-        .alias("bin"),
+        cum_before.alias("__cum_before"),
+    ).select(
+        group_col,
+        order_col,
+        size_col,
+        F.expr(f"__cum_before div {int(target)}").cast("long").alias("bin"),
     )
     return staged.groupBy(group_col, "bin").agg(
         F.count(F.lit(1)).alias("n_files"),
@@ -85,7 +96,7 @@ def compaction_bins_sql(
       FROM {table_expr}
     )
     SELECT {group_col}, CAST(
-             (cum_before - cum_before % {target}) / {target} AS BIGINT
+             cum_before // {target} AS BIGINT
            ) AS bin,
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum({size_col}) AS BIGINT) AS bin_bytes,

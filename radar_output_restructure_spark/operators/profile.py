@@ -35,7 +35,11 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            # coalesce: SUM over ZERO rows is NULL — an empty batch must
+            # profile as n_nulls=0, not NULL
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"__nulls_{c}")
         )
@@ -61,7 +65,12 @@ def check_constraints(
     """(rule, n_violations, passed) for each (name, violation-predicate)
     rule — all rules evaluated in the same single scan."""
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+        # coalesce: SUM over ZERO rows is NULL — an EMPTY batch passes
+        # every rule (n_violations=0, passed=true), it doesn't return a
+        # NULL verdict a DQ gate can neither accept nor reject
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("bigint")
+        .alias(name)
         for name, pred in rules
     ]
     one = df.agg(*aggs)

@@ -8,11 +8,12 @@ two-pass range-sort ranking every external-sort system uses:
 
 1. `repartitionByRange` on the order keys (range partitioner: every key in
    partition i sorts before every key in partition i+1) + sort within
-   partitions — the normal PARALLEL distributed sort;
+   partitions — the normal PARALLEL distributed sort — MATERIALIZED once
+   (localCheckpoint), because the range sampler re-draws boundaries per
+   action and the two passes below must see the same physical partitions;
 2. count rows per partition (a JVM-side groupBy over
-   `spark_partition_id()`, ~numPartitions rows collected to the driver;
-   the range-shuffle files are reused by the second pass, so this job
-   costs one reduce over already-shuffled data);
+   `spark_partition_id()`, ~numPartitions rows collected to the driver —
+   one reduce over the checkpointed partitions);
 3. a second map-only pass adds each partition's cumulative offset to its
    local 0-based position.
 
@@ -40,11 +41,26 @@ def global_rank(
     the last key). All input columns pass through unchanged.
     """
     import numpy as np
+    from pyspark.sql import types as T
 
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} collides with an existing column"
+        )
+    # MATERIALIZE the range-sorted frame before the count: the count and
+    # the rank pass are two separate actions, and repartitionByRange
+    # RE-SAMPLES its boundaries per action (the sampler seed derives from
+    # the execution's rdd id — measured: the same plan run twice split
+    # 500k rows (238696, 261304) then (249299, 250701)). Offsets from
+    # job 1 applied to job 2's different partitioning would duplicate and
+    # gap ranks. The checkpoint pins one physical partitioning both jobs
+    # read; it is the price of exactness, and it replaces the sort's own
+    # shuffle files rather than adding a second copy of the data.
     sorted_df = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     # numPartitions rows — metadata, not data; pid order IS key order
     # under a range partitioner
@@ -55,12 +71,10 @@ def global_rank(
         offsets[pid] = acc
         acc += sizes[pid]
 
-    fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in sorted_df.schema.fields
-        if f.name != "__pid"
+    out_schema = T.StructType(
+        [f for f in sorted_df.schema.fields if f.name != "__pid"]
+        + [T.StructField(rank_col, T.LongType())]
     )
-    out_schema = f"{fields}, {rank_col} bigint"
 
     def add_rank(batches):
         # mapInPandas feeds ONE partition's batches in order, so the

@@ -65,6 +65,19 @@ def salted_agg(
     for kind, _c, _a in aggs:
         if kind not in _COMBINERS:
             raise ValueError(f"unsupported agg kind: {kind}")
+    distinct_exprs = {
+        str(c) for kind, c, _a in aggs if kind == "count_distinct"
+    }
+    if len(distinct_exprs) > 1:
+        # one salt expression can be a pure function of AT MOST ONE
+        # distinct column; the other column's equal values scatter across
+        # sub-groups and the summed partials silently over-count — the
+        # same hazard the rand()-salt guard below rejects
+        raise ValueError(
+            "salted_agg supports count_distinct over a single column per "
+            f"call (got {sorted(distinct_exprs)}); split into separate "
+            "salted_agg calls, each salted by its own distinct column"
+        )
     if salt_col is None:
         if any(kind == "count_distinct" for kind, _c, _a in aggs):
             raise ValueError(

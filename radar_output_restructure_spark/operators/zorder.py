@@ -45,6 +45,11 @@ def spread_bits_sql(expr: str, bits: int = Z_BITS) -> str:
     (a 8-bit-dense key spread as 16 bits leaves the z-space 99% empty and
     every bucket boundary degenerate).
     """
+    if not 1 <= bits <= 16:
+        # the _SPREAD_STEPS masks only spread a 16-bit value; bits > 16
+        # would OR the key's own high bits into an occupied lane and
+        # silently collide distinct (x, y) pairs
+        raise ValueError(f"spread_bits supports 1..16 bits, got {bits}")
     # BIGINT from the start: DuckDB's `<<` on a 32-bit operand RAISES on
     # overflow (Spark would wrap) — the cast keeps every intermediate in
     # a 64-bit lane in both engines
@@ -91,6 +96,13 @@ def z_order_stats(
     matter the corpus size).
     """
     zshift = 2 * bits - bucket_bits
+    if zshift < 0:
+        # a negative shift count has DIVERGENT engine semantics (Spark
+        # masks mod 64, DuckDB errors): more bucket bits than z bits means
+        # the caller wants finer buckets than the z-space has
+        raise ValueError(
+            f"bucket_bits ({bucket_bits}) must be <= 2*bits ({2 * bits})"
+        )
     mask = (1 << bits) - 1
     return (
         df.select(
@@ -121,6 +133,13 @@ def z_order_stats_sql(
     """DuckDB oracle for `z_order_stats` — the SAME spread/interleave
     expression text, grouped the same way."""
     zshift = 2 * bits - bucket_bits
+    if zshift < 0:
+        # a negative shift count has DIVERGENT engine semantics (Spark
+        # masks mod 64, DuckDB errors): more bucket bits than z bits means
+        # the caller wants finer buckets than the z-space has
+        raise ValueError(
+            f"bucket_bits ({bucket_bits}) must be <= 2*bits ({2 * bits})"
+        )
     mask = (1 << bits) - 1
     return f"""
     SELECT ({z_value_sql(x_expr, y_expr, bits)} >> {zshift}) AS z_bucket,
