@@ -444,32 +444,67 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
+def _features_or_nulls(decode, payload, columns: list[str]) -> dict:
+    """Malformed-payload policy: a corrupt/truncated/NULL payload must
+    never crash an executor task. Feature EXTRACTORS keep the doc with
+    NULL features (accounting preserves one row per input doc);
+    fingerprint / frame-expansion operators DROP the payload instead (a
+    NULL dedup key or half-decoded frame row is meaningless downstream) —
+    see `_decoded_or_skip`. `except Exception` is the right net here: the
+    pure-Python decoders raise typed ValueError/NotImplementedError on
+    unsupported formats, but TRUNCATION can surface as struct.error,
+    zlib.error, EOFError or IndexError from any depth of a codec."""
+    if payload is None:
+        return dict.fromkeys(columns)
+    try:
+        return decode(bytes(payload))
+    except Exception:
+        return dict.fromkeys(columns)
+
+
+def _object_frame(doc_ids, feats: list[dict], columns: list[str]):
+    """Feature dicts -> a pandas frame with dtype=object columns: default
+    inference would coerce a nullable int column (None + ints) to float64,
+    which Arrow then refuses (or rounds) casting back to the declared
+    int/long output schema."""
+    data = {"doc_id": pd.Series(list(doc_ids), dtype=object)}
+    for c in columns:
+        data[c] = pd.Series([f.get(c) for f in feats], dtype=object)
+    return pd.DataFrame(data)
+
+
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched WAV feature extraction (real sample decoding)."""
+    """Arrow-batched WAV feature extraction (real sample decoding).
+    Undecodable payloads yield NULL features, never task crashes."""
+    cols = ["sample_rate", "channels", "duration_s", "rms", "peak"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue  # empty batch -> column-less frame -> Arrow error
-            feats = [decode_wav(bytes(b)) for b in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf[id_col].values)
-            yield out
+            feats = [
+                _features_or_nulls(decode_wav, b, cols)
+                for b in pdf["payload"]
+            ]
+            yield _object_frame(pdf[id_col], feats, cols)
 
     return df.select(id_col, "payload").mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
 
 
 def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched BMP feature extraction (real pixel decoding)."""
+    """Arrow-batched BMP feature extraction (real pixel decoding).
+    Undecodable payloads yield NULL features, never task crashes."""
+    cols = ["width", "height", "mean_r", "mean_g", "mean_b"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue  # empty batch -> column-less frame -> Arrow error
-            feats = [decode_image(bytes(b)) for b in pdf["payload"]]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf[id_col].values)
-            yield out
+            feats = [
+                _features_or_nulls(decode_image, b, cols)
+                for b in pdf["payload"]
+            ]
+            yield _object_frame(pdf[id_col], feats, cols)
 
     return df.select(id_col, "payload").mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
@@ -885,15 +920,20 @@ def video_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     — the same Arrow-batched plumbing as `image_features`/`audio_features`,
     one probe per payload, no frame decode."""
 
+    cols = [
+        "brand", "duration_s", "n_tracks", "width", "height",
+        "has_video", "has_audio",
+    ]
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue  # empty batch -> column-less frame -> Arrow error
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                meta = probe_mp4(bytes(payload))
-                rows.append({"doc_id": doc_id, **meta})
-            yield pd.DataFrame(rows)
+            feats = [
+                _features_or_nulls(probe_mp4, b, cols)
+                for b in pdf["payload"]
+            ]
+            yield _object_frame(pdf[id_col], feats, cols)
 
     return df.select(id_col, "payload").mapInPandas(batches, VIDEO_META_SCHEMA)
 
@@ -959,7 +999,13 @@ def resize_images(
                 continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                px = decode_image_pixels(bytes(payload))
+                # drop-policy: an undecodable image produces no resized row
+                if payload is None:
+                    continue
+                try:
+                    px = decode_image_pixels(bytes(payload))
+                except Exception:
+                    continue
                 resized = resize_image_nn(px, out_w, out_h)
                 out.append(
                     {
@@ -969,7 +1015,8 @@ def resize_images(
                         "payload": encode_bmp(resized),
                     }
                 )
-            yield pd.DataFrame(out)
+            if out:
+                yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(batches, RESIZED_SCHEMA)
 
@@ -1000,7 +1047,13 @@ def audio_frame_rms(
                 continue
             out_rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                norm, rate, channels, _nf = _wav_samples(bytes(payload))
+                # drop-policy: an undecodable WAV contributes no frame rows
+                if payload is None:
+                    continue
+                try:
+                    norm, rate, channels, _nf = _wav_samples(bytes(payload))
+                except Exception:
+                    continue
                 frame_len = max(int(frame_s * rate) * channels, channels)
                 n = len(norm)
                 if n <= frame_len:
@@ -1035,7 +1088,8 @@ def audio_frame_rms(
                             else 0.0,
                         }
                     )
-            yield pd.DataFrame(out_rows)
+            if out_rows:
+                yield pd.DataFrame(out_rows)
 
     return df.select(id_col, "payload").mapInPandas(batches, AUDIO_FRAME_SCHEMA)
 
@@ -1063,7 +1117,13 @@ def gif_frame_features(
                 continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                frames = list(_gif_frames(bytes(payload)))
+                # drop-policy: an undecodable GIF contributes no frame rows
+                if payload is None:
+                    continue
+                try:
+                    frames = list(_gif_frames(bytes(payload)))
+                except Exception:
+                    continue
                 total = len(frames)
                 if total > max_frames:  # evenly spaced keep-set
                     if max_frames == 1:
@@ -1100,7 +1160,8 @@ def gif_frame_features(
                             "mean_b": round(float(means[2]), 6),
                         }
                     )
-            yield pd.DataFrame(out)
+            if out:
+                yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(batches, GIF_FRAME_SCHEMA)
 
@@ -1147,7 +1208,15 @@ def image_dhash_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                px = decode_image_pixels(bytes(payload))
+                # drop-policy (see _features_or_nulls): a NULL dhash would
+                # band-join on garbage keys — undecodable payloads leave
+                # the fingerprint frame instead of crashing the task
+                if payload is None:
+                    continue
+                try:
+                    px = decode_image_pixels(bytes(payload))
+                except Exception:
+                    continue
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -1156,7 +1225,8 @@ def image_dhash_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         "height": int(px.shape[0]),
                     }
                 )
-            yield pd.DataFrame(out)
+            if out:
+                yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(batches, DHASH_SCHEMA)
 
@@ -1247,7 +1317,14 @@ def audio_fingerprint_features(
                 continue  # empty batch -> column-less frame -> Arrow error
             out = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                h, nf, dur = audio_fingerprint(bytes(payload))
+                # drop-policy (see _features_or_nulls): a NULL fingerprint
+                # would band-join on garbage keys
+                if payload is None:
+                    continue
+                try:
+                    h, nf, dur = audio_fingerprint(bytes(payload))
+                except Exception:
+                    continue
                 out.append(
                     {
                         "doc_id": doc_id,
@@ -1256,7 +1333,8 @@ def audio_fingerprint_features(
                         "duration_us": dur,
                     }
                 )
-            yield pd.DataFrame(out)
+            if out:
+                yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(batches, AUDIO_FP_SCHEMA)
 
