@@ -75,6 +75,42 @@ def asof_join(
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
     )
+    # Tie determinism, resolved BEFORE the union: several right rows
+    # sharing (key, ts) collapse to the one with the greatest ORDERABLE
+    # payload tuple (max_by keeps the row atomic, so non-orderable map
+    # columns ride along with their winner). Appending the payload columns
+    # to the window ORDER BY gave the same winner but widened the
+    # union-merge sort key by the whole payload — the measured ~x1.4 cost
+    # of the r10 struct-carry correctness fix; this map-side-combined
+    # pre-aggregation restores the narrow (ts, side) sort. Rows that tie
+    # on every orderable column differ only in maps: arbitrary winner,
+    # same (accepted) nondeterminism as the sort-tiebreak had.
+    if payload:
+        orderable = [
+            F.col(f"__p_{c}")
+            for c in payload
+            if not _contains_map(r.schema[f"__p_{c}"].dataType)
+        ]
+        row = F.struct(
+            F.col("__rts"), *[F.col(f"__p_{c}") for c in payload]
+        )
+        winner = (
+            F.max_by(row, F.struct(*orderable)) if orderable else F.max(row)
+        )
+        r = (
+            r.groupBy(*on, "__ts")
+            .agg(winner.alias("__win"))
+            .select(
+                *on,
+                "__ts",
+                F.lit(0).alias("__side"),
+                F.col("__win.__rts").alias("__rts"),
+                *[
+                    F.col(f"__win.__p_{c}").alias(f"__p_{c}")
+                    for c in payload
+                ],
+            )
+        )
     l_marked = left.select(
         "*",
         F.col(left_ts).alias("__ts"),
@@ -88,23 +124,15 @@ def asof_join(
     # right rows gain left's other columns as nulls; they are filtered back
     # out after the window pass
     unioned = l_marked.unionByName(r, allowMissingColumns=True)
-    # Tie determinism: when several RIGHT rows share (key, ts), the carried
-    # payload must not depend on partitioning/sort luck. Appending the
-    # payload columns themselves to the window order makes the winner the
-    # row with the greatest payload tuple — stable across runs. (Skip
-    # non-orderable map-typed columns; left rows are unaffected: __side=1
-    # already sorts them after every right row at the same ts.)
-    tiebreak = [
-        F.col(f"__p_{c}")
-        for c in payload
-        if not _contains_map(r.schema[f"__p_{c}"].dataType)
-    ]
+    # (ts, side) is a total order over the rows that matter: right rows
+    # are unique per (key, ts) after the pre-union tie resolution above,
+    # and left rows tying with each other carry identical matches anyway.
     ts_order = (
         F.col("__ts").desc() if direction == "forward" else F.col("__ts").asc()
     )
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_order, F.col("__side").asc(), *tiebreak)
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # The right row is carried as ONE struct, not per-column last(...,

@@ -1049,20 +1049,34 @@ def sparse_cosine_pairs(
     norms = postings.groupBy("doc").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
     )
-    a = postings.select(
-        F.col("doc").alias("doc_a"), "term", F.col("tf").alias("tfa")
+    # Carry the norm THROUGH the term join instead of joining it back onto
+    # the PAIR frame afterwards: the pair frame (every co-occurring pair
+    # before the threshold filter) dwarfs the postings frame, so two
+    # doc-keyed joins on it were the plan's most expensive exchanges (the
+    # measured ~x1.3 cost of the r10 pruned-norm correctness fix). One
+    # doc-keyed join on postings + 8 bytes per posting row through the
+    # term shuffle replaces both; first() in the pair agg is exact (n2 is
+    # constant per doc). The norms groupBy and this join shuffle postings
+    # by the same key, so ReuseExchange dedups the exchange.
+    posted = postings.join(norms, "doc")
+    a = posted.select(
+        F.col("doc").alias("doc_a"), "term",
+        F.col("tf").alias("tfa"), F.col("n2").alias("na2"),
     )
-    b = postings.select(
-        F.col("doc").alias("doc_b"), "term", F.col("tf").alias("tfb")
+    b = posted.select(
+        F.col("doc").alias("doc_b"), "term",
+        F.col("tf").alias("tfb"), F.col("n2").alias("nb2"),
     )
     dots = (
         a.join(b, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot"))
+        .agg(
+            F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot"),
+            F.first("na2").alias("na2"),
+            F.first("nb2").alias("nb2"),
+        )
     )
-    na = norms.select(F.col("doc").alias("doc_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("doc").alias("doc_b"), F.col("n2").alias("nb2"))
     cos = F.round(
         F.col("dot")
         / (
@@ -1071,11 +1085,8 @@ def sparse_cosine_pairs(
         ),
         6,
     )
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    return dots.select("doc_a", "doc_b", cos.alias("cos")).filter(
+        F.col("cos") >= threshold
     )
 
 
