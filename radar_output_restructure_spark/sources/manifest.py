@@ -69,6 +69,7 @@ class ProcessedFileManifest:
         self.storage.makedirs(directory)
         self._seq = 0  # intra-process append order within one timestamp tick
         self._seq_lock = threading.Lock()  # topic-parallel runs share one manifest
+        self._last_ts = 0  # monotonic clamp for segment-name timestamps
 
     def _segments(self) -> list[str]:
         return sorted(
@@ -133,13 +134,19 @@ class ProcessedFileManifest:
         # lexicographic segment order MUST equal append order (load() replays
         # segments sorted by name): nanosecond timestamp + per-instance
         # sequence keeps same-tick appends ordered; the uuid only guards
-        # against two writers colliding (single-writer driver in practice)
+        # against two writers colliding (single-writer driver in practice).
+        # The timestamp is clamped MONOTONIC per instance: a backward NTP
+        # step would otherwise let a later revoke sort before an earlier
+        # commit, replaying to "committed" and silently losing the
+        # revocation — strictly worse than the accepted duplicate window.
         with self._seq_lock:
             self._seq += 1
             seq = self._seq
+            ts = max(time.time_ns(), self._last_ts + 1)
+            self._last_ts = ts
         seg = os.path.join(
             self.directory,
-            f"{time.time_ns():020d}-{seq:08d}-{uuid.uuid4().hex[:8]}.jsonl",
+            f"{ts:020d}-{seq:08d}-{uuid.uuid4().hex[:8]}.jsonl",
         )
         body = "".join(
             json.dumps({"op": op, "path": f.path, "modified_ms": f.modified_ms})
@@ -156,11 +163,12 @@ class ProcessedFileManifest:
     def revoke(self, files: list[FileEntry]) -> None:
         self._append("revoke", files)
 
-    def compact(self) -> None:
+    def compact(self, segments: list[str] | None = None) -> None:
         """Rewrite the current segments into one (the reference's full-sync
         analog) — every commit appends a segment and load() replays them
         all, so an uncompacted ledger costs O(runs) small-object reads per
-        load and grows without bound.
+        load and grows without bound. `segments` lets maybe_compact pass
+        its already-fetched listing instead of re-LISTing the prefix.
 
         Safe against concurrent appenders (a second replica committing or
         revoking while this one compacts): the compacted segment's name is
@@ -174,7 +182,8 @@ class ProcessedFileManifest:
         windows are idempotent: compacted-written-but-originals-undeleted
         replays to the identical state; a later compact retries the
         deletes."""
-        segments = self._segments()
+        if segments is None:
+            segments = self._segments()
         if len(segments) <= 1:
             return
         try:
@@ -198,10 +207,14 @@ class ProcessedFileManifest:
     def maybe_compact(self, max_segments: int = 64) -> bool:
         """Compact when the segment count exceeds `max_segments`; the
         steady-state hook for long-lived services (one commit segment per
-        fingerprint group per run adds up). Returns True when it ran."""
-        if len(self._segments()) <= max_segments:
+        fingerprint group per run adds up). Returns True when it ran.
+        The listing is fetched once and handed to compact() — this runs on
+        the per-cycle (streaming: per-micro-batch) hot path, where a second
+        recursive LIST of the prefix would double the steady-state I/O."""
+        segments = self._segments()
+        if len(segments) <= max_segments:
             return False
-        self.compact()
+        self.compact(segments)
         return True
 
 
@@ -351,6 +364,20 @@ class SchemaFingerprintCache:
                 for f, canon in zip(misses, canons):
                     if canon is not None:
                         self._cache[(f.path, f.modified_ms)] = canon
+                # Evict superseded entries on rewrite: only the NEWEST
+                # mtime per path can ever hit again (a modified file gets a
+                # fresh key; its old line would otherwise persist forever
+                # and the cache — rewritten whole per miss batch — would
+                # grow monotonically across a long-lived deployment).
+                newest: dict[str, int] = {}
+                for p, m in self._cache:
+                    if m > newest.get(p, -1):
+                        newest[p] = m
+                self._cache = {
+                    (p, m): c
+                    for (p, m), c in self._cache.items()
+                    if newest[p] == m
+                }
                 # whole-file rewrite (object stores have no append); the
                 # cache is metadata-sized, one line per known file
                 body = "".join(

@@ -89,6 +89,12 @@ def _session_fn(gap_s: float):
             if t - end_us > gap_us:
                 closed.append((start_us, end_us, n))
                 start_us, n = t, 0
+            # a LATE cross-batch event older than the open session's start
+            # is absorbed into it (documented divergence from batch, which
+            # sorts globally and may assign it its own session); extending
+            # start keeps (start, end, n) a faithful envelope of the
+            # absorbed events instead of silently misreporting the start
+            start_us = min(start_us, t)
             end_us = max(end_us, t)
             n += 1
         state.update((start_us, end_us, n))
@@ -116,7 +122,12 @@ def session_windows(
 
     Streaming: applyInPandasWithState (state = the open session; processing-
     time timeout flushes idle sessions). Batch: the equivalent lag/cumsum
-    window plan — same output for the same input, used by tests and oracles.
+    window plan — same output for the same IN-ORDER input, used by tests
+    and oracles. Documented divergence for LATE (cross-micro-batch
+    out-of-order) events: streaming absorbs them into the key's open
+    session (extending session_start downward), while batch sorts globally
+    and may place them in their own earlier session — the same
+    watermark-delayed-sorter caveat as streaming_funnel_conversions.
     """
     # NULL event times are meaningless for gap sessions and every mode
     # disagreed on them (batch new-session-per-row, oracle absorb-into-
@@ -125,12 +136,17 @@ def session_windows(
     if df.isStreaming:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
+        key_type = df.schema[key_col].dataType.simpleString()
         return (
             df.select(F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"))
             .groupBy("user_id")
             .applyInPandasWithState(
                 _session_fn(gap_s),
-                outputStructType=SESSION_SCHEMA,
+                # key type mirrors the input (a hard-coded bigint would
+                # crash string-keyed streams at the Arrow boundary)
+                outputStructType=SESSION_SCHEMA.replace(
+                    "user_id bigint", f"user_id {key_type}"
+                ),
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
@@ -408,29 +424,18 @@ def streaming_simhash_near_dup_pairs_wide(
     emit at the arrival of the pair's LATER doc), so batch-local
     dropDuplicates is sufficient — no cross-batch dedup state needed.
     """
-    bands, width = 4, 16
+    bands = 4
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for exact recall")
-    mask = (1 << width) - 1
-    half_of = {0: "fp_lo", 1: "fp_lo", 2: "fp_hi", 3: "fp_hi"}
-    banded = df.select(
-        "doc",
-        "fp_lo",
-        "fp_hi",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col(half_of[i]), (i % 2) * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ),
+    # the ONE shared banding definition (dedup_scale._banded_wide): a third
+    # copy of the shift/mask geometry here would silently desynchronize the
+    # streaming detector from the batch operator and snapshot_neardup_delta
+    # if the geometry ever changed
+    from radar_output_restructure_spark.operators.dedup_scale import (
+        _banded_wide,
     )
+
+    banded = _banded_wide(df, bands=bands)
 
     if not df.isStreaming:
         left = banded.select(
@@ -551,8 +556,11 @@ def foreach_batch_pair_dedup(sink):
 _FUNNEL_STATE_SCHEMA = "step int, last_us bigint, lags array<bigint>"
 
 
-def _funnel_out_schema(n_steps: int) -> str:
-    cols = ["user_id bigint", "converted_at timestamp"] + [
+def _funnel_out_schema(n_steps: int, key_type: str = "bigint") -> str:
+    # key type mirrors the input's user column: a hard-coded bigint would
+    # make string-keyed funnels work in batch but crash the streaming
+    # Arrow conversion (the dual-mode contract must hold for any key type)
+    cols = [f"user_id {key_type}", "converted_at timestamp"] + [
         f"lag{i}_us bigint" for i in range(1, n_steps)
     ]
     # joined as a list so a single-step funnel (no lag columns) yields
@@ -591,11 +599,18 @@ def streaming_funnel_conversions(
     is what the parity test asserts across a micro-batch split.
     """
     n = len(steps)
-    out_schema = _funnel_out_schema(n)
+    out_schema = _funnel_out_schema(
+        n, key_type=df.schema[user_col].dataType.simpleString()
+    )
     # NULL users are not funnel subjects in either mode (the oracle's
     # JOIN USING chain never matches NULL; operators/funnel shares the
-    # same rule)
-    df = df.filter(F.col(user_col).isNotNull())
+    # same rule), and NULL event times cannot order a strict sequence:
+    # the batch min-chain ignores them implicitly, but the streaming
+    # path's NaT would become int64-min garbage microseconds (the same
+    # trap session_windows pins) — filter both uniformly
+    df = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     if df.isStreaming:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
