@@ -177,7 +177,35 @@ class RestructurePlan:
         self.spark = spark
         self.config = config
         # eager config validation (PathFormatter.kt:52-60 fails at startup,
-        # not mid-run) — covers the default and every per-topic override
+        # not mid-run) — covers the default and every per-topic override.
+        # Format/compression pairing is validated here too: run()'s per-topic
+        # error isolation (transient read errors must not starve other
+        # topics) would otherwise swallow a CONFIG mistake into last_errors
+        # and silently write nothing, cycle after cycle.
+        from radar_output_restructure_spark.sinks.writers import (
+            _COMP_EXT,
+            _FMT_EXT,
+            _PARQUET_CODEC,
+        )
+
+        if config.output_format not in _FMT_EXT:
+            raise ValueError(
+                f"unknown output_format {config.output_format!r}; "
+                f"use one of {sorted(_FMT_EXT)}"
+            )
+        if config.compression not in _COMP_EXT:
+            raise ValueError(
+                f"unknown compression {config.compression!r}; "
+                f"use one of {sorted(_COMP_EXT, key=str)}"
+            )
+        if (
+            config.output_format == "parquet"
+            and config.compression not in _PARQUET_CODEC
+        ):
+            raise ValueError(
+                f"compression {config.compression!r} is not a parquet codec; "
+                "use None (snappy) or 'gzip'"
+            )
         for fmt in [config.path_format] + [
             t.path_format for t in config.topics.values() if t.path_format
         ]:
