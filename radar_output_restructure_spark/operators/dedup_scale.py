@@ -927,9 +927,6 @@ def snapshot_neardup_delta(
     -friendly on (band, bv) — the `ann_index.py` pattern); recomputing it
     here keeps the operator self-contained and the oracle replayable.
     """
-    bands = 4
-    if bands <= max_hamming:
-        raise ValueError("bands must exceed max_hamming for pigeonhole recall")
     # NULL text behaves as empty (repo-wide convention): split(NULL) yields
     # no tokens, the doc would vanish from fp_new and from the kept/near-dup
     # report entirely — every batch doc must be classified
@@ -940,6 +937,25 @@ def snapshot_neardup_delta(
         empty_as_text(new_df), text_col, id_col
     ).localCheckpoint(eager=False)
     fp_old = simhash_wide(empty_as_text(history_df), text_col, id_col)
+    return snapshot_neardup_delta_from_fp(fp_new, fp_old, max_hamming)
+
+
+def snapshot_neardup_delta_from_fp(
+    fp_new: DataFrame,
+    fp_old: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """`snapshot_neardup_delta` over PRE-COMPUTED wide fingerprint frames
+    (doc, fp_lo, fp_hi — the `simhash_wide` shape). This is the entry a
+    refresh pipeline uses at scale: the history fingerprints are persisted
+    between refreshes and only the incoming batch is fingerprinted, and a
+    caller whose batch and history slice the SAME corpus fingerprints it
+    once and filters (one corpus pass instead of two). `fp_new` is read by
+    two branches (band probe + final left join) — pass it materialized
+    (localCheckpoint) when it is not already a cheap scan."""
+    bands = 4
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for pigeonhole recall")
     probe = _banded_wide(fp_new).select(
         F.col("doc").alias("doc_new"),
         F.col("fp_lo").alias("ln"),

@@ -197,8 +197,18 @@ def hll_distinct(
         ).alias("tok"),
     ).filter(F.col("tok") != "")
 
+    # ONE corpus tokenization feeding both the registers and the exact
+    # count: duplicate tokens hash to the same (register, rank) and max()
+    # absorbs them, so hashing the DISTINCT (grp, tok) set yields identical
+    # registers — and the md5+Horner chain runs once per distinct token,
+    # not once per occurrence. count_distinct's own partial-distinct
+    # shuffle is the same (grp, tok) exchange this groupBy performs, so
+    # the plan strictly drops one corpus scan (guide §2.4).
+    vocab = toks.groupBy("grp", "tok").agg(F.lit(1)).select("grp", "tok")
+    vocab = vocab.localCheckpoint(eager=False)  # registers + exact branches
+
     h = horner_fold(F.md5(F.col("tok")))
-    hashed = toks.select("grp", h.alias("h")).select(
+    hashed = vocab.select("grp", h.alias("h")).select(
         "grp",
         (F.col("h") % HLL_M).alias("reg"),
         F.expr(f"h div {HLL_M}").alias("w"),
@@ -240,8 +250,8 @@ def hll_distinct(
         .cast("long")
         .alias("n_zero_registers"),
     )
-    exact = toks.groupBy("grp").agg(
-        F.count_distinct(F.col("tok")).cast("long").alias("exact_distinct")
+    exact = vocab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
     return (
         summed.join(exact, "grp")

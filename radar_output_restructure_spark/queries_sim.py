@@ -1853,13 +1853,27 @@ def q_snapshot_neardup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens. ASYMMETRIC join: no history x history, no batch x batch
     (operators/dedup_scale.snapshot_neardup_delta)."""
     from radar_output_restructure_spark.operators.dedup_scale import (
-        snapshot_neardup_delta,
+        simhash_wide,
+        snapshot_neardup_delta_from_fp,
     )
 
+    # Batch (doc_id >= BATCH_MIN) and history (doc_id < HIST_MAX) slice the
+    # SAME corpus and overlap, so the corpus is simhash-fingerprinted ONCE
+    # and both sides filter the shared materialized frame — one tokenize+
+    # hash+64-vote aggregation pass instead of two (guide §2.4: remove
+    # redundant passes). Fingerprints are per-doc pure, so results are
+    # identical; the NULL-text coalesce mirrors snapshot_neardup_delta's.
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return snapshot_neardup_delta(
-        docs.filter(F.col("doc_id") >= SNAPSHOT_BATCH_MIN),
-        docs.filter(F.col("doc_id") < SNAPSHOT_HIST_MAX),
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    fp_all = simhash_wide(
+        docs.filter(
+            (F.col("doc_id") >= SNAPSHOT_BATCH_MIN)
+            | (F.col("doc_id") < SNAPSHOT_HIST_MAX)
+        )
+    ).localCheckpoint(eager=False)
+    return snapshot_neardup_delta_from_fp(
+        fp_all.filter(F.col("doc") >= SNAPSHOT_BATCH_MIN),
+        fp_all.filter(F.col("doc") < SNAPSHOT_HIST_MAX),
         max_hamming=SIMHASH_MAX_HAMMING,
     )
 
