@@ -456,7 +456,7 @@ def segment_dedup(
     no position arithmetic across documents — the trade C4 itself makes.
     """
     from radar_output_restructure_spark.operators.dedup_scale import split_words
-    from radar_output_restructure_spark.operators.text import horner_fold
+    from radar_output_restructure_spark.operators.text import horner_fold_sql
 
     staged = df.select(
         F.col(id_col).alias("doc_id"), split_words(text_col).alias("__w")
@@ -487,10 +487,19 @@ def segment_dedup(
             " ",
         )
     )
+    # collect/rebuild first, THEN md5+fold in a separate projection over the
+    # bound column: folding md5(clean) inline duplicated the whole
+    # collect_list/sort/array_join result expression 16x in the analyzed
+    # tree (one copy per folded char) — the post-agg projection re-derived
+    # it per copy at plan time and relied on codegen CSE at run time.
+    # Identical arithmetic (same md5, same fold).
     kept_agg = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        horner_fold(F.md5(clean)).alias("clean_fp"),
+        clean.alias("__clean"),
     )
+    kept_agg = kept_agg.selectExpr(
+        "doc_id", "n_kept", "md5(__clean) AS __hx"
+    ).selectExpr("doc_id", "n_kept", f"({horner_fold_sql('__hx')}) AS clean_fp")
     return (
         base.select("doc_id", "n_segments")
         .join(kept_agg, "doc_id", "left")

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from radar_output_restructure_spark.operators.text import (
     FP_PRIME,
     horner_fold,
+    horner_fold_sql,
     md5_horner_sql,
 )
 
@@ -283,12 +284,23 @@ def minhash_wide(
     shuffles one row per document, not one per (shingle x seed). Wide form is
     the primitive: banding and similarity read it without re-aggregation."""
     ex = _exploded_shingles(df, text_col, id_col, k)
-    h0 = horner_fold(F.md5(F.col("shingle")), HASH_CHARS)
-    ex = ex.withColumn("h0", h0)
+    # Bind the md5 hex into its own projection, then Horner-fold the bound
+    # column via ONE sql-string expression: the inline-Column form rebuilt
+    # the md5 subtree once per folded char (12 copies for the analyzer to
+    # walk) and paid ~50 py4j round-trips per fold — measured the dominant
+    # cost of plan CONSTRUCTION for every fingerprint query (guide §1:
+    # build time is part of the query's wall clock). CollapseProject keeps
+    # the binding projection (hx referenced 12x, non-trivial), so md5 runs
+    # once per row at execution too. Arithmetic unchanged — oracle-exact.
+    ex = ex.selectExpr(
+        "doc", f"substring(md5(shingle), 1, {HASH_CHARS}) AS hx"
+    ).selectExpr("doc", f"({horner_fold_sql('hx', HASH_CHARS)}) AS h0")
     aggs = []
     for i in range(num_hashes):
         a, b = minhash_seed_coeffs(i)
-        aggs.append(F.min((F.col("h0") * a + b) % FP_PRIME).alias(f"m{i}"))
+        aggs.append(
+            F.expr(f"min((h0 * {a} + {b}) % {FP_PRIME})").alias(f"m{i}")
+        )
     return ex.groupBy("doc").agg(*aggs)
 
 
@@ -373,23 +385,24 @@ def simhash(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    # md5 once per token, then the cheap Horner fold (see horner_fold docs)
-    with_bits = tokens.withColumn("h", horner_fold(F.md5(F.col("tok")), HASH_CHARS))
+    # md5 bound once, fold + votes + fp as sql-string expressions: the
+    # Column-algebra loops paid hundreds of py4j round-trips and handed the
+    # analyzer a tree with the md5 subtree duplicated per folded char
+    # (see minhash_wide for the measurement); identical arithmetic.
+    with_bits = tokens.selectExpr(
+        "doc", f"substring(md5(tok), 1, {HASH_CHARS}) AS hx"
+    ).selectExpr("doc", f"({horner_fold_sql('hx', HASH_CHARS)}) AS h")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(bits)
     ]
     agg = with_bits.groupBy("doc").agg(*votes)
-    fp = sum(
-        (
-            F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-            for b in range(bits)
-        ),
-        F.lit(0),
+    fp_sql = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(bits)
     )
-    return agg.select("doc", fp.alias("simhash"))
+    return agg.selectExpr("doc", f"({fp_sql}) AS simhash")
 
 
 def simhash_near_dup_pairs(
@@ -497,33 +510,33 @@ def simhash_wide(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    md = F.md5(F.col("tok"))
-    hashed = tokens.select(
+    # md5 bound once into two half-columns, folds/votes/fp as sql-string
+    # expressions (same construction-cost rationale as minhash_wide: the
+    # Column-algebra form paid ~800 py4j round-trips and duplicated the
+    # md5 subtree 24x in the analyzed tree); identical arithmetic.
+    hashed = tokens.selectExpr(
         "doc",
-        horner_fold(md, HASH_CHARS).alias("h_lo"),
-        horner_fold(F.substring(md, HASH_CHARS + 1, HASH_CHARS), HASH_CHARS).alias(
-            "h_hi"
-        ),
+        f"substring(md5(tok), 1, {HASH_CHARS}) AS c_lo",
+        f"substring(md5(tok), {HASH_CHARS + 1}, {HASH_CHARS}) AS c_hi",
+    ).selectExpr(
+        "doc",
+        f"({horner_fold_sql('c_lo', HASH_CHARS)}) AS h_lo",
+        f"({horner_fold_sql('c_hi', HASH_CHARS)}) AS h_hi",
     )
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(h), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h}, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"{h}_v{b}")
         for h in ("h_lo", "h_hi")
         for b in range(half)
     ]
     agg = hashed.groupBy("doc").agg(*votes)
-    fp = lambda h: sum(  # noqa: E731
-        (
-            F.when(F.col(f"{h}_v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-            for b in range(half)
-        ),
-        F.lit(0),
+    fp_sql = lambda h: " + ".join(  # noqa: E731
+        f"(CASE WHEN {h}_v{b} > 0 THEN {2**b} ELSE 0 END)"
+        for b in range(half)
     )
-    return agg.select(
-        "doc", fp("h_lo").alias("fp_lo"), fp("h_hi").alias("fp_hi")
+    return agg.selectExpr(
+        "doc", f"({fp_sql('h_lo')}) AS fp_lo", f"({fp_sql('h_hi')}) AS fp_hi"
     )
 
 

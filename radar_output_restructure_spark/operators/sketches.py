@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from radar_output_restructure_spark.operators.text import horner_fold
+from radar_output_restructure_spark.operators.text import horner_fold_sql
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
@@ -207,8 +207,12 @@ def hll_distinct(
     vocab = toks.groupBy("grp", "tok").agg(F.lit(1)).select("grp", "tok")
     vocab = vocab.localCheckpoint(eager=False)  # registers + exact branches
 
-    h = horner_fold(F.md5(F.col("tok")))
-    hashed = vocab.select("grp", h.alias("h")).select(
+    # md5 bound once, fold as one sql-string expression (the inline-Column
+    # fold duplicated the md5 subtree 16x in the analyzed tree and paid
+    # ~100 py4j round-trips per build — see dedup_scale.minhash_wide)
+    hashed = vocab.selectExpr("grp", "md5(tok) AS hx").selectExpr(
+        "grp", f"({horner_fold_sql('hx')}) AS h"
+    ).select(
         "grp",
         (F.col("h") % HLL_M).alias("reg"),
         F.expr(f"h div {HLL_M}").alias("w"),
