@@ -468,9 +468,15 @@ def segment_dedup(
     seg = lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i * k + 1, k))  # noqa: E731
     segs = F.transform(F.sequence(F.lit(0), nseg - 1), seg)
     base = staged.select("doc_id", nseg.cast("bigint").alias("n_segments"), segs.alias("__segs"))
+    # one materialization of the segment frame: it feeds BOTH the
+    # duplicate-segment aggregate and the kept-side anti-join, and without
+    # the barrier each branch re-ran the split + per-segment slice lambda +
+    # explode + md5 over the whole corpus (the plan showed three parquet
+    # scans, one of which evaluated the transform lambda twice more inside
+    # a pushed filter). Same pattern as _inverted_index_pairs.
     exploded = base.select(
         "doc_id", F.posexplode("__segs").alias("seg_idx", "seg")
-    ).withColumn("__h", F.md5("seg"))
+    ).withColumn("__h", F.md5("seg")).localCheckpoint(eager=False)
     dup = (
         exploded.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -123,18 +123,31 @@ def _inverted_index_pairs(
     # (Spark's ReuseExchange dedups the join's own shuffle, but not the
     # scan+explode feeding the separate `sizes` aggregation.)
     ex = ex.localCheckpoint(eager=False)
+    # Carry each doc's shingle count THROUGH the self-join instead of
+    # joining a sizes frame onto the PAIR frame twice afterwards — the
+    # sparse_cosine_pairs norm-carry shape: one doc-keyed join on the
+    # postings frame plus 8 bytes per posting row through the shingle
+    # shuffle replaces two pair-frame joins AND the duplicated sizes
+    # aggregation (the static planner compiled groupBy(doc).count() once
+    # per join leg). first() is exact: n is constant per doc.
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sized = ex.join(sizes, "doc")
+    a = sized.select(
+        F.col("doc").alias("doc_a"), "shingle", F.col("n").alias("na")
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
-    return inter.join(sa, "doc_a").join(sb, "doc_b")
+    b = sized.select(
+        F.col("doc").alias("doc_b"), "shingle", F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+        )
+    )
 
 
 def _jaccard_from_exploded(

@@ -1250,9 +1250,18 @@ def trigram_backoff_score(
     a2 = alpha * alpha
 
     # -- train-side count tables (one explode, three aggregations) --------
-    tw = train_df.select(split_words(text_col).alias("__w"))
+    # tw feeds THREE gram explodes, and c1/c2 are each joined twice below:
+    # without barriers the plan re-ran lower+trim+split over the train
+    # corpus for every branch (16 parquet scans measured at sf0.1). tw is
+    # materialized once (one tokenize pass — the byte cost is the words
+    # array, ~ the text itself), and the vocab-sized c1/c2 once each.
+    tw = train_df.select(split_words(text_col).alias("__w")).localCheckpoint(
+        eager=False
+    )
     toks = tw.select(F.explode("__w").alias("tok"))
-    c1 = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n1"))
+    c1 = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n1")
+    ).localCheckpoint(eager=False)
     nv = c1.agg(
         F.sum("n1").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("v"),
@@ -1269,6 +1278,7 @@ def trigram_backoff_score(
         tw.select(F.explode(bi_arr).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint(eager=False)  # joined twice (ctx + bi legs)
     )
     tri_arr = F.when(
         n >= 3,
