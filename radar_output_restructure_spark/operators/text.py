@@ -669,10 +669,60 @@ def bpe_learn_merges(
     return df.sparkSession.createDataFrame(merges, schema)
 
 
+#: vocab rows the driver trainer will hold; above this the per-round
+#: distributed loop takes over (the duplicate_clusters dual-path pattern —
+#: a cap probe, not a sample: at or under the cap the limit() returned the
+#: WHOLE vocab, so both paths see identical data)
+BPE_DRIVER_MAX_VOCAB = 2_000_000
+
+
+def _bpe_train_driver(rows, n_merges):
+    """Pure-Python replica of the per-round merge selection over a
+    driver-resident (word, seg, freq) vocab. Semantics are bit-identical
+    to the distributed loop (and therefore to the unrolled SQL oracle):
+    symbols parse as the non-empty '  '-splits, pair counts weight by word
+    freq, best pair orders by (freq DESC, lhs ASC, rhs ASC) — Python's
+    code-point string order equals Spark's UTF8 binary order because UTF-8
+    preserves code-point order — and the merge applies as the same
+    left-to-right non-overlapping `' L  R ' -> ' LR '` replace."""
+    segs = [(r[0], r[1], r[2]) for r in rows]  # (word, seg, freq)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, seg, freq in segs:
+            syms = [s for s in seg.split("  ") if s != ""]
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            break  # corpus exhausted: every word is a single symbol
+        (lhs, rhs), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, lhs, rhs, int(freq)))
+        old, new = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        segs = [(w, s.replace(old, new), f) for w, s, f in segs]
+    return merges, segs
+
+
 def _bpe_train(df, text_col, n_merges):
     """(merges, final seg frame): the shared trainer. Segmentation frames
     carry (word, seg, freq) so encoders can join words back to their final
-    symbol decomposition."""
+    symbol decomposition.
+
+    Two physical paths, same result (the duplicate_clusters shape):
+
+    * vocab fits the driver (the NORMAL case — BPE training state is
+      vocab-sized, not corpus-sized, and real tokenizer trainers hold it
+      in one process): ONE word-count job, then every merge round runs
+      in-process — no per-round Spark job, checkpoint, or plan compile.
+      The n_merges sequential rounds each cost a job-scheduling round
+      trip in the distributed loop (~0.25 s x 8 rounds measured at
+      sf0.1, all driver-coordination overhead on a vocab of thousands).
+    * larger vocab: the original per-round distributed loop — a
+      vocab-sized pair-count shuffle plus a 1-row argmax collect per
+      round, bounded driver state.
+    """
     words = (
         df.select(
             F.explode(
@@ -691,6 +741,21 @@ def _bpe_train(df, text_col, n_merges):
         )
         .localCheckpoint(eager=False)
     )
+
+    rows = words.limit(BPE_DRIVER_MAX_VOCAB + 1).collect()
+    if len(rows) <= BPE_DRIVER_MAX_VOCAB:
+        merges, segs = _bpe_train_driver(rows, n_merges)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("word", T.StringType(), False),
+                T.StructField("seg", T.StringType(), False),
+                T.StructField("freq", T.LongType(), False),
+            ]
+        )
+        seg_frame = df.sparkSession.createDataFrame(segs, schema)
+        return merges, seg_frame
 
     merges: list[tuple[int, str, str, int]] = []
     seg_frame = words

@@ -1278,6 +1278,31 @@ def test_bpe_stops_when_no_pairs_remain(spark):
     assert len(out) == 2
 
 
+def test_bpe_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The capped driver trainer and the per-round distributed fallback
+    must learn identical merges AND identical final segmentations (the
+    dual-path contract _bpe_train inherited from duplicate_clusters)."""
+    from radar_output_restructure_spark.operators import text as X
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "the newest low lower the the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_driver, seg_driver = X._bpe_train(df, "text", 5)
+    monkeypatch.setattr(X, "BPE_DRIVER_MAX_VOCAB", 0)  # force fallback
+    m_dist, seg_dist = X._bpe_train(df, "text", 5)
+    assert m_driver == m_dist
+    key = lambda r: (r.word, r.seg, r.freq)  # noqa: E731
+    assert sorted(map(key, seg_driver.collect())) == sorted(
+        map(key, seg_dist.collect())
+    )
+
+
 def test_bpe_encode_counts_match_reference_segmentation(spark):
     from radar_output_restructure_spark.operators.text import bpe_encode
 
