@@ -207,19 +207,26 @@ def _sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _proc_cpu() -> tuple[int, int]:
-    """(total, idle) jiffies across all host CPUs since boot."""
+def _proc_cpu() -> tuple[int, int, int]:
+    """(total, idle, steal) jiffies across all host CPUs since boot.
+    `steal` (field 8) is time the HYPERVISOR descheduled our vCPUs — the
+    contention /proc idle accounting cannot see. On this builder (a
+    Firecracker guest on a shared host) steal bursts were measured slowing
+    identical code 3-8x while the guest looked idle; a run with a high
+    steal_frac is not comparable to one without."""
     with open("/proc/stat") as fh:
         nums = [int(x) for x in fh.readline().split()[1:]]
-    return sum(nums), nums[3] + nums[4]  # idle + iowait
+    steal = nums[7] if len(nums) > 7 else 0
+    return sum(nums), nums[3] + nums[4], steal
 
 
 def _load_start() -> dict:
-    total, idle = _proc_cpu()
+    total, idle, steal = _proc_cpu()
     return {
         "loadavg_start": [round(x, 2) for x in os.getloadavg()],
         "_total": total,
         "_idle": idle,
+        "_steal": steal,
         "_t0": time.time(),
     }
 
@@ -228,14 +235,17 @@ def _load_finish(start: dict) -> dict:
     """Host-level contention metadata for the benchmark window. A
     host_busy_frac well above this process's own share (we run local[CPUS] on
     a shared box) means the numbers are contended and ratios vs a clean
-    baseline are not comparable."""
-    total, idle = _proc_cpu()
+    baseline are not comparable; a non-trivial steal_frac means the same
+    even when the guest itself is idle."""
+    total, idle, steal = _proc_cpu()
     d_total = total - start["_total"]
     d_idle = idle - start["_idle"]
+    d_steal = steal - start["_steal"]
     return {
         "loadavg_start": start["loadavg_start"],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "host_busy_frac": round(1.0 - d_idle / d_total, 3) if d_total else None,
+        "steal_frac": round(d_steal / d_total, 4) if d_total else None,
         "wall_sec": round(time.time() - start["_t0"], 1),
     }
 

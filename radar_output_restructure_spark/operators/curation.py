@@ -212,13 +212,23 @@ def repetition_scores(
     staged = df.select(
         F.col(id_col), split_words(text_col).alias("__words")
     ).select(F.col(id_col), grams.alias("__grams"))
+    # bind the run fold once: the final projection references it twice
+    # (count + ratio) and the when-guard a third time — inlining tripled
+    # the biggest lambda tree in the plan for the analyzer to walk.
+    # CollapseProject keeps the binding (referenced >1x, non-trivial), so
+    # the fold also evaluates once per row.
+    staged = staged.select(
+        F.col(id_col),
+        F.size("__grams").cast("bigint").alias("__n"),
+        run.alias("__run"),
+    )
     return staged.select(
         F.col(id_col),
-        F.size("__grams").cast("bigint").alias("n_grams"),
-        run.cast("bigint").alias("top_gram_count"),
+        F.col("__n").alias("n_grams"),
+        F.col("__run").cast("bigint").alias("top_gram_count"),
         F.when(
-            F.size("__grams") > 0,
-            F.round(run * F.lit(1.0) / F.size("__grams"), 6),
+            F.col("__n") > 0,
+            F.round(F.col("__run") * F.lit(1.0) / F.col("__n"), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("repetition"),

@@ -229,6 +229,7 @@ def jaccard_for_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for a GIVEN candidate-pair set (doc_a, doc_b).
 
@@ -242,7 +243,11 @@ def jaccard_for_pairs(
     # Spark inlines the ENTIRE candidate-generation subplan into each use
     # (measured 22 scans / 47 shuffles for the LSH query). localCheckpoint
     # computes it once — it is small by construction (LSH-bucketed).
-    pairs = pairs.localCheckpoint(eager=False)
+    # `pairs_materialized=True` skips the barrier when the caller already
+    # checkpointed the frame (minhash_estimate_error): re-checkpointing a
+    # checkpoint pays a second plan compile + copy for nothing.
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint(eager=False)
     cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
@@ -1186,9 +1191,9 @@ def minhash_estimate_error(
             n_matching.cast("bigint").alias("n_matching"),
         )
     )
-    exact = jaccard_for_pairs(df, cand, text_col, id_col, k).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    exact = jaccard_for_pairs(
+        df, cand, text_col, id_col, k, pairs_materialized=True
+    ).select("doc_a", "doc_b", "jaccard")
     est_micro = F.round(
         F.col("n_matching") * 1000000.0 / num_hashes, 0
     ).cast("bigint")
