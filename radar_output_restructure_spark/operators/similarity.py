@@ -968,6 +968,64 @@ def cosine_topk_int8(
     )
 
 
+#: Driver-path cap for Lloyd training (the duplicate_clusters / BPE dual-path
+#: pattern): a training frame with at most this many rows is collected ONCE
+#: (Arrow) and every merge round runs in-process with bit-identical
+#: arithmetic — the same numpy kernels as the distributed partials
+#: (`_codebook_argtop` assignment is a pure per-row function, so batching
+#: cannot change it; the integer-micro sums are associative, so one
+#: whole-matrix `np.add.at` equals any per-task partial order). Above the
+#: cap the per-iteration distributed loop takes over unchanged. 250k rows of
+#: 64 float64 dims is ~128 MB — driver-trivial; a 100 TB corpus falls back.
+DRIVER_TRAIN_MAX_ROWS = 250_000
+
+
+def _driver_train_probe(df: DataFrame, id_col: str, vec_col: str):
+    """Collect the training frame when it fits `DRIVER_TRAIN_MAX_ROWS`.
+
+    Returns (ids list, x float64 matrix) or None when the frame is larger
+    than the cap (distributed fallback) or the id type's string rendering
+    is not provably identical between Python and Spark's CAST(.. AS STRING)
+    (the seed order hashes that rendering).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType),
+    ):
+        return None
+    probe = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .limit(DRIVER_TRAIN_MAX_ROWS + 1)
+        .toPandas()
+    )
+    if len(probe) > DRIVER_TRAIN_MAX_ROWS:
+        return None
+    if len(probe) == 0:
+        return [], None
+    ids = probe["id"].tolist()
+    x = np.stack(probe["v"].to_numpy()).astype(np.float64)
+    return ids, x
+
+
+def _driver_seed_order(ids: list) -> list[int]:
+    """Row indices in (md5(str(id)), id) order — the distributed seed rule
+    `orderBy(md5(cast(id as string)), id)` replayed locally: md5 hex is
+    lowercase ASCII on both sides, so Python string order == Spark's UTF8
+    binary order, and the id tiebreak compares the same values."""
+    import hashlib
+
+    return sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(ids[i]).encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k: int = 16,
@@ -1014,7 +1072,60 @@ def train_ivf_centroids(
     """
     import math
 
+    import numpy as np
+
     spark = df.sparkSession
+
+    # Driver path (normal case): ONE Arrow collect replaces the seeds job
+    # plus `iters` (mapInPandas + toPandas) round-trips — the per-query win
+    # is pure coordination latency; the arithmetic below is the identical
+    # numpy code the distributed partials run, so results are bit-equal.
+    probe = _driver_train_probe(df, id_col, vec_col)
+    if probe is not None:
+        ids, xm = probe
+        if xm is None:  # empty frame
+            if dims is None:
+                raise ValueError("cannot train centroids on an empty frame")
+            return spark.createDataFrame(
+                [], schema=f"{id_col} int, {vec_col} array<double>"
+            )
+        if dims is None:
+            dims = xm.shape[1]
+        seed_idx = _driver_seed_order(ids)[:k]
+        cents = [
+            [int(math.floor(float(v) * 1e6)) for v in xm[i]] for i in seed_idx
+        ]
+        k = len(cents)
+        micro = np.floor(xm * 1e6).astype(np.int64)
+        for _ in range(iters):
+            cent_lists = [[m / 1e6 for m in cm] for cm in cents]
+            c_arr = np.array(cent_lists, dtype=np.float64)
+            c_norms = np.array(
+                [math.sqrt(_seq_sq_sum(c)) for c in cent_lists]
+            )
+            cell = _codebook_argtop(xm, c_arr, c_norms, 1)[:, 0]
+            counts = np.bincount(cell, minlength=k).astype(np.int64)
+            totals = np.zeros((k, dims), dtype=np.int64)
+            np.add.at(totals, cell, micro)
+            new_cents = [list(c) for c in cents]
+            for j in range(k):
+                if counts[j] > 0:
+                    new_cents[j] = [
+                        int(
+                            math.floor(
+                                int(totals[j, i]) * 1.0 / int(counts[j])
+                            )
+                        )
+                        for i in range(dims)
+                    ]
+            if new_cents == cents:
+                break
+            cents = new_cents
+        return spark.createDataFrame(
+            [(j, [m / 1e6 for m in cm]) for j, cm in enumerate(cents)],
+            schema=f"{id_col} int, {vec_col} array<double>",
+        )
+
     if dims is None:
         first = df.select(vec_col).first()
         if first is None:
@@ -1144,6 +1255,57 @@ def train_pq_codebooks(
     bounds = pq_subspace_bounds(dims, m)
     sd = dims // m
     k = codebook_k
+
+    # Driver path (normal case) — same dual-path rule and bit-equality
+    # argument as train_ivf_centroids, run per subspace slice: one Arrow
+    # collect instead of the seeds job + `iters` distributed passes.
+    probe = _driver_train_probe(df, id_col, vec_col)
+    if probe is not None:
+        ids, xm = probe
+        if xm is None:
+            raise ValueError("cannot train PQ codebooks on an empty frame")
+        seed_idx = _driver_seed_order(ids)[:k]
+        cents = [
+            [
+                [int(math.floor(float(xm[i, lo + d]) * 1e6)) for d in range(sd)]
+                for i in seed_idx
+            ]
+            for lo, _hi in bounds
+        ]
+        micros = [
+            np.floor(xm[:, lo:hi] * 1e6).astype(np.int64) for lo, hi in bounds
+        ]
+        for _ in range(iters):
+            changed = False
+            for s, (lo, hi) in enumerate(bounds):
+                cent_lists = [[mc / 1e6 for mc in cm] for cm in cents[s]]
+                c_arr = np.array(cent_lists, dtype=np.float64)
+                c_norms = np.array(
+                    [math.sqrt(_seq_sq_sum(c)) for c in cent_lists]
+                )
+                xs = xm[:, lo:hi]
+                cell = _codebook_argtop(xs, c_arr, c_norms, 1)[:, 0]
+                counts = np.bincount(cell, minlength=k).astype(np.int64)
+                totals = np.zeros((k, sd), dtype=np.int64)
+                np.add.at(totals, cell, micros[s])
+                for j in range(k):
+                    if counts[j] > 0:
+                        new = [
+                            int(
+                                math.floor(
+                                    int(totals[j, d]) * 1.0 / int(counts[j])
+                                )
+                            )
+                            for d in range(sd)
+                        ]
+                        if new != cents[s][j]:
+                            cents[s][j] = new
+                            changed = True
+            if not changed:
+                break
+        return [
+            [[mc / 1e6 for mc in cm] for cm in cents[s]] for s in range(m)
+        ]
 
     seeds = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
