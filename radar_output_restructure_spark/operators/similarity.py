@@ -690,12 +690,27 @@ def _codebook_argtop(x, cents, cnorms, take: int):
     return out
 
 
+def _collect_centroids(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> list:
+    """The codebook collect shared by `ivf_cells` callers: one sorted
+    driver-side row list, so a caller assigning BOTH corpus and queries
+    (cosine_topk_ivf) pays the collect job once instead of per call."""
+    return sorted(
+        centroids.select(
+            F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
+        ).collect(),
+        key=lambda r: r.cell,
+    )
+
+
 def ivf_cells(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """(vec_id, cell, cell_rank): the `nprobe` nearest coarse cells per
     vector, ranked by cosine to the centroid set.
@@ -719,12 +734,8 @@ def ivf_cells(
     import numpy as np
     import pandas as pd
 
-    cent_rows = sorted(
-        centroids.select(
-            F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
-        ).collect(),
-        key=lambda r: r.cell,
-    )
+    if cent_rows is None:
+        cent_rows = _collect_centroids(centroids, id_col, vec_col)
     cells = [row.cell for row in cent_rows]
     cent_lists = [[float(x) for x in row.centroid] for row in cent_rows]
     cents = np.array(cent_lists, dtype=np.float64)
@@ -1565,12 +1576,13 @@ def cosine_topk_ivf(
     vector), probe the query's `nprobe` nearest cells, exact cosine re-rank
     inside the probed cells. The complement of the LSH path: recall comes
     from probing more cells instead of more hash tables."""
-    corpus_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
-        F.col("vec_id").alias("neighbor_id"), "cell"
-    )
-    query_cells = ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
+    cent_rows = _collect_centroids(centroids, id_col, vec_col)
+    corpus_cells = ivf_cells(
+        corpus, centroids, id_col, vec_col, nprobe=1, cent_rows=cent_rows
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell")
+    query_cells = ivf_cells(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, cent_rows=cent_rows
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         corpus_cells.join(F.broadcast(query_cells), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

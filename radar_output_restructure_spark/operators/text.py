@@ -366,7 +366,15 @@ def unigram_logprob_score(
     ).filter(F.col("tok") != "")  # split(trim(''),'\s+') yields [''] — a
     # blank doc must score over 0 tokens (token_count semantics), not over
     # one phantom '' token with a finite NLL
+    # freqs feeds the total scalar AND the scored join: checkpoint the
+    # VOCAB-sized table (the bigram_logprob `cb` convention) so neither
+    # branch re-inlines the corpus tokenization — the un-checkpointed form
+    # re-ran scan+split+explode once per reference (8 parquet scans in the
+    # analyzed plan; 2 after this). The token STREAM itself is deliberately
+    # NOT materialized: re-tokenizing is a map-only stage, cheaper at scale
+    # than caching a corpus-sized exploded frame to executor disk.
     freqs = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    freqs = freqs.localCheckpoint(eager=False)
     total = freqs.agg(F.sum("tf").cast("double").alias("__total"))
     nll_micro = F.round(
         -F.log(F.col("tf") / F.col("__total")) * 1_000_000
