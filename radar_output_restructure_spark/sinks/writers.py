@@ -462,24 +462,26 @@ def write_output_tree_direct(
         ).writerow(header_names)
         csv_header_line = hdr_buf.getvalue()
 
-        def _csv_cell(name: str):
-            cell = F.coalesce(F.col(f"`{name}`"), F.lit(""))
-            needs_quote = (
-                cell.contains(",")
-                | cell.contains('"')
-                | cell.contains("\n")
-                | cell.contains("\r")
+        # one parsed SQL string instead of ~15 py4j Column calls per column
+        # (measured ~0.45 s of pure plan construction at 6 columns under
+        # load); arithmetic identical — QUOTE_MINIMAL: quote iff the cell
+        # contains the delimiter, the quote char, or CR/LF, doubling quotes
+        # inside. '\n'/'\r' are C-style escapes in Spark SQL literals.
+        def _csv_cell_sql(name: str) -> str:
+            q = name.replace("`", "``")
+            cell = f"coalesce(`{q}`, '')"
+            needs = (
+                f"contains({cell}, ',') OR contains({cell}, '\"') "
+                f"OR contains({cell}, '\\n') OR contains({cell}, '\\r')"
             )
-            return F.when(
-                needs_quote,
-                F.concat(
-                    F.lit('"'),
-                    F.replace(cell, F.lit('"'), F.lit('""')),
-                    F.lit('"'),
-                ),
-            ).otherwise(cell)
+            quoted = f"concat('\"', replace({cell}, '\"', '\"\"'), '\"')"
+            return f"CASE WHEN {needs} THEN {quoted} ELSE {cell} END"
 
-        line_expr = F.concat_ws(",", *[_csv_cell(c) for c in header_names])
+        line_expr = F.expr(
+            "concat_ws(','"
+            + "".join(f", {_csv_cell_sql(c)}" for c in header_names)
+            + ")"
+        )
         data_cols = ["_c0"]
         safe = df.select(
             *[F.col(f"`{c}`") for c in key_cols],

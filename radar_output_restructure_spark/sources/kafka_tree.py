@@ -78,21 +78,30 @@ def _attach_path_metadata(
     normalized = F.regexp_replace(path, "^file:/+", "/")
     m = F.regexp_extract(F.substring_index(path, "/", -1), FILENAME_RE, 0)
     parts = F.split(m, r"\+")
-    return (
-        df.withColumn("source_file", normalized)
-        .withColumn("file_modified", F.col(mtime_col))
-        .withColumn("topic", parts.getItem(0))
-        .withColumn("kafka_partition", parts.getItem(1).cast("int"))
-        .withColumn(
-            "offset_from",
-            F.substring_index(parts.getItem(2), ".", 1).cast("long"),
+    new_cols = {
+        "source_file": normalized,
+        "file_modified": F.col(mtime_col),
+        "topic": parts.getItem(0),
+        "kafka_partition": parts.getItem(1).cast("int"),
+        "offset_from": F.substring_index(parts.getItem(2), ".", 1).cast("long"),
+        "offset_to": F.substring_index(parts.getItem(3), ".", 1).cast("long"),
+    }
+    # ONE select = one analyzer pass; the previous 6-withColumn chain
+    # re-analyzed the whole scan tree per column (guide §1.2 step 2 — this
+    # runs in every topic-tree query's build). Column order is identical:
+    # withColumn appended the six names in this order and drop removed the
+    # raw path/mtime. Fall back to the append-or-replace chain in the
+    # (never-seen) case a scan already carries one of the metadata names.
+    if not any(c in df.columns for c in new_cols):
+        keep = [c for c in df.columns if c not in (path_col, mtime_col)]
+        return df.select(
+            *[F.col(f"`{c}`") for c in keep],
+            *[v.alias(k) for k, v in new_cols.items()],
         )
-        .withColumn(
-            "offset_to",
-            F.substring_index(parts.getItem(3), ".", 1).cast("long"),
-        )
-        .drop(path_col, mtime_col)
-    )
+    out = df
+    for name, col in new_cols.items():
+        out = out.withColumn(name, col)
+    return out.drop(path_col, mtime_col)
 
 
 def with_file_metadata(df: DataFrame) -> DataFrame:
@@ -101,8 +110,10 @@ def with_file_metadata(df: DataFrame) -> DataFrame:
     `_metadata` is produced by the scan itself (no second listing), so at
     100 TB this costs nothing beyond the existing file index.
     """
-    df = df.withColumn("__src_path", F.col("_metadata.file_path")).withColumn(
-        "__src_mtime", F.col("_metadata.file_modification_time")
+    df = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__src_path"),
+        F.col("_metadata.file_modification_time").alias("__src_mtime"),
     )
     return _attach_path_metadata(df, "__src_path", "__src_mtime")
 
