@@ -264,6 +264,11 @@ class PathFormat:
         al., which the writers reference), a mixed or literal segment gets
         a positional pf_seg<i> name."""
         names: list[str] = []
+        #: (name, column) per segment, applied in ONE select at the end —
+        #: the per-segment withColumn chain re-analyzed the whole scan tree
+        #: once per path level (segments never reference each other, only
+        #: scan/mp columns, so deferral is order-safe)
+        pending: list[tuple[str, Column]] = []
         attempt = F.lit(0)
         df = self._with_mp_join(df)
         segments = self._parsed_segments()
@@ -305,7 +310,7 @@ class PathFormat:
             # the positional fallback.
             if name in names:
                 name = f"{prefix}seg{i}"
-            df = df.withColumn(name, col)
+            pending.append((name, col))
             names.append(name)
         # the bin column renders the file segment with ${filename} -> the
         # time bin and writer-owned ${attempt}/${extension} -> nothing,
@@ -332,11 +337,22 @@ class PathFormat:
             # no file segment (require_distinction=False callers): the time
             # bin alone names the file, exactly as before
             bin_pieces = [time_bin(event_ts, self.time_bin_format)]
-        df = df.withColumn(
-            prefix + "bin",
-            bin_pieces[0] if len(bin_pieces) == 1 else F.concat(*bin_pieces),
+        pending.append(
+            (
+                prefix + "bin",
+                bin_pieces[0]
+                if len(bin_pieces) == 1
+                else F.concat(*bin_pieces),
+            )
         )
         names.append(prefix + "bin")
+        if any(n in df.columns for n, _c in pending):
+            # a scan that already carries a pf_ name keeps the old
+            # replace-in-place semantics via the withColumn chain
+            for n, c in pending:
+                df = df.withColumn(n, c)
+        else:
+            df = df.select("*", *[c.alias(n) for n, c in pending])
         return df.drop(*self._mp_cols()), names
 
 
