@@ -318,3 +318,41 @@ def test_parquet_rejects_zip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="parquet codec"):
         _run(spark, tmp_path, output_format="parquet", compression="zip")
+
+
+def test_csv_line_sql_matches_column_quote_minimal(spark):
+    """The writer's one-string SQL line renderer (b6b365c) must stay
+    bit-identical to the Column-algebra QUOTE_MINIMAL form it replaced:
+    quote iff the cell contains ',', '\"', CR or LF; quotes double inside;
+    NULL renders as the empty cell."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        "plain", 'has"quote', "has,comma", "has\nnewline", "has\rcr",
+        "", None, 'mix,"\n\rall', "`tick`", "tab\there", 'a,b"c\nd',
+    ]
+    name = "key.we`ird"
+    df = spark.createDataFrame([(v,) for v in vals], "c string").withColumnRenamed(
+        "c", name
+    )
+    cellc = F.coalesce(F.col(f"`{name.replace('`', '``')}`"), F.lit(""))
+    needs = (
+        cellc.contains(",") | cellc.contains('"')
+        | cellc.contains("\n") | cellc.contains("\r")
+    )
+    old = F.when(
+        needs,
+        F.concat(F.lit('"'), F.replace(cellc, F.lit('"'), F.lit('""')), F.lit('"')),
+    ).otherwise(cellc)
+    q = name.replace("`", "``")
+    cell = f"coalesce(`{q}`, '')"
+    needs_sql = (
+        f"contains({cell}, ',') OR contains({cell}, '\"') "
+        f"OR contains({cell}, '\\n') OR contains({cell}, '\\r')"
+    )
+    quoted = f"concat('\"', replace({cell}, '\"', '\"\"'), '\"')"
+    sql = f"CASE WHEN {needs_sql} THEN {quoted} ELSE {cell} END"
+    rows = df.select(old.alias("o"), F.expr(sql).alias("n")).collect()
+    assert all(r.o == r.n for r in rows), [
+        (r.o, r.n) for r in rows if r.o != r.n
+    ]
