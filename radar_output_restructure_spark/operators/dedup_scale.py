@@ -131,7 +131,14 @@ def _inverted_index_pairs(
     # aggregation (the static planner compiled groupBy(doc).count() once
     # per join leg). first() is exact: n is constant per doc.
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    sized = ex.join(sizes, "doc")
+    # Materialize the SIZED postings once (r12): both self-join legs below
+    # reference this frame, and without a barrier the static planner
+    # compiles (and the executor runs) the sizes aggregation + doc-join
+    # once PER LEG — the r11 plans show the duplicated
+    # HashAggregate/Exchange pair under each join side. One more 8-byte
+    # column in the stored postings buys one fewer postings-wide exchange,
+    # aggregation and join per execution at every scale.
+    sized = ex.join(sizes, "doc").localCheckpoint(eager=False)
     a = sized.select(
         F.col("doc").alias("doc_a"), "shingle", F.col("n").alias("na")
     )
@@ -259,7 +266,13 @@ def jaccard_for_pairs(
     # without the barrier the semi-join + scan + shingling re-runs per
     # branch (same rule as _inverted_index_pairs)
     ex = ex.localCheckpoint(eager=False)
-    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # sizes is referenced twice below (sa + sb): without a barrier the
+    # candidate-shingle aggregation compiles and runs once per reference
+    # (r12 — the r11 lsh plan shows two HashAggregate/Exchange pairs over
+    # the ex checkpoint). It is one row per CANDIDATE doc — tiny.
+    sizes = ex.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
     p = F.broadcast(pairs.select("doc_a", "doc_b"))
     inter = (
         ex.join(p, ex["doc"] == p["doc_a"])

@@ -1007,6 +1007,17 @@ def _driver_train_probe(df: DataFrame, id_col: str, vec_col: str):
         (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.StringType),
     ):
         return None
+    # Cardinality gate BEFORE shipping vectors (r12 ADVICE): the over-cap
+    # case — i.e. every at-scale call — previously Arrow-collected 250k+1
+    # full rows (ids + embeddings, ~128 MB at 64 dims) just to decide to
+    # fall back. An id-only limit+count is a column-pruned scan that moves
+    # a few MB at most, so the big collect only ever happens when the
+    # driver path will actually be taken.
+    n = df.select(F.col(id_col).alias("id")).limit(
+        DRIVER_TRAIN_MAX_ROWS + 1
+    ).count()
+    if n > DRIVER_TRAIN_MAX_ROWS:
+        return None
     probe = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .limit(DRIVER_TRAIN_MAX_ROWS + 1)
@@ -1016,6 +1027,14 @@ def _driver_train_probe(df: DataFrame, id_col: str, vec_col: str):
         return None
     if len(probe) == 0:
         return [], None
+    # NULL ids break the bit-equality contract (r12 ADVICE, medium): a
+    # nullable Long/Int id column with any NULL comes back from toPandas()
+    # as float64 (str(id) renders '5.0' while Spark CASTs to '5'), and a
+    # None in a string id raises in the (md5, id) tiebreak sort — either
+    # way the driver seed order would silently diverge from the
+    # distributed orderBy(md5(cast(id as string)), id). Fall back.
+    if probe["id"].isna().any():
+        return None
     ids = probe["id"].tolist()
     x = np.stack(probe["v"].to_numpy()).astype(np.float64)
     return ids, x

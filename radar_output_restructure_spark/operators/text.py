@@ -1131,7 +1131,13 @@ def sparse_cosine_pairs(
     # term shuffle replaces both; first() in the pair agg is exact (n2 is
     # constant per doc). The norms groupBy and this join shuffle postings
     # by the same key, so ReuseExchange dedups the exchange.
-    posted = postings.join(norms, "doc")
+    # Materialize the norm-carrying postings once (r12): both self-join
+    # legs reference `posted`, and without a barrier the norms aggregation
+    # + doc-join compile and execute once PER LEG (the r11 plan shows the
+    # duplicated HashAggregate/Exchange under each side). 8 stored bytes
+    # per posting row remove one postings-wide exchange, aggregation and
+    # join from every execution.
+    posted = postings.join(norms, "doc").localCheckpoint(eager=False)
     a = posted.select(
         F.col("doc").alias("doc_a"), "term",
         F.col("tf").alias("tfa"), F.col("n2").alias("na2"),

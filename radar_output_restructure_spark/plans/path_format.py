@@ -337,15 +337,28 @@ class PathFormat:
             # no file segment (require_distinction=False callers): the time
             # bin alone names the file, exactly as before
             bin_pieces = [time_bin(event_ts, self.time_bin_format)]
+        # Same collision rule as the segment loop (r12 ADVICE): a path
+        # param that sanitizes to 'bin' (e.g. ${bin} or ${key:bin}) already
+        # claimed the pf_bin name above; emitting a second pf_bin column in
+        # the single-select path would be an AMBIGUOUS_REFERENCE at the
+        # downstream groupBy/write (the old withColumn chain silently
+        # replaced in place, which was equally wrong — the bin must keep
+        # its own column).
+        bin_name = prefix + "bin"
+        if bin_name in names:
+            j = len(segments) - 1
+            while f"{prefix}seg{j}" in names:
+                j += 1
+            bin_name = f"{prefix}seg{j}"
         pending.append(
             (
-                prefix + "bin",
+                bin_name,
                 bin_pieces[0]
                 if len(bin_pieces) == 1
                 else F.concat(*bin_pieces),
             )
         )
-        names.append(prefix + "bin")
+        names.append(bin_name)
         if any(n in df.columns for n, _c in pending):
             # a scan that already carries a pf_ name keeps the old
             # replace-in-place semantics via the withColumn chain

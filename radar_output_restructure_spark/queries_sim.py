@@ -1174,7 +1174,13 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries x k rows, so the evaluation itself is driver-negligible at any
     corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    # The <=N_QUERIES probe frame feeds BOTH the exact and the approx leg;
+    # materialize it once (lazy localCheckpoint) so each recall audit pays
+    # one probe-side parquet scan instead of one per reference (r12: scan
+    # count drops in every recall plan; rows identical by construction).
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint(
+        eager=False
+    )
     exact = cosine_topk(emb, queries_df, k=TOP_K)
     approx = cosine_topk_lsh(
         emb, queries_df, k=TOP_K, num_planes=NUM_PLANES, num_tables=NUM_TABLES
@@ -1265,7 +1271,13 @@ def q_ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    # The <=N_QUERIES probe frame feeds BOTH the exact and the approx leg;
+    # materialize it once (lazy localCheckpoint) so each recall audit pays
+    # one probe-side parquet scan instead of one per reference (r12: scan
+    # count drops in every recall plan; rows identical by construction).
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint(
+        eager=False
+    )
     exact = cosine_topk(emb, queries_df, k=TOP_K)
     approx = cosine_topk_ivfpq(
         emb,
@@ -1364,7 +1376,13 @@ def q_ann_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    # The <=N_QUERIES probe frame feeds BOTH the exact and the approx leg;
+    # materialize it once (lazy localCheckpoint) so each recall audit pays
+    # one probe-side parquet scan instead of one per reference (r12: scan
+    # count drops in every recall plan; rows identical by construction).
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint(
+        eager=False
+    )
     exact = cosine_topk(emb, queries_df, k=TOP_K).select(
         "query_id", "neighbor_id"
     )
@@ -1476,7 +1494,13 @@ def q_ann_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+    # The <=N_QUERIES probe frame feeds BOTH the exact and the approx leg;
+    # materialize it once (lazy localCheckpoint) so each recall audit pays
+    # one probe-side parquet scan instead of one per reference (r12: scan
+    # count drops in every recall plan; rows identical by construction).
+    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).localCheckpoint(
+        eager=False
+    )
     exact = cosine_topk(emb, queries_df, k=TOP_K)
     approx = cosine_topk_int8(emb, queries_df, k=TOP_K)
     return _recall_vs_exact(exact, approx)
