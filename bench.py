@@ -373,6 +373,17 @@ def main() -> None:
             "rel_spread": round(
                 (max(noise) - min(noise)) / statistics.median(noise), 3
             ),
+            # probe[0] pays the probe plan's own codegen/JIT, so rel_spread
+            # above can never reach a <1.2 quiet-window gate even on an
+            # idle box; the WARM spread (probes after the first) is the
+            # actual machine-noise floor. Additions-only diagnostic.
+            "rel_spread_warm": round(
+                (max(noise[1:]) - min(noise[1:]))
+                / statistics.median(noise[1:]),
+                3,
+            )
+            if len(noise) > 2
+            else None,
         },
         "spread_max_over_min": spread,
         "queries": timings,

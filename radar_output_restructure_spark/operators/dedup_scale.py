@@ -370,17 +370,23 @@ def band_hashes(wide: DataFrame, num_hashes: int = 8, rows_per_band: int = 2) ->
             f"({num_hashes}): trailing signatures would be silently "
             "ignored and LSH recall would degrade with no error"
         )
+    # One parsed SQL string instead of ~40 py4j Column calls (the r11
+    # fingerprint-construction pattern, r12: the band extraction was the
+    # remaining Column-algebra loop in the LSH build path). Expressions
+    # identical: concat_ws casts the bigint minhash to string exactly as
+    # the Column form did, sort_array default is ascending, and inline()
+    # emits the same (band, band_hash) columns the explode+select did.
     structs = []
     for band in range(num_hashes // rows_per_band):
         seeds = range(band * rows_per_band, (band + 1) * rows_per_band)
-        entries = F.array(
-            *[F.concat_ws(":", F.lit(str(s)), F.col(f"m{s}")) for s in seeds]
+        entries = ", ".join(
+            f"concat_ws(':', '{s}', m{s})" for s in seeds
         )
-        bh = F.md5(F.concat_ws(",", F.sort_array(entries)))
-        structs.append(F.struct(F.lit(band).alias("band"), bh.alias("band_hash")))
-    return wide.select(
-        "doc", F.explode(F.array(*structs)).alias("b")
-    ).select("doc", "b.band", "b.band_hash")
+        structs.append(
+            f"named_struct('band', {band}, 'band_hash', "
+            f"md5(concat_ws(',', sort_array(array({entries})))))"
+        )
+    return wide.selectExpr("doc", f"inline(array({', '.join(structs)}))")
 
 
 def lsh_candidate_pairs(
